@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.ord.{OrdFixtures, OrdPipeline}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` has (where SQL-expressible) a matching
+  * `oracleSql` entry that DuckDB runs over the same parquet tables; the
+  * driver hash-compares the two. Column names, types, and row order are
+  * therefore pinned on BOTH sides (see each op's Scaladoc for the
+  * semantics source in /root/reference).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The ORD M1 slice (SURVEY §7.3): golden JSON fixtures → explode
+    * reactions → posexplode inputs assoc-list → explode components →
+    * amount tagged-union + per-dataset counts checked against the
+    * envelope's own total_reactions_scraped. */
+  def entry(spark: SparkSession): DataFrame = OrdPipeline.flagship(spark)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.10
+    * extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans / sources / sinks
+    "s1_catalog_scan"    -> (Relational.s1CatalogScan _),
+    "s2_partition_scan"  -> (Relational.s2PartitionScan _),
+    "s3_point_lookup"    -> (Relational.s3PointLookup _),
+    "s4_json_decode"     -> (SourceSink.s4JsonDecode _),
+    "s5_validated_read"  -> (SourceSink.s5ValidatedRead _),
+    "s6_json_sink"       -> (SourceSink.s6JsonSink _),
+    // §2.2 projections / filters
+    "p1_key_extract"       -> (Relational.p1KeyExtract _),
+    "p2_prefix_filter"     -> (Relational.p2PrefixFilter _),
+    "p3_type_filter"       -> (Relational.p3TypeFilter _),
+    "p4_bool_filter"       -> (Relational.p4BoolFilter _),
+    "p5_tagged_union"      -> (Relational.p5TaggedUnion _),
+    "p6_restructure"       -> (Relational.p6Restructure _),
+    "p7_coalesce_defaults" -> (Relational.p7CoalesceDefaults _),
+    // §2.3 joins
+    "j1_broadcast_decode" -> (Relational.j1BroadcastDecode _),
+    "j2_smj_reassemble"   -> (Relational.j2SmjReassemble _),
+    "j3_self_join"        -> (Relational.j3SelfJoin _),
+    "j3b_semi"            -> (Relational.j3bSemi _),
+    "j3c_anti"            -> (Relational.j3cAnti _),
+    // §2.4 flatten / explode
+    "f1_posexplode_tabs"    -> (Relational.f1PosexplodeTabs _),
+    "f2_explode_components" -> (Relational.f2ExplodeComponents _),
+    "f3_explode_ids"        -> (Relational.f3ExplodeIds _),
+    "f4_double_flatten"     -> (Relational.f4DoubleFlatten _),
+    "f5_explode_outer"      -> (Relational.f5ExplodeOuter _),
+    // §2.5 aggregations
+    "a1_count_group"   -> (Relational.a1CountGroup _),
+    "a2_cond_count"    -> (Relational.a2CondCount _),
+    "a3_rollup_totals" -> (Relational.a3RollupTotals _),
+    "a4_collect_list"  -> (Relational.a4CollectList _),
+    "a5_regex_ceil"    -> (Relational.a5RegexCeil _),
+    // §2.6 dedup / set ops
+    "d1_dedup_first_seen" -> (Relational.d1DedupFirstSeen _),
+    "d2_union_priority"   -> (Relational.d2UnionPriority _),
+    // §2.7 sorts / limits
+    "l1_limit"        -> (Relational.l1Limit _),
+    "l2_offset_limit" -> (Relational.l2OffsetLimit _),
+    // §2.9 scalar bundles
+    "x1_string_funcs" -> (Relational.x1StringFuncs _),
+    "x2_array_funcs"  -> (Relational.x2ArrayFuncs _),
+    // §2.10 event-time
+    "e4_time_window"    -> (EventOps.e4TimeWindow _),
+    "e5_session_window" -> (EventOps.e5SessionWindow _),
+    // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
+    "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
+    "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
+    "ord_components"       -> (OrdPipeline.ordComponents _),
+    "ord_id_types"         -> (OrdPipeline.ordIdTypes _),
+    "ord_roles_histogram"  -> (OrdPipeline.ordRolesHistogram _),
+    "ord_j1_role_encode"   -> (OrdPipeline.ordJ1RoleEncode _),
+    "ord_amount_stats"     -> (OrdPipeline.ordAmountStats _),
+    "ord_f5_measurements"  -> (OrdPipeline.ordF5Measurements _),
+    "ord_s4_decode"        -> (OrdPipeline.ordS4Decode _),
+    "ord_a4_renest"        -> (OrdPipeline.ordA4Renest _),
+  )
+
+  private val ordNested = s"${OrdFixtures.nestedPath}/*.parquet"
+  private val ordRaw = s"${OrdFixtures.rawPath}/*.parquet"
+
+  /** Shared DuckDB CTE prefix: dataset → reaction → tab → component
+    * flatten over the nested ORD fixture (posexplode ≡ 1-based DuckDB
+    * lambda index - 1). */
+  private def ordCte: String =
+    s"""WITH rx AS (
+       |  SELECT file, dataset_id, unnest(reactions) AS r
+       |  FROM read_parquet('$ordNested')),
+       |t AS (
+       |  SELECT file, dataset_id, r.reaction_id AS reaction_id,
+       |    unnest(list_transform(r.inputsMap, (x, i) -> {'p': i - 1, 't': x})) AS u
+       |  FROM rx),
+       |c AS (
+       |  SELECT file, dataset_id, reaction_id,
+       |    CAST(u.p AS INTEGER) AS tab_pos, u.t.tab_name AS tab_name,
+       |    unnest(u.t.components) AS comp
+       |  FROM t)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (s6_json_sink) get the
+    * driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "s1_catalog_scan" ->
+      "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
+    "s2_partition_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 64
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s3_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
+    "s4_json_decode" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+    "s5_validated_read" ->
+      """SELECT event_type, count(*) AS n_valid FROM events
+        |WHERE value IS NOT NULL AND value >= 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p1_key_extract" ->
+      """SELECT o_orderkey,
+        |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p2_prefix_filter" ->
+      """SELECT id FROM (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0
+        |    THEN 'ord-' || CAST(o_orderkey AS VARCHAR)
+        |    ELSE 'doc-' || CAST(o_orderkey AS VARCHAR) END AS id
+        |  FROM orders) t
+        |WHERE starts_with(id, 'ord-') ORDER BY id""".stripMargin,
+    "p3_type_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_linenumber = 2 ORDER BY l_orderkey""".stripMargin,
+    "p4_bool_filter" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "p5_tagged_union" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN 'moles'
+        |       WHEN l_returnflag = 'A' THEN 'volume'
+        |       ELSE 'mass' END AS amount_kind,
+        |  l_quantity AS amount_value,
+        |  CASE WHEN l_returnflag = 'R' THEN 'MOLE'
+        |       WHEN l_returnflag = 'A' THEN 'LITER'
+        |       ELSE 'GRAM' END AS amount_units
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p6_restructure" ->
+      """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "p7_coalesce_defaults" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN') AS status,
+        |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), '0-DEFAULT') AS priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "j1_broadcast_decode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_linenumber WHEN 1 THEN 'REACTANT' WHEN 2 THEN 'REAGENT'
+        |    WHEN 3 THEN 'SOLVENT' WHEN 4 THEN 'CATALYST'
+        |    WHEN 5 THEN 'INTERNAL_STANDARD' ELSE 'UNKNOWN' END AS role
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j2_smj_reassemble" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_ids
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "j3_self_join" ->
+      """SELECT a.l_orderkey AS l_orderkey, part1, qty1, part2, qty2 FROM
+        |  (SELECT l_orderkey, l_partkey AS part1, l_quantity AS qty1
+        |   FROM lineitem WHERE l_linenumber = 1) a
+        |JOIN
+        |  (SELECT l_orderkey, l_partkey AS part2, l_quantity AS qty2
+        |   FROM lineitem WHERE l_linenumber = 2) b
+        |USING (l_orderkey) ORDER BY l_orderkey, part1, qty1, part2, qty2""".stripMargin,
+    "j3b_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3c_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_quantity >= 48 AND l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "f1_posexplode_tabs" ->
+      """SELECT l_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey) - 1 AS INTEGER) AS pos,
+        |  l_linenumber, l_partkey
+        |FROM lineitem ORDER BY l_orderkey, pos""".stripMargin,
+    "f2_explode_components" ->
+      "SELECT l_orderkey, l_partkey FROM lineitem ORDER BY l_orderkey, l_partkey",
+    "f3_explode_ids" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        |FROM part ORDER BY p_partkey, word""".stripMargin,
+    "f4_double_flatten" ->
+      """SELECT l_orderkey, l_returnflag, l_partkey FROM lineitem
+        |ORDER BY l_orderkey, l_returnflag, l_partkey""".stripMargin,
+    "f5_explode_outer" ->
+      """SELECT o_orderkey, li.l_partkey AS big_part FROM orders
+        |LEFT JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49) li
+        |ON o_orderkey = li.l_orderkey
+        |ORDER BY o_orderkey, big_part NULLS FIRST""".stripMargin,
+    "a1_count_group" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a2_cond_count" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a3_rollup_totals" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "a4_collect_list" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a5_regex_ceil" ->
+      """SELECT o_orderpriority,
+        |  CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INTEGER) AS code,
+        |  count(*) AS n, (count(*) + 99) // 100 AS pages
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "d1_dedup_first_seen" ->
+      """SELECT o_custkey, min(o_orderkey) AS first_order FROM orders
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "d2_union_priority" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 2 END AS prio
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY o_custkey ORDER BY prio, o_orderkey) AS rn FROM c)
+        |SELECT o_custkey, o_orderkey AS picked, prio FROM r WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "l1_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "l2_offset_limit" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "x1_string_funcs" ->
+      """SELECT c_custkey,
+        |  (string_split(c_name, '#'))[-1] AS name_id,
+        |  starts_with(c_name, 'Customer#') AS is_cust,
+        |  trim('  ' || c_mktsegment || ' ') AS seg_trim,
+        |  regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS digits,
+        |  'cust-' || CAST(c_custkey AS VARCHAR) AS url_id,
+        |  substring(c_name, 1, 10) AS name10
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x2_array_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) || '|' || upper(o_orderstatus) || '|EXTRA' AS parts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e4_time_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e5_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM e)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n
+        |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "ord_envelope_check" ->
+      s"""SELECT file, dataset_id, total_reactions_scraped,
+         |  CAST(len(reactions) AS INTEGER) AS n_rx,
+         |  CAST(len(list_filter(reactions, r -> r.success)) AS INTEGER) AS n_success,
+         |  total_reactions_scraped = len(reactions) AS env_match
+         |FROM read_parquet('$ordNested')
+         |ORDER BY file, dataset_id""".stripMargin,
+    "ord_f1_tabs" ->
+      s"""$ordCte
+         |SELECT file, dataset_id, reaction_id,
+         |  CAST(u.p AS INTEGER) AS tab_pos, u.t.tab_name AS tab_name,
+         |  CAST(len(u.t.components) AS INTEGER) AS n_components
+         |FROM t ORDER BY file, dataset_id, reaction_id, tab_pos""".stripMargin,
+    "ord_components" ->
+      s"""$ordCte
+         |SELECT file, dataset_id, reaction_id, tab_pos, tab_name,
+         |  comp.comp_pos AS comp_pos, comp.amount_kind AS amount_kind,
+         |  comp.amount_value AS amount_value, comp.amount_units AS amount_units,
+         |  comp.reaction_role AS reaction_role
+         |FROM c ORDER BY file, dataset_id, reaction_id, tab_pos, comp_pos""".stripMargin,
+    "ord_id_types" ->
+      s"""$ordCte,
+         |i AS (SELECT file, unnest(comp.identifiers) AS id FROM c)
+         |SELECT file, id.id_type AS id_type, count(*) AS n
+         |FROM i GROUP BY 1, 2 ORDER BY file, id_type""".stripMargin,
+    "ord_roles_histogram" ->
+      s"""$ordCte
+         |SELECT file, comp.reaction_role AS reaction_role, count(*) AS n
+         |FROM c GROUP BY 1, 2 ORDER BY file, reaction_role""".stripMargin,
+    "ord_j1_role_encode" ->
+      s"""$ordCte
+         |SELECT file, comp.reaction_role AS reaction_role,
+         |  CASE comp.reaction_role
+         |    WHEN 'UNSPECIFIED' THEN 0 WHEN 'REACTANT' THEN 1
+         |    WHEN 'REAGENT' THEN 2 WHEN 'SOLVENT' THEN 3
+         |    WHEN 'CATALYST' THEN 4 WHEN 'WORKUP' THEN 5
+         |    WHEN 'INTERNAL_STANDARD' THEN 6 WHEN 'AUTHENTIC_STANDARD' THEN 7
+         |    WHEN 'PRODUCT' THEN 8 WHEN 'BYPRODUCT' THEN 9
+         |    WHEN 'SIDE_PRODUCT' THEN 10 ELSE -1 END AS role_code,
+         |  count(*) AS n
+         |FROM c GROUP BY 1, 2, 3 ORDER BY file, reaction_role""".stripMargin,
+    "ord_amount_stats" ->
+      s"""$ordCte
+         |SELECT file, comp.amount_kind AS amount_kind,
+         |  comp.amount_units AS amount_units, count(*) AS n,
+         |  round(sum(comp.amount_value), 9) AS total_value
+         |FROM c GROUP BY 1, 2, 3 ORDER BY file, amount_kind, amount_units""".stripMargin,
+    "ord_f5_measurements" ->
+      s"""WITH rx AS (
+         |  SELECT file, dataset_id, unnest(reactions) AS r
+         |  FROM read_parquet('$ordNested')),
+         |o AS (
+         |  SELECT file, dataset_id, r.reaction_id AS reaction_id, unnest(r.outcomes) AS o
+         |  FROM rx),
+         |m AS (
+         |  SELECT file, dataset_id, reaction_id, o.out_pos AS out_pos,
+         |    o.reaction_role AS out_role, o.is_desired_product AS is_desired_product,
+         |    unnest(list_transform(o.measurements, (x, i) -> {'p': i - 1, 'm': x})) AS u
+         |  FROM o WHERE len(o.measurements) > 0)
+         |SELECT file, dataset_id, reaction_id, out_pos, out_role, is_desired_product,
+         |  CAST(u.p AS INTEGER) AS m_pos, u.m.m_type AS m_type,
+         |  u.m.details AS details, u.m.mass_value AS mass_value,
+         |  u.m.mass_units AS mass_units
+         |FROM m
+         |UNION ALL
+         |SELECT file, dataset_id, reaction_id, o.out_pos, o.reaction_role,
+         |  o.is_desired_product, NULL, NULL, NULL, NULL, NULL
+         |FROM o WHERE len(o.measurements) = 0
+         |ORDER BY file, dataset_id, reaction_id, out_pos, m_pos NULLS FIRST""".stripMargin,
+    "ord_s4_decode" ->
+      s"""SELECT file, dataset_id, reaction_id,
+         |  json_extract_string(raw, '$$.reaction_id') AS parsed_id,
+         |  CAST(json_extract_string(raw, '$$.success') AS BOOLEAN) AS parsed_success,
+         |  json_extract_string(raw, '$$.reaction_id') = reaction_id AS id_match
+         |FROM read_parquet('$ordRaw')
+         |ORDER BY file, dataset_id, reaction_id""".stripMargin,
+    "ord_a4_renest" ->
+      s"""WITH rx AS (
+         |  SELECT file, dataset_id, unnest(reactions) AS r
+         |  FROM read_parquet('$ordNested'))
+         |SELECT file, dataset_id, count(*) AS n_rx,
+         |  string_agg(r.reaction_id, ',' ORDER BY r.reaction_id) AS rx_ids
+         |FROM rx GROUP BY file, dataset_id ORDER BY file, dataset_id""".stripMargin,
+  )
 }

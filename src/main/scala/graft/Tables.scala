@@ -21,7 +21,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read it as nanos-since-epoch longs and convert to a proper
+    * TimestampType (µs). The data is µs-precision, so truncation is
+    * lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -191,7 +191,9 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey").as("part1"), col("l_quantity").as("qty1"))
     val b = li.where(col("l_linenumber") === 2)
       .select(col("l_orderkey"), col("l_partkey").as("part2"), col("l_quantity").as("qty2"))
-    a.join(b, "l_orderkey").orderBy("l_orderkey")
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    // the join fans out — order by every column for a deterministic hash.
+    a.join(b, "l_orderkey").orderBy("l_orderkey", "part1", "qty1", "part2", "qty2")
   }
 
   /** J3b: left-semi — records having a qualifying detail row. */

@@ -1,0 +1,190 @@
+package graft.ord
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries over the ORD golden-data fixtures (SURVEY.md §7.2 M1/M3).
+  *
+  * These re-express the reference's formatted-data dataflow
+  * (`/root/reference/web_scrpaer_2.py:82-192`, `web_scraper.py:410-504`)
+  * as Spark plans over the nested fixture parquet: posexplode of the
+  * order-bearing `inputsMap` assoc list, component/identifier flattens,
+  * tagged-union amount analysis, enum dim joins (broadcast — the dims are
+  * 5-11 rows), per-dataset aggregation, and the envelope self-check
+  * (`total_reactions_scraped` vs actual reaction count).
+  *
+  * Every query starts with `OrdFixtures.ensure` (idempotent, one-time
+  * driver-side conversion of ≤650 KB of JSON) and then stays fully
+  * distributed. Ordering: all outputs carry a total ORDER BY so the
+  * driver's hash compare is deterministic.
+  */
+object OrdPipeline {
+
+  /** Enum decode dimensions (web_scraper.py:9-21, web_scrpaer_2.py:63-79).
+    * Tiny literal dims — always broadcast, never shuffled. */
+  def roleDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(0 -> "UNSPECIFIED", 1 -> "REACTANT", 2 -> "REAGENT", 3 -> "SOLVENT",
+      4 -> "CATALYST", 5 -> "WORKUP", 6 -> "INTERNAL_STANDARD",
+      7 -> "AUTHENTIC_STANDARD", 8 -> "PRODUCT", 9 -> "BYPRODUCT",
+      10 -> "SIDE_PRODUCT").toDF("role_code", "role_name")
+  }
+
+  private def nested(s: SparkSession): DataFrame = {
+    OrdFixtures.ensure(s)
+    s.read.parquet(OrdFixtures.nestedPath)
+  }
+
+  private def raw(s: SparkSession): DataFrame = {
+    OrdFixtures.ensure(s)
+    s.read.parquet(OrdFixtures.rawPath)
+  }
+
+  /** dataset → one row per reaction (keeps stored rx order). */
+  private def reactions(s: SparkSession): DataFrame =
+    nested(s).select(
+      col("file"), col("dataset_id"), explode(col("reactions")).as("rx"))
+
+  /** reaction → one row per inputsMap tab, position-preserving (F1). */
+  private def tabs(s: SparkSession): DataFrame =
+    reactions(s).select(
+      col("file"), col("dataset_id"), col("rx.reaction_id").as("reaction_id"),
+      posexplode(col("rx.inputsMap")).as(Seq("tab_pos", "tab")))
+
+  /** tab → one row per component with the wide amount form (F2+P5). */
+  private def components(s: SparkSession): DataFrame =
+    tabs(s).select(
+      col("file"), col("dataset_id"), col("reaction_id"), col("tab_pos"),
+      col("tab.tab_name").as("tab_name"), explode(col("tab.components")).as("c"))
+      .select(
+        col("file"), col("dataset_id"), col("reaction_id"), col("tab_pos"),
+        col("tab_name"), col("c.comp_pos").as("comp_pos"),
+        col("c.amount_kind").as("amount_kind"),
+        col("c.amount_value").as("amount_value"),
+        col("c.amount_units").as("amount_units"),
+        col("c.reaction_role").as("reaction_role"),
+        col("c.identifiers").as("identifiers"))
+
+  // ------------------------------------------------------------- queries
+
+  /** Envelope self-check (flagship core): dataset-level counts vs the
+    * envelope's own total_reactions_scraped (web_scrpaer_2.py:530-543). */
+  def ordEnvelopeCheck(s: SparkSession, d: String): DataFrame =
+    nested(s).select(
+      col("file"), col("dataset_id"), col("total_reactions_scraped"),
+      size(col("reactions")).as("n_rx"),
+      size(filter(col("reactions"), r => r.getField("success"))).as("n_success"),
+      (col("total_reactions_scraped") === size(col("reactions"))).as("env_match"))
+      .orderBy("file", "dataset_id")
+
+  /** F1 over ORD: posexplode the assoc list — order is load-bearing
+    * (web_scraper.py:471-477). */
+  def ordF1Tabs(s: SparkSession, d: String): DataFrame =
+    tabs(s).select(
+      col("file"), col("dataset_id"), col("reaction_id"), col("tab_pos"),
+      col("tab.tab_name").as("tab_name"),
+      size(col("tab.components")).as("n_components"))
+      .orderBy("file", "dataset_id", "reaction_id", "tab_pos")
+
+  /** P5+P6 over ORD: component-level wide rows with the tagged-union
+    * amount normalized (web_scrpaer_2.py:124-145). */
+  def ordComponents(s: SparkSession, d: String): DataFrame =
+    components(s).drop("identifiers")
+      .orderBy("file", "dataset_id", "reaction_id", "tab_pos", "comp_pos")
+
+  /** F3+A1 over ORD: identifier explode + type histogram
+    * (web_scrpaer_2.py:104-113). */
+  def ordIdTypes(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .select(col("file"), explode(col("identifiers")).as("id"))
+      .groupBy(col("file"), col("id.id_type").as("id_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("file", "id_type")
+
+  /** A1 over ORD: reaction-role histogram per file — matches the profiled
+    * counts in FIXTURES.md (REACTANT 705, SOLVENT 281, ... for _one). */
+  def ordRolesHistogram(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .groupBy(col("file"), col("reaction_role"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("file", "reaction_role")
+
+  /** J1 over ORD: role string ⋈ broadcast enum dim (reverse decode, code
+    * -1 on miss) — BroadcastHashJoinExec at any scale. */
+  def ordJ1RoleEncode(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .join(broadcast(roleDim(s)), col("reaction_role") === col("role_name"), "left")
+      .groupBy(col("file"), col("reaction_role"),
+        coalesce(col("role_code"), lit(-1)).as("role_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("file", "reaction_role")
+
+  /** A3 over ORD: amount-kind/unit stats; sum rounded to 9 decimals so
+    * the float64 totals hash-match across summation orders (SURVEY §7.5.1). */
+  def ordAmountStats(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .groupBy(col("file"), col("amount_kind"), col("amount_units"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("amount_value")), 9).as("total_value"))
+      .orderBy("file", "amount_kind", "amount_units")
+
+  /** F4+F5 over ORD: outcomes double-flatten with measurements
+    * explode_outer (v1 rows keep NULL measurement columns;
+    * web_scrpaer_2.py:161-189). */
+  def ordF5Measurements(s: SparkSession, d: String): DataFrame =
+    reactions(s)
+      .select(col("file"), col("dataset_id"),
+        col("rx.reaction_id").as("reaction_id"), explode(col("rx.outcomes")).as("o"))
+      .select(col("file"), col("dataset_id"), col("reaction_id"),
+        col("o.out_pos").as("out_pos"),
+        col("o.reaction_role").as("out_role"),
+        col("o.is_desired_product").as("is_desired_product"),
+        posexplode_outer(col("o.measurements")).as(Seq("m_pos", "m")))
+      .select(col("file"), col("dataset_id"), col("reaction_id"), col("out_pos"),
+        col("out_role"), col("is_desired_product"), col("m_pos"),
+        col("m.m_type").as("m_type"), col("m.details").as("details"),
+        col("m.mass_value").as("mass_value"), col("m.mass_units").as("mass_units"))
+      .orderBy(col("file"), col("dataset_id"), col("reaction_id"), col("out_pos"),
+        col("m_pos").asc_nulls_first)
+
+  /** S4+S5 over ORD: from_json-style decode of the raw reaction JSON with
+    * the reference's id-match validation (web_scraper.py:216-220). */
+  def ordS4Decode(s: SparkSession, d: String): DataFrame =
+    raw(s).select(
+      col("file"), col("dataset_id"), col("reaction_id"),
+      get_json_object(col("raw"), "$.reaction_id").as("parsed_id"),
+      get_json_object(col("raw"), "$.success").cast("boolean").as("parsed_success"),
+      (get_json_object(col("raw"), "$.reaction_id") === col("reaction_id")).as("id_match"))
+      .orderBy("file", "dataset_id", "reaction_id")
+
+  /** A4 over ORD: re-nest reactions under their dataset envelope with an
+    * explicit ORDER BY inside the gathered list (array_agg ORDER BY
+    * semantics — web_scrpaer_2.py:541-543). */
+  def ordA4Renest(s: SparkSession, d: String): DataFrame =
+    reactions(s)
+      .groupBy(col("file"), col("dataset_id"))
+      .agg(
+        count(lit(1)).as("n_rx"),
+        concat_ws(",", array_sort(collect_list(col("rx.reaction_id")))).as("rx_ids"))
+      .orderBy("file", "dataset_id")
+
+  /** Flagship (SparkEntry.entry, SURVEY §7.3 M1): golden JSON → explodes
+    * → amount union → per-dataset agg → envelope check. Exercises scan,
+    * explode ×3, case analysis, aggregation in one plan. */
+  def flagship(s: SparkSession): DataFrame = {
+    val comps = components(s)
+    val perDataset = comps.groupBy(col("file"), col("dataset_id"))
+      .agg(
+        countDistinct(col("reaction_id")).as("n_rx_with_inputs"),
+        count(lit(1)).as("n_components"),
+        sum(when(col("amount_kind") === "moles", 1).otherwise(0)).as("n_moles"),
+        sum(when(col("amount_kind") === "volume", 1).otherwise(0)).as("n_volume"),
+        sum(when(col("amount_kind") === "mass", 1).otherwise(0)).as("n_mass"))
+    nested(s)
+      .select(col("file"), col("dataset_id"), col("total_reactions_scraped"),
+        size(col("reactions")).as("n_rx"))
+      .join(perDataset, Seq("file", "dataset_id"), "left")
+      .withColumn("env_match", col("total_reactions_scraped") === col("n_rx"))
+      .orderBy("file", "dataset_id")
+  }
+}
