@@ -69,6 +69,18 @@ object SparkEntry {
     // §2.10 event-time
     "e4_time_window"    -> (EventOps.e4TimeWindow _),
     "e5_session_window" -> (EventOps.e5SessionWindow _),
+    // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
+    "e1_text_dedup"     -> (TextOps.e1TextDedup _),
+    "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
+    "e3_token_counts"   -> (TextOps.e3TokenCounts _),
+    "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
+    "e7_simhash"        -> (SimOps.e7Simhash _),
+    "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
+    "e9_lang_id"        -> (TextOps.e9LangId _),
+    "e10_quality_score" -> (TextOps.e10QualityScore _),
+    "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
+    "e12_ann_brute"     -> (SimOps.e12AnnBrute _),
+    "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -277,6 +289,163 @@ object SparkEntry {
         |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS n
         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "e1_text_dedup" ->
+      """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "e2_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+        |  FROM q JOIN n c ON q.label = c.label AND c.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+        |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
+        |ORDER BY q_id, "rank"""".stripMargin,
+    "e3_token_counts" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY word ORDER BY word""".stripMargin,
+    "e6_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM w),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
+        |bands AS (SELECT doc_id, hid // 2 AS band,
+        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
+        |  JOIN sh s1 ON s1.doc_id = p.d1
+        |  JOIN sh s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2, p.n_bands, coalesce(c.n_common, 0) AS n_common,
+        |  c1.n_sh AS n1, c2.n_sh AS n2,
+        |  round(coalesce(c.n_common, 0) /
+        |    (c1.n_sh + c2.n_sh - coalesce(c.n_common, 0)), 6) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
+        |JOIN counts c1 ON c1.doc_id = p.d1
+        |JOIN counts c2 ON c2.doc_id = p.d2
+        |ORDER BY p.d1, p.d2""".stripMargin,
+    "e7_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |bits AS (SELECT unnest(range(0, 16)) AS b),
+        |x AS (SELECT doc_id, word, cnt, b,
+        |    strpos('0123456789abcdef',
+        |      substring(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1 AS nibble
+        |  FROM tc CROSS JOIN bits),
+        |y AS (SELECT doc_id, b, sum(CASE
+        |    WHEN CAST(floor(nibble / pow(2, b % 4)) AS INTEGER) % 2 = 1
+        |    THEN cnt ELSE -cnt END) AS s
+        |  FROM x GROUP BY 1, 2),
+        |z AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bitval FROM y)
+        |SELECT doc_id, CAST(sum(bitval * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e8_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM w),
+        |bg AS (SELECT DISTINCT doc_id, source, bg FROM bg0),
+        |counts AS (SELECT doc_id, count(*) AS n_bg FROM bg GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        |  FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common, c1.n_bg + c2.n_bg - n_common AS n_union,
+        |  round(n_common / (c1.n_bg + c2.n_bg - n_common), 6) AS jaccard
+        |FROM common
+        |JOIN counts c1 ON c1.doc_id = d1
+        |JOIN counts c2 ON c2.doc_id = d2
+        |WHERE n_common >= 5
+        |  AND round(n_common / (c1.n_bg + c2.n_bg - n_common), 6) >= 0.1
+        |ORDER BY d1, d2""".stripMargin,
+    "e9_lang_id" ->
+      """WITH dim(word, cand_lang) AS (VALUES
+        |  ('the','en'),('a','en'),('of','en'),('and','en'),('to','en'),
+        |  ('el','es'),('la','es'),('de','es'),('los','es'),('y','es'),
+        |  ('der','de'),('die','de'),('und','de'),('das','de'),('ein','de'),
+        |  ('le','fr'),('les','fr'),('et','fr'),('un','fr'),('dans','fr')),
+        |tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+        |  FROM tok JOIN dim USING (word) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cand_lang, hits, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn FROM hits)
+        |SELECT d.doc_id, d.lang AS labeled_lang,
+        |  coalesce(b.cand_lang, 'und') AS pred_lang,
+        |  CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "e10_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_obs,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+        |    AS INTEGER) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars_obs, n_tokens, n_alpha, n_stop,
+        |  round(n_stop / n_tokens, 6) AS stop_ratio,
+        |  round(n_alpha / n_chars_obs, 6) AS alpha_ratio,
+        |  round(n_alpha / n_tokens, 6) AS avg_token_len,
+        |  round(round(n_stop / n_tokens, 6) * 0.5
+        |    + round(n_alpha / n_chars_obs, 6) * 0.5, 7) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "e11_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nrm FROM documents),
+        |x AS (SELECT doc_id, nrm,
+        |  list_filter(string_split_regex(nrm, '\s+'), y -> len(y) > 0) AS w FROM t),
+        |sh AS (SELECT doc_id, nrm, CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END AS sh FROM x)
+        |SELECT doc_id, md5(nrm) AS fp_md5, sha256(nrm) AS fp_sha256,
+        |  CAST(len(sh) AS INTEGER) AS n_shingles,
+        |  list_min(list_transform(sh, y -> md5(y))) AS fp_min_shingle
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "e12_ann_brute" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+        |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+        |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 5
+        |ORDER BY q_id, "rank"""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST((octet_length(CAST(text AS BLOB)) % 64) * 16 + 32 AS INTEGER) AS width,
+        |  CAST((octet_length(CAST(text AS BLOB)) % 48) * 16 + 32 AS INTEGER) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ord_envelope_check" ->
       s"""SELECT file, dataset_id, total_reactions_scraped,
          |  CAST(len(reactions) AS INTEGER) AS n_rx,

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity-search + near-dup operators over `embeddings` and
+  * `documents` — the ANN / MinHash+LSH / SimHash / n-gram-Jaccard family.
+  *
+  * Scale stance (100 TB): the only join against the full vector table is
+  * an equi-join on a bucket key (IVF cell / LSH band hash) — never an
+  * all-pairs crossJoin. Query sets are tiny and broadcast. Cosine math
+  * is double-precision array lambdas evaluated in one pass; both engines
+  * (Spark and the DuckDB oracle) fold left-to-right over the same
+  * doubles, so results are rounded at 1e-6 and hash-stable.
+  */
+object SimOps {
+
+  /** Elementwise-double view of the float embedding + its squared norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
+    round(dot(qv, cv) / (sqrt(qn) * sqrt(cn)), 6)
+
+  /** E2: similarity top-k with the IVF-bucketed plan — candidates are
+    * restricted to the query's coarse cell (`label` plays the
+    * precomputed IVF centroid assignment), so the physical plan is a
+    * BroadcastHashJoin on the cell key: at 100 TB this scans each
+    * partition once and never builds an all-pairs product. Top-k runs on
+    * the rounded cosine with a deterministic tie-break. */
+  def e2CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val joined = e.join(broadcast(q), Seq("label"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E12: brute-force cosine top-k baseline — the exact-answer reference
+    * for E2. The tiny query set is broadcast and streamed against every
+    * vector (BroadcastNestedLoopJoin): one scan of the big side, O(Q·N)
+    * compute, no shuffle of the vector table — the correct "exact"
+    * plan shape when Q is small. */
+  def e12AnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+    documents(s, d)
+      .withColumn("w", w)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("w")) >= 3,
+          transform(sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+  }
+
+  /** E6: MinHash + LSH near-dup detection — shingle → 8 MinHash values
+    * (md5-keyed so the oracle reproduces them) → 4 bands of 2 → band
+    * hash → candidate pairs via an equi-join on (band, band_hash) →
+    * verified Jaccard.
+    *
+    * 100 TB path: the only self-join is on the band hash, whose
+    * collision rate is J² per band — candidate volume stays proportional
+    * to true near-dups, not N². */
+  def e6MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d).select("doc_id", "sh")
+    val hashIds = broadcast(s.range(8).toDF("hid"))
+    val sigs = sh.crossJoin(hashIds)
+      .groupBy(col("doc_id"), col("hid"))
+      .agg(min(md5(concat(col("hid").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val bands = sigs
+      .groupBy(col("doc_id"), expr("hid div 2").as("band"))
+      .agg(md5(concat_ws("",
+        transform(array_sort(collect_list(struct(col("hid"), col("mh")))),
+          x => x.getField("mh")))).as("bh"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(common, Seq("d1", "d2"), "left")
+      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("n_bands"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"), col("n1"), col("n2"),
+        round(coalesce(col("n_common"), lit(0L)) /
+          (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** E7: SimHash fingerprint — 16-bit simhash over token frequencies,
+    * bits keyed off md5 hex nibbles so both engines agree. Pure
+    * scan + broadcast(16 bit-ids) + two hash aggs; pairing near
+    * fingerprints is e6/e8's job. */
+  def e7Simhash(s: SparkSession, d: String): DataFrame = {
+    val tokens = documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val bits = broadcast(s.range(16).toDF("b"))
+    tokens.crossJoin(bits)
+      .withColumn("nibble",
+        expr("CAST(conv(substring(md5(word), CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
+      .withColumn("bit", expr("CAST(floor(nibble / power(2, b % 4)) AS INT) % 2"))
+      .withColumn("contrib", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("bitval * CAST(power(2, b) AS BIGINT)")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** E8: n-gram Jaccard near-dup pairs — exact set Jaccard over word
+    * bigrams, candidate pairs generated ONLY through the shared-bigram
+    * equi-join within a `source` bucket (inverted-index join, the
+    * scalable exact-similarity-join shape), thresholded to keep output
+    * proportional to true matches. */
+  def e8NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val w = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+    val bg = documents(s, d)
+      .withColumn("w", w)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .distinct()
+    val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
+    val common = bg.as("a")
+      .join(bg.as("b"),
+        col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("d1"), col("n_bg").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_bg").as("n2")), "d2")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_common"))
+      .withColumn("jaccard", round(col("n_common") / col("n_union"), 6))
+      .where(col("n_common") >= 5 && col("jaccard") >= 0.1)
+      .select("d1", "d2", "n_common", "n_union", "jaccard")
+      .orderBy("d1", "d2")
+  }
+}

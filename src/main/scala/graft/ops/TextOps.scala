@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + dedup operators over the `documents` table — the
+  * LLM-training-data-pipeline extensions mandated by BASELINE.json
+  * (exact dedup, language ID, quality scoring, token counting, document
+  * fingerprinting, multimodal column plumbing).
+  *
+  * Scale notes (100 TB design point): every op here is a single scan +
+  * one hash aggregation/broadcast join — no self-joins, no windows over
+  * the full table except where partitioned by a high-cardinality key.
+  * Hashes are md5/sha2 (Catalyst codegen'd native expressions) so the
+  * DuckDB oracle computes bit-identical values; a production deployment
+  * would swap xxhash64 for md5 where cryptographic stability isn't
+  * needed (same plan shape, ~3× cheaper per row).
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase form shared by dedup/fingerprint. */
+  private def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Non-empty lowercase tokens. */
+  private def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Word 3-gram shingles (empty below 3 tokens). */
+  private def shingles(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** E1: exact text dedup — sha2(normalize(text)) content hash, keeper =
+    * first-seen (min doc_id), with the duplicate count per hash. One
+    * scan + one hash agg; partial aggregation makes this shuffle only
+    * one row per distinct hash. */
+  def e1TextDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  /** E3: token counting — classic word-count with per-word doc
+    * frequency. Tokenizer = whitespace split (the BPE-ish regex variant
+    * is e10's token metrics). */
+  def e3TokenCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("word")
+
+  /** Stopword evidence dim for language ID — tiny literal, broadcast. */
+  def langDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("the", "en"), ("a", "en"), ("of", "en"), ("and", "en"), ("to", "en"),
+      ("el", "es"), ("la", "es"), ("de", "es"), ("los", "es"), ("y", "es"),
+      ("der", "de"), ("die", "de"), ("und", "de"), ("das", "de"), ("ein", "de"),
+      ("le", "fr"), ("les", "fr"), ("et", "fr"), ("un", "fr"), ("dans", "fr"),
+    ).toDF("word", "cand_lang")
+  }
+
+  /** E9: language ID — n-gram/stopword-evidence heuristic: count
+    * stopword hits per candidate language via a broadcast join, argmax
+    * with a deterministic tie-break, 'und' when no evidence. */
+  def e9LangId(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val hits = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(langDim(s)), "word")
+      .groupBy("doc_id", "cand_lang")
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("labeled_lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** E10: quality scoring — length / alpha-ratio / stopword-ratio
+    * heuristics, all ratios rounded to 6 decimals for hash stability. */
+  def e10QualityScore(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to")
+    documents(s, d)
+      .withColumn("w", words(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_obs"),
+        size(col("w")).as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"),
+        size(filter(col("w"), x => x.isin(stops: _*))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars_obs"), col("n_tokens"), col("n_alpha"), col("n_stop"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_alpha") / col("n_chars_obs"), 6).as("alpha_ratio"),
+        round(col("n_alpha") / col("n_tokens"), 6).as("avg_token_len"))
+      // 7 decimals: the true value (half the sum of two 6-decimal
+      // rationals) is exactly on the 1e-7 grid, so rounding can never hit
+      // a tie-break boundary in either engine.
+      .withColumn("quality",
+        round(col("stop_ratio") * 0.5 + col("alpha_ratio") * 0.5, 7))
+      .orderBy("doc_id")
+  }
+
+  /** E11: document fingerprinting — full-content md5/sha256 plus a
+    * rolling-shingle min-hash fingerprint (the winnowing primitive):
+    * min over md5(3-gram shingle). */
+  def e11Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nrm", norm(col("text")))
+      .withColumn("sh", shingles(words(col("nrm"))))
+      .select(
+        col("doc_id"),
+        md5(col("nrm")).as("fp_md5"),
+        sha2(col("nrm"), 256).as("fp_sha256"),
+        size(col("sh")).as("n_shingles"),
+        array_min(transform(col("sh"), x => md5(x))).as("fp_min_shingle"))
+      .orderBy("doc_id")
+
+  /** M1: multimodal column plumbing — text bytes stand in for an opaque
+    * media payload (`binary` column + typed metadata), run through a
+    * partition-batched decode STUB.
+    *
+    * The decode step is a clearly-marked deterministic FAKE (media codecs
+    * aren't in this container); the Spark-side plumbing is real: binary
+    * payload column, `mapPartitions` batch iteration (the Scala analogue
+    * of `mapInPandas` batch shape), typed output schema, and a metadata
+    * projection that stays codegen'd. */
+  def m1MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    // STUB decode: width/height/frames derived deterministically from the
+    // byte length — replace with a real codec in production.
+    val decoded = payloads.mapPartitions(_.map { case (id, bytes) =>
+      val n = bytes.length
+      (id, n, (n % 64) * 16 + 32, (n % 48) * 16 + 32, n % 7 + 1)
+    }).toDF("doc_id", "byte_len", "width", "height", "n_frames")
+    documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+      .join(decoded, "doc_id")
+      .select(col("doc_id"), col("byte_len"), col("content_md5"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+}
