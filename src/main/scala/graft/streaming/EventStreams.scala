@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md
+  * §2.10 C1-C5, E4-E5) — the engine-level analogue of the reference's
+  * incremental page-at-a-time ingestion with progress state
+  * (`/root/reference/web_scrpaer_2.py:246-281`), retry tolerance
+  * (`web_scraper.py:236-244`) and rate throttling (`web_scraper.py:288`).
+  *
+  * Mapping:
+  *  - C1 fan-out/unordered completion → task-parallel file source
+  *  - C3 rate limit → `maxFilesPerTrigger` source throttling
+  *  - C4 incremental + seen-set → checkpointed offsets + watermark state
+  *  - C5 partial-failure tolerance → the dead-letter column pattern
+  *    (`deadLetter` below): malformed input becomes an error row, the
+  *    executor never throws.
+  *
+  * The streaming aggregations are asserted equal to their batch
+  * counterparts (EventOps.e4TimeWindow / e5SessionWindow) in
+  * StreamingParitySpec — the industrialized version of the reference's
+  * own sequential-vs-parallel duality (web_scraper.py:311-354).
+  */
+object EventStreams {
+
+  /** Raw schema of the events parquet (ts stored as nanos-since-epoch;
+    * see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events landing directory, throttled to
+    * one file per micro-batch (C3). The testdata ships events as a single
+    * parquet file, so it is staged (hard-linked/copied once) into a
+    * landing directory — the layout a production file stream reads. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-events", Paths.get(dir).getFileName.toString)
+    synchronized {
+      if (!Files.exists(landing.resolve("events.parquet"))) {
+        Files.createDirectories(landing)
+        Files.copy(Paths.get(dir, "events.parquet"),
+          landing.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** E4 streaming: watermarked tumbling-window aggregation. Late data
+    * beyond 10 minutes is dropped from state — bounded memory at any
+    * scale. Same output columns as the batch form. */
+  def e4TimeWindowStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  /** E5 streaming: watermarked session windows (30-minute gap), state
+    * partitioned by user_id. */
+  def e5SessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n"))
+
+  /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
+    * row lands in an error column instead of failing the task
+    * (reference: failed reaction → success:false row retained,
+    * web_scraper.py:246-253). */
+  def deadLetter(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    // PERMISSIVE from_json yields a null-fielded struct for malformed
+    // input, so validity is probed with get_json_object (null ⇔ not JSON).
+    df.withColumn("parsed", from_json(col("props"), schema))
+      .withColumn("is_dead",
+        col("props").isNotNull && get_json_object(col("props"), "$").isNull)
+      .withColumn("dead_reason",
+        when(col("is_dead"), concat(lit("unparseable: "), substring(col("props"), 1, 100))))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized invariants (fixed seed → reproducible): explode∘nest = id,
+  * dedup idempotence, rollup consistency, slice bounds — SURVEY.md §5's
+  * property layer, hand-rolled over seeded generators. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("explode ∘ nest = id on random grouped data") {
+    for (_ <- 1 to 5) {
+      val rows = Seq.fill(200)((rnd.nextInt(20), rnd.nextInt(1000)))
+      val df = rows.toDF("k", "v")
+      val renested = df.groupBy($"k")
+        .agg(array_sort(collect_list($"v")).as("vs"))
+        .select($"k", explode($"vs").as("v"))
+      assert(renested.exceptAll(df).count() == 0)
+      assert(df.exceptAll(renested).count() == 0)
+    }
+  }
+
+  test("first-seen dedup is idempotent and keeps minimal positions") {
+    import org.apache.spark.sql.expressions.Window
+    for (_ <- 1 to 5) {
+      val rows = Seq.tabulate(300)(i => (i, s"id${rnd.nextInt(40)}"))
+      val df = rows.toDF("pos", "id")
+      val w = Window.partitionBy($"id").orderBy($"pos")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.exceptAll(twice).count() == 0)
+      // each kept pos is the minimum for its id
+      val expected = rows.groupBy(_._2).map { case (id, g) => (g.map(_._1).min, id) }.toSeq
+      assert(once.exceptAll(expected.toDF("pos", "id")).count() == 0)
+    }
+  }
+
+  test("1-based end-inclusive slice matches list semantics for random bounds") {
+    val n = 50
+    val df = (1 to n).toDF("id").orderBy("id")
+    for (_ <- 1 to 10) {
+      val start = rnd.nextInt(n) + 1
+      val end = (start + rnd.nextInt(n - start + 1)).min(n)
+      // reference: all_ids[start-1 : end] (web_scrpaer_2.py:425-429)
+      val expected = (1 to n).slice(start - 1, end)
+      val got = df.offset(start - 1).limit(end - start + 1)
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == expected, s"slice [$start,$end]")
+    }
+  }
+
+  test("rollup: grand total equals sum over leaves for random data") {
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(500)((s"g${rnd.nextInt(5)}", s"h${rnd.nextInt(3)}", rnd.nextInt(100)))
+      val out = rows.toDF("a", "b", "v")
+        .rollup($"a", $"b").agg(sum($"v").as("s")).collect()
+      val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).head
+      val leaves = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1)).map(_.getLong(2)).sum
+      val mids = out.filter(r => !r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+      assert(grand == leaves && grand == mids && grand == rows.map(_._3.toLong).sum)
+    }
+  }
+
+  test("tagged-union normalization: exactly one branch fires for any code") {
+    val rows = Seq.tabulate(100)(i => (i, rnd.nextInt(5)))
+    val df = rows.toDF("id", "code")
+      .select($"id",
+        when($"code" === 0, "moles").when($"code" === 1, "volume")
+          .when($"code" >= 2, "mass").otherwise("none").as("kind"))
+    assert(df.where($"kind" === "none").count() == 0)
+    assert(df.count() == 100)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EventOps
+import graft.streaming.EventStreams
+
+/** Streaming-vs-batch parity — the reference's own correctness device
+  * (sequential EP3 vs parallel EP2, web_scraper.py:311-354) applied to
+  * the Structured Streaming forms: the watermarked streaming aggregation
+  * must produce exactly the batch answer once the source is drained. */
+class StreamingParitySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name-${System.nanoTime()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("E4 streaming tumbling window equals the batch result") {
+    runToMemory(EventStreams.e4TimeWindowStream(spark, sf), "e4s")
+    val streamed = spark.table("e4s").orderBy("win_start", "event_type")
+    val batch = EventOps.e4TimeWindow(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
+  test("E5 streaming session window equals the batch result") {
+    runToMemory(EventStreams.e5SessionWindowStream(spark, sf), "e5s")
+    val streamed = spark.table("e5s").orderBy("user_id", "sess_start")
+    val batch = EventOps.e5SessionWindow(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
+  test("C5 dead-letter decode never throws: malformed props become error rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5}"""), (2L, "not json at all"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+    val out = EventStreams.deadLetter(df).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Boolean]("is_dead")).toMap
+    assert(byId == Map(1L -> false, 2L -> true, 3L -> false))
+    val reason = out.find(_.getLong(0) == 2L).get.getAs[String]("dead_reason")
+    assert(reason != null && reason.startsWith("unparseable: "))
+  }
+}
