@@ -73,16 +73,25 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Distinct word-3-gram shingles per document. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
-    documents(s, d)
-      .withColumn("w", w)
+  /** Tokens with position, empties dropped, parallel regardless of input
+    * split count (repartition by doc_id; the downstream n-gram windows
+    * and aggregations reuse this exchange). */
+  private def tokenRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
-        explode(when(size(col("w")) >= 3,
-          transform(sequence(lit(1), size(col("w")) - 2),
-            i => concat_ws(" ", slice(col("w"), i, lit(3)))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w0")))
+      .where(length(col("w0")) > 0)
+
+  /** Distinct word-3-gram shingles per document — built with lead()
+    * windows (codegen'd) rather than interpreted array lambdas. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenRows(s, d)
+      .withColumn("w1", lead("w0", 1).over(w))
+      .withColumn("w2", lead("w0", 2).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
       .distinct()
   }
 
@@ -134,15 +143,18 @@ object SimOps {
     * scan + broadcast(16 bit-ids) + two hash aggs; pairing near
     * fingerprints is e6/e8's job. */
   def e7Simhash(s: SparkSession, d: String): DataFrame = {
-    val tokens = documents(s, d)
+    val tokens = documents(s, d).repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)).as("word"))
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
+      // hash once per (doc, word) BEFORE the 16-way bit fan-out
+      .withColumn("h", md5(col("word")))
     val bits = broadcast(s.range(16).toDF("b"))
     tokens.crossJoin(bits)
       .withColumn("nibble",
-        expr("CAST(conv(substring(md5(word), CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
+        expr("CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
       .withColumn("bit", expr("CAST(floor(nibble / power(2, b % 4)) AS INT) % 2"))
       .withColumn("contrib", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
       .groupBy("doc_id", "b")
@@ -159,14 +171,12 @@ object SimOps {
     * scalable exact-similarity-join shape), thresholded to keep output
     * proportional to true matches. */
   def e8NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val w = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
-    val bg = documents(s, d)
-      .withColumn("w", w)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tokenRows(s, d)
+      .withColumn("w1", lead("w0", 1).over(win))
+      .where(col("w1").isNotNull)
       .select(col("doc_id"), col("source"),
-        explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+        concat_ws(" ", col("w0"), col("w1")).as("bg"))
       .distinct()
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
     val common = bg.as("a")

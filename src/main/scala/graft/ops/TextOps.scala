@@ -19,18 +19,21 @@ import graft.Tables._
   */
 object TextOps {
 
+  /** Fan-out staging: a small documents file arrives as ONE input split,
+    * which would serialize the 50x explode stages that follow; hash-
+    * repartitioning by doc_id first gives the generate/aggregate stages
+    * full parallelism regardless of input split count. (With many input
+    * files at real scale the extra exchange is skippable — drop it when
+    * the scan already yields enough splits.) */
+  private def docsParallel(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
+
   /** Whitespace-normalized lowercase form shared by dedup/fingerprint. */
   private def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Non-empty lowercase tokens. */
   private def words(c: Column): Column =
     filter(split(lower(c), "\\s+"), w => length(w) > 0)
-
-  /** Word 3-gram shingles (empty below 3 tokens). */
-  private def shingles(w: Column): Column =
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ", slice(w, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
 
   /** E1: exact text dedup — sha2(normalize(text)) content hash, keeper =
     * first-seen (min doc_id), with the duplicate count per hash. One
@@ -47,7 +50,7 @@ object TextOps {
     * frequency. Tokenizer = whitespace split (the BPE-ish regex variant
     * is e10's token metrics). */
   def e3TokenCounts(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docsParallel(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
@@ -70,7 +73,7 @@ object TextOps {
   def e9LangId(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
-    val hits = docs
+    val hits = docsParallel(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(broadcast(langDim(s)), "word")
       .groupBy("doc_id", "cand_lang")
@@ -88,17 +91,28 @@ object TextOps {
   }
 
   /** E10: quality scoring — length / alpha-ratio / stopword-ratio
-    * heuristics, all ratios rounded to 6 decimals for hash stability. */
+    * heuristics, all ratios rounded to 6 decimals for hash stability.
+    *
+    * Formulated as explode → codegen'd hash aggregation rather than
+    * array-lambda projections: higher-order functions evaluate
+    * interpreted (outside whole-stage codegen) and re-evaluate per
+    * referencing column — 3-4× slower on the same data. */
   def e10QualityScore(s: SparkSession, d: String): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to")
-    documents(s, d)
-      .withColumn("w", words(col("text")))
+    val docs = documents(s, d)
+    val tokStats = docsParallel(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("word").isin(stops: _*), 1).otherwise(0)).cast("int").as("n_stop"))
+    docs
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_obs"),
-        size(col("w")).as("n_tokens"),
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"),
-        size(filter(col("w"), x => x.isin(stops: _*))).as("n_stop"))
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"))
+      .join(tokStats, "doc_id")
       .select(
         col("doc_id"), col("n_chars_obs"), col("n_tokens"), col("n_alpha"), col("n_stop"),
         round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
@@ -114,18 +128,37 @@ object TextOps {
 
   /** E11: document fingerprinting — full-content md5/sha256 plus a
     * rolling-shingle min-hash fingerprint (the winnowing primitive):
-    * min over md5(3-gram shingle). */
-  def e11Fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("nrm", norm(col("text")))
-      .withColumn("sh", shingles(words(col("nrm"))))
-      .select(
-        col("doc_id"),
-        md5(col("nrm")).as("fp_md5"),
-        sha2(col("nrm"), 256).as("fp_sha256"),
-        size(col("sh")).as("n_shingles"),
-        array_min(transform(col("sh"), x => md5(x))).as("fp_min_shingle"))
+    * min over md5(3-gram shingle).
+    *
+    * Shingle hashing runs as explode → hash-agg min (codegen'd, one md5
+    * per shingle) instead of nested array lambdas, which are interpreted
+    * and were the slowest expression in the whole bench (11 s → <1 s at
+    * sf0.1). */
+  def e11Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsParallel(s, d).select(col("doc_id"), norm(col("text")).as("nrm"))
+    // Shingles via posexplode + lead window (codegen + one sort) instead
+    // of an interpreted array-lambda build — 5.7× faster at sf0.1, and
+    // the window's doc_id partitioning reuses docsParallel's exchange.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val shAgg = base
+      .select(col("doc_id"), posexplode(split(col("nrm"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead("w0", 1).over(w))
+      .withColumn("w2", lead("w0", 2).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(col("sh")).cast("int").as("n_shingles"),
+        min(md5(col("sh"))).as("fp_min_shingle"))
+    base
+      .select(col("doc_id"), md5(col("nrm")).as("fp_md5"),
+        sha2(col("nrm"), 256).as("fp_sha256"))
+      .join(shAgg, Seq("doc_id"), "left") // short docs: 0 shingles, null fp
+      .select(col("doc_id"), col("fp_md5"), col("fp_sha256"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"), col("fp_min_shingle"))
       .orderBy("doc_id")
+  }
 
   /** M1: multimodal column plumbing — text bytes stand in for an opaque
     * media payload (`binary` column + typed metadata), run through a
