@@ -17,17 +17,17 @@ import graft.Tables._
   */
 object SimOps {
 
-  /** Elementwise-double view of the float embedding + its squared norm. */
-  private def withNorm(df: DataFrame): DataFrame =
+  /** Elementwise-double view of the float embedding. */
+  private def vectors(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
-    round(dot(qv, cv) / (sqrt(qn) * sqrt(cn)), 6)
+  /** Rounded cosine via the native fused-loop codegen expression
+    * (graft.functions.CosineSimilarity) — allocation-free, inside
+    * whole-stage codegen, bit-identical to the oracle's
+    * dot/(|a||b|) formulation. */
+  private def cosine(a: Column, b: Column): Column =
+    round(graft.functions.GraftFunctions.cosine(a, b), 6)
 
   /** E2: similarity top-k with the IVF-bucketed plan — candidates are
     * restricted to the query's coarse cell (`label` plays the
@@ -36,14 +36,13 @@ object SimOps {
     * partition once and never builds an all-pairs product. Top-k runs on
     * the rounded cosine with a deterministic tie-break. */
   def e2CosineTopk(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
+    val e = vectors(embeddings(s, d))
     val q = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("label"),
-        col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
     val joined = e.join(broadcast(q), Seq("label"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+        cosine(col("qv"), col("v")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -58,13 +57,13 @@ object SimOps {
     * compute, no shuffle of the vector table — the correct "exact"
     * plan shape when Q is small. */
   def e12AnnBrute(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
+    val e = vectors(embeddings(s, d))
     val q = e.where(col("vec_id") < 3)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val joined = e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+        cosine(col("qv"), col("v")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     joined.withColumn("rank", row_number().over(w))
