@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Join strategies for the 100 TB design point that the operator
+  * inventory itself doesn't force at test scale:
+  *
+  *  - **Bucketed co-located join** (`bucketedJoinDemo`): both fact tables
+  *    written bucketed+sorted by the join key; the sort-merge join then
+  *    runs with ZERO Exchange (asserted in ScaleJoinSpec). At 100 TB this
+  *    is the difference between re-shuffling both inputs per query and
+  *    reading co-located buckets.
+  *  - **Salted skew join** (`saltedJoin`): when one key carries a
+  *    disproportionate share of rows, the build side is replicated
+  *    `saltBuckets` ways and the probe side's key is salted, splitting
+  *    the hot partition into `saltBuckets` tasks. AQE's skew-join
+  *    handling covers sort-merge cases automatically; explicit salting
+  *    remains the portable fallback (e.g. for aggregations or
+  *    pre-AQE-partitioned writes).
+  */
+object ScaleJoins {
+
+  /** Salted equi-join of `big` (skewed on `key`) against `dim`:
+    * semantically identical to `big.join(dim, key)` — ScaleJoinSpec
+    * asserts equality — but the hot key's rows spread over
+    * `saltBuckets` partitions. */
+  def saltedJoin(
+      big: DataFrame, dim: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
+    salted.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** One-time setup: write orders + lineitem bucketed by the join key
+    * into a warehouse under `target/bucketed` (local stand-in for the
+    * curated bucketed layout a 100 TB deployment maintains). */
+  def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8): Unit =
+    if (!s.catalog.tableExists("orders_bkt") || !s.catalog.tableExists("lineitem_bkt")) {
+      // the in-memory catalog forgets tables across sessions while their
+      // files persist — clear stale locations before re-creating
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      for (t <- Seq("orders_bkt", "lineitem_bkt")) {
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
+      }
+      orders(s, d).write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+      lineitem(s, d).write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    }
+
+  /** The co-located join: orders_bkt ⋈ lineitem_bkt on the bucket key —
+    * planned as a SortMergeJoin with no Exchange on either side. The
+    * merge hint pins the strategy (at test scale AQE would broadcast the
+    * tiny side instead; at 100 TB neither side broadcasts and SMJ over
+    * co-located buckets IS the plan). The bucketed distribution also
+    * feeds the downstream per-key aggregation shuffle-free. */
+  def bucketedJoinDemo(s: SparkSession, d: String): DataFrame = {
+    ensureBucketed(s, d)
+    s.table("orders_bkt").hint("merge")
+      .join(s.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity"))).cast("long").as("qty"))
+      .orderBy("o_orderkey")
+  }
+}
