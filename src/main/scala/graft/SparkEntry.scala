@@ -69,6 +69,10 @@ object SparkEntry {
     // §2.10 event-time
     "e4_time_window"    -> (EventOps.e4TimeWindow _),
     "e5_session_window" -> (EventOps.e5SessionWindow _),
+    // §2.10 engine mechanisms: streaming parity, dead-letter, partitioned scan
+    "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
+    "c5_dead_letter"       -> (graft.streaming.EventStreams.c5DeadLetterStats _),
+    "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
     // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
     "e1_text_dedup"     -> (TextOps.e1TextDedup _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
@@ -289,6 +293,20 @@ object SparkEntry {
         |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS n
         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "e4b_stream_parity" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "c5_dead_letter" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s2b_partition_pruned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
     "e1_text_dedup" ->
       """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies

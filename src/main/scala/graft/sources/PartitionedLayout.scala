@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Hive-style partitioned parquet layout + partition-pruned scans — the
+  * storage-level analogue of the reference's per-dataset scrape scoping
+  * (`web_scrpaer_2.py:475-476`: only the requested datasets are visited).
+  *
+  * At 100 TB the fact tables are laid out partitioned by their scan key
+  * (here: orders by o_orderstatus); a predicate on the partition column
+  * then prunes whole directories BEFORE any I/O — visible in the plan as
+  * `PartitionFilters` + a reduced `PartitionCount`, which
+  * PartitionPruningSpec asserts. This is directory-level pruning, a
+  * separate mechanism from the row-group `PushedFilters` that
+  * PlanShapeSpec checks on flat scans.
+  */
+object PartitionedLayout {
+
+  def layoutDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      "/orders_by_status"
+
+  /** One-time: write orders partitioned by status. */
+  def ensure(s: SparkSession, d: String): Unit = synchronized {
+    if (!new java.io.File(s"$layoutDir/_SUCCESS").exists()) {
+      orders(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus")
+        .parquet(layoutDir)
+    }
+  }
+
+  /** Partition-pruned scan: only the o_orderstatus=F directory is read. */
+  def prunedScan(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    s.read.parquet(layoutDir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -82,10 +82,40 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n"))
 
+  /** Declared-query form of the E4 streaming aggregation: drains the
+    * throttled file stream to a memory sink and returns the final table —
+    * so the driver's DuckDB oracle checks STREAMING output, not just the
+    * batch twin. (The reference analogue: incremental page-at-a-time
+    * ingestion arriving at the same totals as a full scrape,
+    * web_scrpaer_2.py:246-281.) */
+  def e4StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    val name = s"e4_stream_${System.nanoTime()}"
+    val q = e4TimeWindowStream(s, dir).writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("win_start", "event_type")
+  }
+
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
     * row lands in an error column instead of failing the task
     * (reference: failed reaction → success:false row retained,
     * web_scraper.py:246-253). */
+  /** Declared-query form of C5: per-event-type totals with dead-letter
+    * and payload statistics — runs the dead-letter decode over the whole
+    * events table and proves (n_dead = 0 here) that no row was lost to a
+    * parse failure. */
+  def c5DeadLetterStats(s: SparkSession, dir: String): DataFrame =
+    deadLetter(graft.Tables.events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_dead"), 1).otherwise(0)).cast("long").as("n_dead"),
+        sum(col("parsed.k")).as("sum_k"))
+      .orderBy("event_type")
+
   def deadLetter(df: DataFrame): DataFrame = {
     val schema = StructType(Seq(StructField("k", IntegerType)))
     // PERMISSIVE from_json yields a null-fielded struct for malformed
