@@ -18,23 +18,25 @@ import graft.Tables._
   */
 object PartitionedLayout {
 
-  def layoutDir: String =
+  /** Layout path is per scale factor — the same session may verify at
+    * one SF and test at another. */
+  def layoutDir(d: String): String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
-      "/orders_by_status"
+      s"/orders_by_status/${java.nio.file.Paths.get(d).getFileName}"
 
   /** One-time: write orders partitioned by status. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {
-    if (!new java.io.File(s"$layoutDir/_SUCCESS").exists()) {
+    if (!new java.io.File(s"${layoutDir(d)}/_SUCCESS").exists()) {
       orders(s, d).write.mode(SaveMode.Overwrite)
         .partitionBy("o_orderstatus")
-        .parquet(layoutDir)
+        .parquet(layoutDir(d))
     }
   }
 
   /** Partition-pruned scan: only the o_orderstatus=F directory is read. */
   def prunedScan(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
-    s.read.parquet(layoutDir)
+    s.read.parquet(layoutDir(d))
       .where(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       .orderBy("o_orderkey")
