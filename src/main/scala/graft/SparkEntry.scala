@@ -76,7 +76,10 @@ object SparkEntry {
     // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
     "e1_text_dedup"     -> (TextOps.e1TextDedup _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
+    "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e3_token_counts"   -> (TextOps.e3TokenCounts _),
+    "e3b_token_regex"   -> (TextOps.e3bTokenRegex _),
+    "e13_embed_neardup" -> (SimOps.e13EmbedNeardup _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e7_simhash"        -> (SimOps.e7Simhash _),
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
@@ -322,6 +325,40 @@ object SparkEntry {
         |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
         |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
         |ORDER BY q_id, "rank"""".stripMargin,
+    "e2b_cosine_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  (CASE WHEN v[1]+v[2]-v[3]-v[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[5]+v[6]-v[7]-v[8] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[9]+v[10]-v[11]-v[12] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[13]+v[14]-v[15]-v[16] >= 0 THEN '1' ELSE '0' END) AS bkt
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, bkt, v AS qv FROM b WHERE vec_id < 8),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qv, c.v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 6)
+        |      AS cos_sim
+        |  FROM q JOIN b c ON q.bkt = c.bkt AND c.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+        |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
+        |ORDER BY q_id, "rank"""".stripMargin,
+    "e13_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        |    AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+        |ORDER BY a.label, id1, id2""".stripMargin,
+    "e3b_token_regex" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS tok
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e3_token_counts" ->
       """WITH w AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word

@@ -72,6 +72,57 @@ object SimOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Sign-bit bucket from 4 deterministic sparse hyperplanes — the
+    * random-hyperplane LSH for cosine distance, with axis-sparse planes
+    * so both engines compute identical doubles. 16 buckets. */
+  private def lshBucket(v: Column): Column = {
+    def bit(b: Int): Column = {
+      val s = element_at(v, 4 * b + 1) + element_at(v, 4 * b + 2) -
+        element_at(v, 4 * b + 3) - element_at(v, 4 * b + 4)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bit(0), bit(1), bit(2), bit(3))
+  }
+
+  /** E2b: cosine top-k with random-hyperplane LSH bucketing — the
+    * alternative scale path to E2's IVF cells when no precomputed
+    * centroid assignment exists. Same plan shape: tiny query set
+    * broadcast, equi-join on the bucket key, one scan of the vector
+    * table, window top-k. Recall is approximate by design (only
+    * same-bucket candidates are scored); E12 is the exact baseline. */
+  def e2bCosineLsh(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d)).withColumn("bkt", lshBucket(col("v")))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("bkt"), col("v").as("qv"))
+    val joined = e.join(broadcast(q), Seq("bkt"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E13: embedding-cosine near-duplicate pairs — the dedup-flavored
+    * variant of similarity search: all same-cell pairs above a cosine
+    * threshold. Candidates come only from the IVF cell equi-join
+    * (per-cell work is |cell|²/2, bounded by cell size — at 100 TB cells
+    * number in the thousands, keeping every task small). */
+  def e13EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d))
+    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("label"))
+      .where(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .orderBy("label", "id1", "id2")
+  }
+
   /** Tokens with position, empties dropped, parallel regardless of input
     * split count (repartition by doc_id; the downstream n-gram windows
     * and aggregations reuse this exchange). */

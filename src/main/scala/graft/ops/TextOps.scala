@@ -56,6 +56,19 @@ object TextOps {
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("word")
 
+  /** E3b: BPE-ish regex tokenization — letter runs, digit runs, and
+    * single punctuation marks as separate tokens (the pre-tokenizer
+    * shape BPE vocabularies train over), with per-document and corpus
+    * token counts. */
+  def e3bTokenRegex(s: SparkSession, d: String): DataFrame =
+    docsParallel(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("doc_id")
+
   /** Stopword evidence dim for language ID — tiny literal, broadcast. */
   def langDim(s: SparkSession): DataFrame = {
     import s.implicits._
