@@ -574,7 +574,10 @@ object SparkEntry {
       s"""SELECT file, dataset_id, reaction_id,
          |  json_extract_string(raw, '$$.reaction_id') AS parsed_id,
          |  CAST(json_extract_string(raw, '$$.success') AS BOOLEAN) AS parsed_success,
-         |  json_extract_string(raw, '$$.reaction_id') = reaction_id AS id_match
+         |  json_extract_string(raw, '$$.reaction_id') = reaction_id AS id_match,
+         |  json_extract_string(raw, '$$.inputsMap[0][0]') AS first_tab,
+         |  CAST(json_array_length(raw, '$$.inputsMap') AS INTEGER) AS n_tabs,
+         |  CAST(json_array_length(raw, '$$.outcomes') AS INTEGER) AS n_outcomes
          |FROM read_parquet('$ordRaw')
          |ORDER BY file, dataset_id, reaction_id""".stripMargin,
     "ord_a4_renest" ->

@@ -154,7 +154,12 @@ object OrdPipeline {
       col("file"), col("dataset_id"), col("reaction_id"),
       get_json_object(col("raw"), "$.reaction_id").as("parsed_id"),
       get_json_object(col("raw"), "$.success").cast("boolean").as("parsed_success"),
-      (get_json_object(col("raw"), "$.reaction_id") === col("reaction_id")).as("id_match"))
+      (get_json_object(col("raw"), "$.reaction_id") === col("reaction_id")).as("id_match"),
+      // deep path into the heterogeneous assoc list: [0][0] is the first
+      // tab's name (web_scraper.py:471-477)
+      get_json_object(col("raw"), "$.inputsMap[0][0]").as("first_tab"),
+      json_array_length(get_json_object(col("raw"), "$.inputsMap")).as("n_tabs"),
+      json_array_length(get_json_object(col("raw"), "$.outcomes")).as("n_outcomes"))
       .orderBy("file", "dataset_id", "reaction_id")
 
   /** A4 over ORD: re-nest reactions under their dataset envelope with an

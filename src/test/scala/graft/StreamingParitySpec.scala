@@ -42,6 +42,24 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("C4 incremental dedup: streaming dropDuplicates equals batch distinct") {
+    // the reference's seen-set (web_scrpaer_2.py:262-263) as checkpointed
+    // streaming state: watermarked dropDuplicates over the event stream
+    val dedup = EventStreams.eventsStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .select(col("user_id"))
+    val q = dedup.writeStream
+      .format("memory").queryName("c4dd").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-c4dd-${System.nanoTime()}")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("c4dd").count()
+    val batch = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("C5 dead-letter decode never throws: malformed props become error rows") {
     import spark.implicits._
     val df = Seq(
