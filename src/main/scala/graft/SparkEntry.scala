@@ -71,6 +71,7 @@ object SparkEntry {
     "e5_session_window" -> (EventOps.e5SessionWindow _),
     // §2.10 engine mechanisms: streaming parity, dead-letter, partitioned scan
     "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
+    "e5b_stream_parity"    -> (graft.streaming.EventStreams.e5StreamToTable _),
     "c5_dead_letter"       -> (graft.streaming.EventStreams.c5DeadLetterStats _),
     "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
     // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
@@ -99,6 +100,7 @@ object SparkEntry {
     "ord_f5_measurements"  -> (OrdPipeline.ordF5Measurements _),
     "ord_s4_decode"        -> (OrdPipeline.ordS4Decode _),
     "ord_a4_renest"        -> (OrdPipeline.ordA4Renest _),
+    "ord_s6_sink"          -> (OrdPipeline.ordS6Sink _),
   )
 
   private val ordNested = s"${OrdFixtures.nestedPath}/*.parquet"
@@ -301,6 +303,19 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e5b_stream_parity" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id FROM e)
+        |SELECT user_id,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
+        |  count(*) AS n
+        |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
     "c5_dead_letter" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)

@@ -97,7 +97,7 @@ object OrdFixtures {
     val mapper = new ObjectMapper()
     val out = files.flatMap { f =>
       val root = mapper.readTree(new File(s"$refDir/$f"))
-      root.fields.asScala.toSeq.map { e => parseDataset(f, e.getKey, e.getValue) }
+      root.properties.asScala.toSeq.map { e => parseDataset(f, e.getKey, e.getValue) }
     }
     val datasets = out.map(_._1)
     val raws = out.flatMap(_._2)

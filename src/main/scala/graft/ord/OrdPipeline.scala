@@ -173,6 +173,20 @@ object OrdPipeline {
         concat_ws(",", array_sort(collect_list(col("rx.reaction_id")))).as("rx_ids"))
       .orderBy("file", "dataset_id")
 
+  /** S6 over ORD: the reference's primary sink — each dataset envelope
+    * rendered as one nested JSON document (`json.dump`,
+    * web_scrpaer_2.py:545-548). `to_json` drops null fields, matching
+    * the reference's omit-rather-than-null convention (SURVEY §1.5).
+    * Declared without an oracle (file-format op): the driver records a
+    * rows>0 check; parse-back fidelity is covered in OrdGoldenSpec. */
+  def ordS6Sink(s: SparkSession, d: String): DataFrame =
+    nested(s).select(
+      col("file"), col("dataset_id"),
+      to_json(struct(
+        col("dataset_id"), col("total_reactions_scraped"), col("reactions")))
+        .as("doc"))
+      .orderBy("file", "dataset_id")
+
   /** Flagship (SparkEntry.entry, SURVEY §7.3 M1): golden JSON → explodes
     * → amount union → per-dataset agg → envelope check. Exercises scan,
     * explode ×3, case analysis, aggregation in one plan. */

@@ -99,6 +99,19 @@ object EventStreams {
     s.table(name).orderBy("win_start", "event_type")
   }
 
+  /** Declared-query form of the E5 streaming sessionization (see
+    * e4StreamToTable). */
+  def e5StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    val name = s"e5_stream_${System.nanoTime()}"
+    val q = e5SessionWindowStream(s, dir).writeStream
+      .format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("user_id", "sess_start")
+  }
+
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
     * row lands in an error column instead of failing the task
     * (reference: failed reaction → success:false row retained,

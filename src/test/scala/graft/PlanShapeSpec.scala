@@ -33,6 +33,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("E2b LSH and E13 near-dup also avoid all-pairs products") {
+    assert(!plan(SimOps.e2bCosineLsh(spark, sf)).contains("CartesianProduct"))
+    assert(!plan(SimOps.e13EmbedNeardup(spark, sf)).contains("CartesianProduct"))
+  }
+
+  test("approx_count_distinct sketch lands within 5% of exact (scale fallback for COUNT DISTINCT)") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf)
+    val exact = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val approx = o.select(approx_count_distinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("S2 partition scan pushes its key predicate into the parquet reader") {
     val p = plan(Relational.s2PartitionScan(spark, sf))
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_orderkey,1)"),
