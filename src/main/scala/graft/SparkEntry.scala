@@ -41,6 +41,7 @@ object SparkEntry {
     "p7_coalesce_defaults" -> (Relational.p7CoalesceDefaults _),
     // §2.3 joins
     "j1_broadcast_decode" -> (Relational.j1BroadcastDecode _),
+    "j1b_map_decode"      -> (Relational.j1bMapDecode _),
     "j2_smj_reassemble"   -> (Relational.j2SmjReassemble _),
     "j3_self_join"        -> (Relational.j3SelfJoin _),
     "j3b_semi"            -> (Relational.j3bSemi _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "ord_s4_decode"        -> (OrdPipeline.ordS4Decode _),
     "ord_a4_renest"        -> (OrdPipeline.ordA4Renest _),
     "ord_s6_sink"          -> (OrdPipeline.ordS6Sink _),
+    "ord_v1_downgrade"     -> (OrdPipeline.ordV1Downgrade _),
   )
 
   private val ordNested = s"${OrdFixtures.nestedPath}/*.parquet"
@@ -180,6 +182,12 @@ object SparkEntry {
         |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), '0-DEFAULT') AS priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "j1_broadcast_decode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_linenumber WHEN 1 THEN 'REACTANT' WHEN 2 THEN 'REAGENT'
+        |    WHEN 3 THEN 'SOLVENT' WHEN 4 THEN 'CATALYST'
+        |    WHEN 5 THEN 'INTERNAL_STANDARD' ELSE 'UNKNOWN' END AS role
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j1b_map_decode" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE l_linenumber WHEN 1 THEN 'REACTANT' WHEN 2 THEN 'REAGENT'
         |    WHEN 3 THEN 'SOLVENT' WHEN 4 THEN 'CATALYST'
@@ -595,6 +603,19 @@ object SparkEntry {
          |  CAST(json_array_length(raw, '$$.outcomes') AS INTEGER) AS n_outcomes
          |FROM read_parquet('$ordRaw')
          |ORDER BY file, dataset_id, reaction_id""".stripMargin,
+    "ord_v1_downgrade" ->
+      s"""$ordCte
+         |SELECT dataset_id, reaction_id, tab_pos,
+         |  comp.comp_pos AS comp_pos,
+         |  CAST(len(list_filter(comp.identifiers, x -> x.id_type = 'SMILES'))
+         |    AS INTEGER) AS n_smiles_ids,
+         |  CASE WHEN comp.amount_kind = 'mass' THEN 'none'
+         |    ELSE comp.amount_kind END AS v1_kind,
+         |  CASE WHEN comp.amount_kind = 'moles' THEN 'MOLE'
+         |    WHEN comp.amount_kind = 'volume' THEN 'LITER' END AS v1_units,
+         |  comp.reaction_role AS reaction_role
+         |FROM c WHERE file = 'ord_formatted_data.json'
+         |ORDER BY dataset_id, reaction_id, tab_pos, comp_pos""".stripMargin,
     "ord_a4_renest" ->
       s"""WITH rx AS (
          |  SELECT file, dataset_id, unnest(reactions) AS r

@@ -170,6 +170,22 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** J1b: the map-literal fast path for the same enum decode (SURVEY
+    * §2.9 X8) — `element_at(typedlit(map), code)` folds to a constant
+    * lookup inside codegen, no join at all. The broadcast-join form (J1)
+    * stays the declared general operator; this is the variant for
+    * literal dictionaries on ultra-hot paths. */
+  def j1bMapDecode(s: SparkSession, d: String): DataFrame = {
+    val dict = typedLit(Map(
+      1 -> "REACTANT", 2 -> "REAGENT", 3 -> "SOLVENT",
+      4 -> "CATALYST", 5 -> "INTERNAL_STANDARD"))
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(element_at(dict, col("l_linenumber")), lit("UNKNOWN")).as("role"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** J2: hierarchy reassembly — datasets ⋈ reactions then nest
     * (web_scrpaer_2.py:530-543). Equi-join + hash agg with map-side partial
     * aggregation; the nested list is sorted explicitly so the result is

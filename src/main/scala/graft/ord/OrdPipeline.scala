@@ -173,6 +173,26 @@ object OrdPipeline {
         concat_ws(",", array_sort(collect_list(col("rx.reaction_id")))).as("rx_ids"))
       .orderBy("file", "dataset_id")
 
+  /** The v1↔v2 normalizer duality (SURVEY §7.5.3) as a query: apply the
+    * v1 pipeline's rules to the v2-shaped file — SMILES-only identifier
+    * filter (web_scraper.py:433,487), hardcoded MOLE/LITER units
+    * (web_scraper.py:447,455), mass branch dropped (absent in v1) —
+    * yielding the row the v1 formatter would have produced. */
+  def ordV1Downgrade(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .where(col("file") === "ord_formatted_data.json")
+      .select(
+        col("dataset_id"), col("reaction_id"), col("tab_pos"), col("comp_pos"),
+        size(filter(col("identifiers"), id => id.getField("id_type") === "SMILES"))
+          .as("n_smiles_ids"),
+        when(col("amount_kind") === "mass", lit("none")).otherwise(col("amount_kind"))
+          .as("v1_kind"),
+        when(col("amount_kind") === "moles", lit("MOLE"))
+          .when(col("amount_kind") === "volume", lit("LITER"))
+          .as("v1_units"),
+        col("reaction_role"))
+      .orderBy("dataset_id", "reaction_id", "tab_pos", "comp_pos")
+
   /** S6 over ORD: the reference's primary sink — each dataset envelope
     * rendered as one nested JSON document (`json.dump`,
     * web_scrpaer_2.py:545-548). `to_json` drops null fields, matching

@@ -64,6 +64,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString("\n"))
   }
 
+  test("un-ordered limit plans CollectLimit (early-stop scan, SURVEY L3)") {
+    val df = Tables.orders(spark, sf).limit(5)
+    assert(plan(df).contains("CollectLimit"))
+  }
+
+  test("J1b map-literal decode plans no join at all") {
+    val p = plan(Relational.j1bMapDecode(spark, sf))
+    assert(!p.contains("Join"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("A1 aggregation plans map-side partial aggregation") {
     val p = plan(Relational.a1CountGroup(spark, sf))
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
