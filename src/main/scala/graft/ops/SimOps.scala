@@ -155,15 +155,18 @@ object SimOps {
     * to true near-dups, not N². */
   def e6MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d).select("doc_id", "sh")
-    val hashIds = broadcast(s.range(8).toDF("hid"))
-    val sigs = sh.crossJoin(hashIds)
-      .groupBy(col("doc_id"), col("hid"))
-      .agg(min(md5(concat(col("hid").cast("string"), lit(":"), col("sh")))).as("mh"))
-    val bands = sigs
-      .groupBy(col("doc_id"), expr("hid div 2").as("band"))
-      .agg(md5(concat_ws("",
-        transform(array_sort(collect_list(struct(col("hid"), col("mh")))),
-          x => x.getField("mh")))).as("bh"))
+    // all 8 MinHash values in ONE aggregation pass (8 agg columns over
+    // one scan of the shingle rows) instead of an 8-way row fan-out +
+    // two extra shuffles; band hashes follow in the same row.
+    val mhCols = (0 until 8).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      expr("""stack(4,
+              |  0L, md5(concat(mh0, mh1)),
+              |  1L, md5(concat(mh2, mh3)),
+              |  2L, md5(concat(mh4, mh5)),
+              |  3L, md5(concat(mh6, mh7))) AS (band, bh)""".stripMargin))
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -229,8 +232,14 @@ object SimOps {
         concat_ws(" ", col("w0"), col("w1")).as("bg"))
       .distinct()
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
-    val common = bg.as("a")
-      .join(bg.as("b"),
+    // prefix filter: a bigram occurring in a single document within its
+    // bucket can never generate a pair — drop it BEFORE the self-join
+    // (set-size counts above still use the unfiltered relation)
+    val bgF = bg.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("source", "bg")))
+      .where(col("df") > 1).drop("df")
+    val common = bgF.as("a")
+      .join(bgF.as("b"),
         col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -92,6 +92,33 @@ class OrdGoldenSpec extends AnyFunSuite {
     assert(dec.where(!col("parsed_success")).count() == 0)
   }
 
+  test("S6 sink: every dataset document parses back with its reaction count intact") {
+    import org.apache.spark.sql.types._
+    OrdFixtures.ensure(spark)
+    val nestedSchema = spark.read.parquet(OrdFixtures.nestedPath).schema
+    val docSchema = StructType(Seq(
+      nestedSchema("dataset_id"), nestedSchema("total_reactions_scraped"),
+      nestedSchema("reactions")))
+    val sink = run("ord_s6_sink")
+    val back = sink.withColumn("p", from_json(col("doc"), docSchema))
+    assert(back.where(col("p").isNull).count() == 0)
+    assert(back.where(col("p.dataset_id") =!= col("dataset_id")).count() == 0)
+    // to_json ∘ from_json preserves the reaction array cardinality
+    assert(back
+      .where(size(col("p.reactions")) =!= col("p.total_reactions_scraped"))
+      .count() == 0)
+  }
+
+  test("v1 downgrade applies the v1 rules to the v2 file") {
+    val dg = run("ord_v1_downgrade").collect()
+    assert(dg.length == 7) // the v2 reaction has 7 components
+    // mass components lose their amount (v1 has no mass branch)
+    assert(dg.count(_.getAs[String]("v1_kind") == "none") >= 1)
+    // surviving kinds carry only the v1 hardcoded units
+    val units = dg.flatMap(r => Option(r.getAs[String]("v1_units"))).toSet
+    assert(units.subsetOf(Set("MOLE", "LITER")))
+  }
+
   test("explode ∘ nest = id: renest counts equal envelope counts") {
     val renest = run("ord_a4_renest").select("file", "dataset_id", "n_rx")
     val env = run("ord_envelope_check").where(col("n_rx") > 0)
