@@ -82,6 +82,8 @@ object SparkEntry {
     "e3_token_counts"   -> (TextOps.e3TokenCounts _),
     "e3b_token_regex"   -> (TextOps.e3bTokenRegex _),
     "e13_embed_neardup" -> (SimOps.e13EmbedNeardup _),
+    "e15_funnel"         -> (ClusterOps.e15Funnel _),
+    "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e7_simhash"        -> (SimOps.e7Simhash _),
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
@@ -376,6 +378,59 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
         |ORDER BY a.label, id1, id2""".stripMargin,
+    "e15_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |cv AS (SELECT e.user_id, min(e.ts) AS t_conv FROM events e
+        |  JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.t_signup
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id,
+        |  CAST(epoch(date_trunc('second', t_signup)) AS BIGINT) AS signup_s,
+        |  CAST(epoch(date_trunc('second', t_conv)) AS BIGINT) AS conv_s,
+        |  t_conv IS NOT NULL AS converted,
+        |  CAST(epoch(date_trunc('second', t_conv)) AS BIGINT)
+        |    - CAST(epoch(date_trunc('second', t_signup)) AS BIGINT) AS delay_s
+        |FROM su LEFT JOIN cv ON su.user_id = cv.user_id
+        |ORDER BY su.user_id""".stripMargin,
+    "e16_dedup_clusters" ->
+      """WITH RECURSIVE
+        |h AS (SELECT doc_id,
+        |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
+        |  FROM documents),
+        |epair AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM h a
+        |  JOIN h b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+        |w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM w),
+        |bg AS (SELECT DISTINCT doc_id, source, bg FROM bg0),
+        |counts AS (SELECT doc_id, count(*) AS n_bg FROM bg GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        |  FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpair AS (SELECT d1, d2 FROM common
+        |  JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2
+        |  WHERE n_common >= 5
+        |    AND round(n_common / (c1.n_bg + c2.n_bg - n_common), 6) >= 0.1),
+        |und AS (SELECT * FROM epair UNION SELECT * FROM jpair),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM und
+        |  UNION SELECT d2 AS a, d1 AS b FROM und),
+        |verts AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e
+        |  JOIN reach ON reach.node = e.b),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "e3b_token_regex" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS tok

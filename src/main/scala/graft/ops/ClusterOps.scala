@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Dedup endgame + event-funnel analytics. */
+object ClusterOps {
+
+  /** E16: duplicate clusters — connected components over the near-dup
+    * pair graph (exact-hash pairs ∪ n-gram-Jaccard pairs), labeling each
+    * clustered document with its component's minimum doc_id (the
+    * canonical keeper). This is the step that turns pairwise similarity
+    * into actual dedup decisions.
+    *
+    * Algorithm: min-label propagation to fixpoint — the standard
+    * Pregel-style connected components. Each iteration is one
+    * distributed join+aggregate; the driver only checks convergence
+    * (count of changed labels), never touches row data. Iterations are
+    * bounded by the graph diameter (near-dup clusters are shallow;
+    * capped at 20). At 100 TB the same loop runs unchanged — state is
+    * two (node, label) columns, and each step shuffles by node id. */
+  def e16DedupClusters(s: SparkSession, d: String): DataFrame = {
+    // exact-duplicate pairs: same normalized content hash
+    val h = documents(s, d).select(col("doc_id"),
+      sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256).as("ch"))
+    val exactPairs = h.as("a").join(h.as("b"),
+      col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val nearPairs = SimOps.e8NgramJaccard(s, d).select("d1", "d2")
+    val undirected = exactPairs.unionByName(nearPairs).distinct()
+    // localCheckpoint truncates lineage: without it each iteration's plan
+    // embeds the previous one and the analyzer blows the heap by ~iter 10
+    val edges = undirected.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(undirected.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    val verts = edges.select(col("a").as("node")).distinct()
+
+    var labels = verts.withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val fromNbr = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(fromNbr, labels("node") === fromNbr("a"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    val sized = labels
+      .withColumn("cluster_id", col("lbl")).drop("lbl")
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+
+    sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** E15: signup→purchase funnel — per user, the first signup and the
+    * first purchase at-or-after it, with conversion delay. One scan per
+    * event type + an equi-join on user_id; the time predicate filters
+    * after the join (no range-join explosion). */
+  def e15Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .where(col("ts") >= col("t_signup"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_conv"))
+    signup.join(conv, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        unix_timestamp(col("t_signup")).as("signup_s"),
+        unix_timestamp(col("t_conv")).as("conv_s"),
+        col("t_conv").isNotNull.as("converted"),
+        (unix_timestamp(col("t_conv")) - unix_timestamp(col("t_signup")))
+          .as("delay_s"))
+      .orderBy("user_id")
+  }
+}
