@@ -104,6 +104,73 @@ object OrdFixtures {
     (datasets, raws)
   }
 
+  /** Inverse of the parse: rebuild the reference's exact JSON shape
+    * (map keyed by dataset_id, assoc-list inputsMap, tagged-union
+    * amount, vestigial v1 outcome amount) from the normalized model.
+    * OrdRoundTripSpec deep-compares this against the original files —
+    * the proof that the wide/normalized model is lossless. */
+  def renderFile(mapper: ObjectMapper, datasets: Seq[OrdDataset]): JsonNode = {
+    val root = mapper.createObjectNode()
+    datasets.foreach { ds =>
+      val env = root.putObject(ds.dataset_id)
+      env.put("dataset_id", ds.dataset_id)
+      env.put("total_reactions_scraped", ds.total_reactions_scraped)
+      val rxArr = env.putArray("reactions")
+      ds.reactions.foreach { rx =>
+        val r = rxArr.addObject()
+        r.put("reaction_id", rx.reaction_id)
+        r.put("success", rx.success)
+        val tabs = r.putArray("inputsMap")
+        rx.inputsMap.foreach { tab =>
+          val pair = tabs.addArray() // assoc-list entry: [name, {components}]
+          pair.add(tab.tab_name)
+          val comps = pair.addObject().putArray("components")
+          tab.components.foreach { c =>
+            val cn = comps.addObject()
+            val ids = cn.putArray("identifiers")
+            c.identifiers.foreach { id =>
+              val i = ids.addObject()
+              i.put("type", id.id_type); i.put("value", id.id_value)
+            }
+            val amt = cn.putObject("amount")
+            if (c.amount_kind != "none") {
+              val sub = amt.putObject(c.amount_kind)
+              sub.put("value", c.amount_value.get)
+              sub.put("units", c.amount_units)
+            }
+            cn.put("reaction_role", c.reaction_role)
+          }
+        }
+        val outs = r.putArray("outcomes")
+        rx.outcomes.foreach { o =>
+          val on = outs.addObject()
+          val ids = on.putArray("identifiers")
+          o.identifiers.foreach { id =>
+            val i = ids.addObject()
+            i.put("type", id.id_type); i.put("value", id.id_value)
+          }
+          if (o.has_vestigial_amount) on.putObject("amount") // v1: always {}
+          on.put("reaction_role", o.reaction_role)
+          on.put("is_desired_product", o.is_desired_product)
+          if (o.measurements.nonEmpty) {
+            val ms = on.putArray("measurements")
+            o.measurements.foreach { m =>
+              val mn = ms.addObject()
+              m.m_type.foreach(t => mn.put("type", t))
+              mn.put("details", m.details)
+              if (m.mass_value.isDefined || m.mass_units != null) {
+                val mass = mn.putObject("mass")
+                m.mass_value.foreach(v => mass.put("value", v))
+                if (m.mass_units != null) mass.put("units", m.mass_units)
+              }
+            }
+          }
+        }
+      }
+    }
+    root
+  }
+
   private def optText(n: JsonNode, k: String, default: String = null): String =
     if (n.hasNonNull(k)) n.get(k).asText else default
 
