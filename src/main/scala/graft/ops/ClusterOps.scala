@@ -43,13 +43,14 @@ object ClusterOps {
       val fromNbr = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
+      // carry the old label through so convergence is one filter+count
+      // over the checkpointed result, not an extra join per iteration
       val next = labels.join(fromNbr, labels("node") === fromNbr("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("lbl") =!= col("old")).count()
+      labels = next.drop("old")
       iter += 1
     }
     val sized = labels
