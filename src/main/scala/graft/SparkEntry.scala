@@ -542,11 +542,12 @@ object SparkEntry {
         |    AS INTEGER) AS n_stop
         |  FROM t)
         |SELECT doc_id, n_chars_obs, n_tokens, n_alpha, n_stop,
-        |  round(n_stop / n_tokens, 6) AS stop_ratio,
+        |  CASE WHEN n_tokens > 0 THEN round(n_stop / n_tokens, 6) END AS stop_ratio,
         |  round(n_alpha / n_chars_obs, 6) AS alpha_ratio,
-        |  round(n_alpha / n_tokens, 6) AS avg_token_len,
-        |  round(round(n_stop / n_tokens, 6) * 0.5
-        |    + round(n_alpha / n_chars_obs, 6) * 0.5, 7) AS quality
+        |  CASE WHEN n_tokens > 0 THEN round(n_alpha / n_tokens, 6) END AS avg_token_len,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(round(n_stop / n_tokens, 6) * 0.5
+        |      + round(n_alpha / n_chars_obs, 6) * 0.5, 7) END AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "e11_fingerprint" ->
       """WITH t AS (SELECT doc_id,

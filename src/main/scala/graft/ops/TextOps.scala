@@ -120,17 +120,24 @@ object TextOps {
       .agg(
         count(lit(1)).cast("int").as("n_tokens"),
         sum(when(col("word").isin(stops: _*), 1).otherwise(0)).cast("int").as("n_stop"))
+    // left join + explicit n_tokens>0 guard: an all-whitespace document
+    // has zero tokens and must yield NULL ratios in both engines (Spark
+    // nulls on x/0, DuckDB returns inf — so neither default is portable)
     docs
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_obs"),
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"))
-      .join(tokStats, "doc_id")
+      .join(tokStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_chars_obs"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"), col("n_alpha"),
+        coalesce(col("n_stop"), lit(0)).as("n_stop"))
       .select(
         col("doc_id"), col("n_chars_obs"), col("n_tokens"), col("n_alpha"), col("n_stop"),
-        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        when(col("n_tokens") > 0, round(col("n_stop") / col("n_tokens"), 6)).as("stop_ratio"),
         round(col("n_alpha") / col("n_chars_obs"), 6).as("alpha_ratio"),
-        round(col("n_alpha") / col("n_tokens"), 6).as("avg_token_len"))
+        when(col("n_tokens") > 0, round(col("n_alpha") / col("n_tokens"), 6)).as("avg_token_len"))
       // 7 decimals: the true value (half the sum of two 6-decimal
       // rationals) is exactly on the 1e-7 grid, so rounding can never hit
       // a tie-break boundary in either engine.

@@ -1,0 +1,83 @@
+package graft.ord
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's five user-facing scrape modes
+  * (`/root/reference/web_scrpaer_2.py:291-334,509-527`: all /
+  * specific_datasets / uniform_range / custom_ranges / single_target)
+  * re-expressed as a library query API over the ORD data. A user of the
+  * reference's CLI switches to these calls one-for-one.
+  *
+  * Range semantics are the reference's exactly: 1-based, end-inclusive,
+  * clamped (`web_scrpaer_2.py:283-286` for datasets, `425-429` for
+  * reactions) — pinned by OrdApiSpec. Dataset order is the catalog's
+  * (file, dataset_id) order; reaction order is stored arrival order
+  * (`rx_pos`), both made explicit so results are deterministic.
+  */
+object OrdApi {
+
+  /** One row per reaction, with positional metadata for range slicing. */
+  private def catalog(s: SparkSession): DataFrame = {
+    OrdFixtures.ensure(s)
+    import org.apache.spark.sql.expressions.Window
+    val ds = s.read.parquet(OrdFixtures.nestedPath)
+      .withColumn("ds_pos",
+        row_number().over(Window.orderBy(col("file"), col("dataset_id"))))
+    ds.select(col("file"), col("dataset_id"), col("ds_pos"),
+        explode(col("reactions")).as("rx"))
+      .select(col("file"), col("dataset_id"), col("ds_pos"),
+        (col("rx.rx_pos") + 1).as("rx_pos1"), // 1-based like the reference's UI
+        col("rx.reaction_id").as("reaction_id"),
+        col("rx.success").as("success"))
+  }
+
+  /** Mode 1: everything. */
+  def allReactions(s: SparkSession): DataFrame =
+    catalog(s).orderBy("ds_pos", "rx_pos1")
+
+  /** The golden corpus ships five files with OVERLAPPING dataset ids
+    * (the same dataset appears in e.g. `_three` and the v2 file), so
+    * id-addressed modes take an optional corpus (file) scope. */
+  private def scoped(s: SparkSession, corpus: Option[String]): DataFrame =
+    corpus.fold(catalog(s))(f => catalog(s).where(col("file") === f))
+
+  /** Mode 2: specific datasets by id (web_scrpaer_2.py:301-311). */
+  def specificDatasets(
+      s: SparkSession, ids: Seq[String],
+      corpus: Option[String] = None): DataFrame =
+    scoped(s, corpus).where(col("dataset_id").isin(ids: _*))
+      .orderBy("ds_pos", "rx_pos1")
+
+  /** Mode 3: uniform range — datasets [dsStart, dsEnd] and, within each,
+    * reactions [rxStart, rxEnd]; 1-based, end-inclusive, clamped. */
+  def uniformRange(
+      s: SparkSession, dsStart: Int, dsEnd: Int,
+      rxStart: Int, rxEnd: Int): DataFrame =
+    catalog(s)
+      .where(col("ds_pos").between(math.max(dsStart, 1), dsEnd) &&
+        col("rx_pos1").between(math.max(rxStart, 1), rxEnd))
+      .orderBy("ds_pos", "rx_pos1")
+
+  /** Mode 4: per-dataset custom ranges (web_scrpaer_2.py:313-326). */
+  def customRanges(
+      s: SparkSession, ranges: Map[String, (Int, Int)],
+      corpus: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val dim = ranges.toSeq.map { case (id, (a, b)) => (id, math.max(a, 1), b) }
+      .toDF("dataset_id", "r_start", "r_end")
+    scoped(s, corpus)
+      .join(broadcast(dim), "dataset_id")
+      .where(col("rx_pos1").between(col("r_start"), col("r_end")))
+      .select(col("file"), col("dataset_id"), col("ds_pos"),
+        col("rx_pos1"), col("reaction_id"), col("success"))
+      .orderBy("ds_pos", "rx_pos1")
+  }
+
+  /** Mode 5: single target (degenerate ranges, web_scrpaer_2.py:517-527). */
+  def singleTarget(
+      s: SparkSession, datasetId: String, rxIndex: Int,
+      corpus: Option[String] = None): DataFrame =
+    scoped(s, corpus)
+      .where(col("dataset_id") === datasetId && col("rx_pos1") === rxIndex)
+}
