@@ -26,6 +26,15 @@ object Relational {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** lineitem pre-partitioned by its group key for the collect_list
+    * fan-in queries (F1/F2/F4/A4): locally the table arrives as ONE
+    * input split, so the map-side partial aggregation would run
+    * single-threaded; repartitioning first costs the same single
+    * shuffle (the groupBy reuses the exchange) but runs the heavy
+    * list aggregation 32-wide. */
+  private def lineitemByOrder(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).repartition(col("l_orderkey"))
+
   // ---------------------------------------------------------------- S1-S3
 
   /** S1: catalog scan — enumerate ids, stop early (web_scrpaer_2.py:209-289).
@@ -236,7 +245,7 @@ object Relational {
   /** F1: posexplode of the assoc list (web_scraper.py:423-426) — order is
     * load-bearing, so the array is built sorted and exploded with position. */
   def f1PosexplodeTabs(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemByOrder(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("tabs"))
       .select(col("l_orderkey"), posexplode(col("tabs")).as(Seq("pos", "tab")))
@@ -248,7 +257,7 @@ object Relational {
 
   /** F2: components explode (web_scraper.py:429) — nest then flatten = id. */
   def f2ExplodeComponents(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemByOrder(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
       .select(col("l_orderkey"), explode(col("parts")).as("l_partkey"))
@@ -263,7 +272,7 @@ object Relational {
   /** F4: double flatten — outcomes × products (web_scraper.py:481-483):
     * two-level nesting rebuilt, then exploded twice. */
   def f4DoubleFlatten(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemByOrder(s, d)
       .groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
       .groupBy(col("l_orderkey"))
@@ -321,7 +330,7 @@ object Relational {
     * gathered list is explicitly sorted (array_agg ORDER BY semantics), not
     * arrival-ordered, so the result is deterministic under any shuffle. */
   def a4CollectList(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    lineitemByOrder(s, d)
       .groupBy(col("l_orderkey"))
       .agg(
         count(lit(1)).as("n_items"),
