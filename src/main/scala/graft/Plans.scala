@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps the formatted physical plan of every SparkEntry query to
+  * docs/plans/<key>.txt — the reviewable evidence for the plan-shape
+  * contracts in SCALE.md. Usage: sbt "runMain graft.Plans [sfDir] [outDir]". */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("docs/plans")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // streaming-drain and iterative queries execute on construction and
+      // report their final batch plan like any other
+      try {
+        val df = fn(spark, sfDir)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      } catch { case e: Throwable =>
+        Files.writeString(Paths.get(s"$outDir/$name.txt"),
+          s"plan unavailable: ${e.getMessage}\n")
+      }
+    }
+    spark.stop()
+  }
+}

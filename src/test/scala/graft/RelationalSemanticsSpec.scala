@@ -99,6 +99,16 @@ class RelationalSemanticsSpec extends AnyFunSuite {
     assert(sameBucket.where($"brute_cand" =!= $"ivf_cand").count() == 0)
   }
 
+  test("S5 validated read reports its rejection metric via observe()") {
+    val df = ops.SourceSink.s5ValidatedRead(spark, sf)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics
+    assert(metrics.contains("s5_validation"))
+    // the synthetic events table has no invalid rows - the metric must
+    // exist and report zero, proving the validation rides the same scan
+    assert(metrics("s5_validation").getAs[Long]("n_rejected") == 0L)
+  }
+
   test("S6 sink round-trips through from_json") {
     import org.apache.spark.sql.types._
     val out = SourceSink.s6JsonSink(spark, sf)
