@@ -136,7 +136,7 @@ object SparkEntry {
     "s2_partition_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 64
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
     "s3_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
@@ -160,7 +160,7 @@ object SparkEntry {
         |WHERE starts_with(id, 'ord-') ORDER BY id""".stripMargin,
     "p3_type_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
-        |WHERE l_linenumber = 2 ORDER BY l_orderkey""".stripMargin,
+        |WHERE l_linenumber = 2 ORDER BY l_orderkey, l_partkey""".stripMargin,
     "p4_bool_filter" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
@@ -173,7 +173,8 @@ object SparkEntry {
         |  CASE WHEN l_returnflag = 'R' THEN 'MOLE'
         |       WHEN l_returnflag = 'A' THEN 'LITER'
         |       ELSE 'GRAM' END AS amount_units
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, amount_kind, amount_value""".stripMargin,
     "p6_restructure" ->
       """SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
         |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
@@ -543,7 +544,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_chars_obs, n_tokens, n_alpha, n_stop,
         |  CASE WHEN n_tokens > 0 THEN round(n_stop / n_tokens, 6) END AS stop_ratio,
-        |  round(n_alpha / n_chars_obs, 6) AS alpha_ratio,
+        |  CASE WHEN n_chars_obs > 0
+        |    THEN round(n_alpha / n_chars_obs, 6) END AS alpha_ratio,
         |  CASE WHEN n_tokens > 0 THEN round(n_alpha / n_tokens, 6) END AS avg_token_len,
         |  CASE WHEN n_tokens > 0 THEN
         |    round(round(n_stop / n_tokens, 6) * 0.5

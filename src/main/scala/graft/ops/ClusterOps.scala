@@ -21,9 +21,10 @@ object ClusterOps {
     * capped at 20). At 100 TB the same loop runs unchanged — state is
     * two (node, label) columns, and each step shuffles by node id. */
   def e16DedupClusters(s: SparkSession, d: String): DataFrame = {
-    // exact-duplicate pairs: same normalized content hash
+    // exact-duplicate pairs: same normalized content hash (the one
+    // definition shared with e1TextDedup)
     val h = documents(s, d).select(col("doc_id"),
-      sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256).as("ch"))
+      sha2(TextOps.norm(col("text")), 256).as("ch"))
     val exactPairs = h.as("a").join(h.as("b"),
       col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -39,7 +40,7 @@ object ClusterOps {
     var labels = verts.withColumn("lbl", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 100) {
       val fromNbr = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
@@ -53,6 +54,12 @@ object ClusterOps {
       labels = next.drop("old")
       iter += 1
     }
+    // diameter-bound exceeded: labels would be silently wrong vs the
+    // exact recursive-CTE oracle — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"e16 label propagation did not converge in $iter rounds " +
+          s"($changed labels still changing) — raise the iteration cap")
     val sized = labels
       .withColumn("cluster_id", col("lbl")).drop("lbl")
       .withColumn("cluster_size",

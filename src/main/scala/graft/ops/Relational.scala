@@ -55,7 +55,9 @@ object Relational {
     lineitem(s, d)
       .where(col("l_orderkey").between(1, 64))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // sort every output column so the hash compare is order-stable
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   /** S3: point lookup by key (web_scraper.py:112-253). The key is resolved
     * by a scalar-subquery-shaped min aggregate, then broadcast back against
@@ -97,7 +99,7 @@ object Relational {
     lineitem(s, d)
       .where(col("l_linenumber") === 2)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .orderBy("l_orderkey")
+      .orderBy("l_orderkey", "l_partkey")
 
   /** P4: success filter (web_scraper.py:574-577). */
   def p4BoolFilter(s: SparkSession, d: String): DataFrame =
@@ -131,7 +133,7 @@ object Relational {
           .as("amount_value"),
         coalesce(col("amount.moles.units"), col("amount.volume.units"), col("amount.mass.units"))
           .as("amount_units"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "amount_kind", "amount_value")
   }
 
   /** P6: nested restructure (web_scrpaer_2.py:150-154) — wrap fields into a

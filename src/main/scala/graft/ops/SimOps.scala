@@ -29,6 +29,18 @@ object SimOps {
   private def cosine(a: Column, b: Column): Column =
     round(graft.functions.GraftFunctions.cosine(a, b), 6)
 
+  /** Shared top-k: rank candidates per query on (cosine desc, cand_id)
+    * — one definition so the approximate paths (e2/e2b) can never
+    * silently diverge from the exact baseline (e12) in tie-breaking. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** E2: similarity top-k with the IVF-bucketed plan — candidates are
     * restricted to the query's coarse cell (`label` plays the
     * precomputed IVF centroid assignment), so the physical plan is a
@@ -39,16 +51,10 @@ object SimOps {
     val e = vectors(embeddings(s, d))
     val q = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
-    val joined = e.join(broadcast(q), Seq("label"))
+    topK(e.join(broadcast(q), Seq("label"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qv"), col("v")).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
-      .orderBy("q_id", "rank")
+        cosine(col("qv"), col("v")).as("cos_sim")), 3)
   }
 
   /** E12: brute-force cosine top-k baseline — the exact-answer reference
@@ -60,16 +66,10 @@ object SimOps {
     val e = vectors(embeddings(s, d))
     val q = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val joined = e.crossJoin(broadcast(q))
+    topK(e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qv"), col("v")).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
-      .orderBy("q_id", "rank")
+        cosine(col("qv"), col("v")).as("cos_sim")), 5)
   }
 
   /** Sign-bit bucket from 4 deterministic sparse hyperplanes — the
@@ -94,16 +94,10 @@ object SimOps {
     val e = vectors(embeddings(s, d)).withColumn("bkt", lshBucket(col("v")))
     val q = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("bkt"), col("v").as("qv"))
-    val joined = e.join(broadcast(q), Seq("bkt"))
+    topK(e.join(broadcast(q), Seq("bkt"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(col("qv"), col("v")).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("cand_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
-      .orderBy("q_id", "rank")
+        cosine(col("qv"), col("v")).as("cos_sim")), 3)
   }
 
   /** E13: embedding-cosine near-duplicate pairs — the dedup-flavored

@@ -28,8 +28,11 @@ object TextOps {
   private def docsParallel(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(col("doc_id"))
 
-  /** Whitespace-normalized lowercase form shared by dedup/fingerprint. */
-  private def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** Whitespace-normalized lowercase form shared by dedup/fingerprint —
+    * also the content-hash basis e16's exact-dup pairs must match
+    * bit-for-bit, so there is exactly one definition. */
+  private[ops] def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Non-empty lowercase tokens. */
   private def words(c: Column): Column =
@@ -136,7 +139,8 @@ object TextOps {
       .select(
         col("doc_id"), col("n_chars_obs"), col("n_tokens"), col("n_alpha"), col("n_stop"),
         when(col("n_tokens") > 0, round(col("n_stop") / col("n_tokens"), 6)).as("stop_ratio"),
-        round(col("n_alpha") / col("n_chars_obs"), 6).as("alpha_ratio"),
+        when(col("n_chars_obs") > 0, round(col("n_alpha") / col("n_chars_obs"), 6))
+          .as("alpha_ratio"),
         when(col("n_tokens") > 0, round(col("n_alpha") / col("n_tokens"), 6)).as("avg_token_len"))
       // 7 decimals: the true value (half the sum of two 6-decimal
       // rationals) is exactly on the 1e-7 grid, so rounding can never hit

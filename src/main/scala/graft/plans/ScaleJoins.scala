@@ -28,7 +28,13 @@ object ScaleJoins {
     * `saltBuckets` partitions. */
   def saltedJoin(
       big: DataFrame, dim: DataFrame, key: String, saltBuckets: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    // The salt must be DETERMINISTIC per row: deriving it from
+    // monotonically_increasing_id would change across task retries after
+    // a shuffle and silently drop/duplicate rows (SPARK-23207 class).
+    // Hashing all row values is stable; rows that are fully identical
+    // share a salt, which only matters for pure-duplicate skew.
+    val salted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
     salted.join(explodedDim, Seq(key, "_salt")).drop("_salt")
@@ -37,7 +43,7 @@ object ScaleJoins {
   /** One-time setup: write orders + lineitem bucketed by the join key
     * into a warehouse under `target/bucketed` (local stand-in for the
     * curated bucketed layout a 100 TB deployment maintains). */
-  def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8): Unit =
+  def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
     if (!s.catalog.tableExists("orders_bkt") || !s.catalog.tableExists("lineitem_bkt")) {
       // the in-memory catalog forgets tables across sessions while their
       // files persist — clear stale locations before re-creating
@@ -56,6 +62,7 @@ object ScaleJoins {
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("lineitem_bkt")
     }
+  }
 
   /** The co-located join: orders_bkt ⋈ lineitem_bkt on the bucket key —
     * planned as a SortMergeJoin with no Exchange on either side. The

@@ -130,10 +130,10 @@ object EventStreams {
       .orderBy("event_type")
 
   def deadLetter(df: DataFrame): DataFrame = {
-    val schema = StructType(Seq(StructField("k", IntegerType)))
     // PERMISSIVE from_json yields a null-fielded struct for malformed
     // input, so validity is probed with get_json_object (null ⇔ not JSON).
-    df.withColumn("parsed", from_json(col("props"), schema))
+    // Schema is the single shared definition (SourceSink.propsSchema).
+    df.withColumn("parsed", from_json(col("props"), graft.ops.SourceSink.propsSchema))
       .withColumn("is_dead",
         col("props").isNotNull && get_json_object(col("props"), "$").isNull)
       .withColumn("dead_reason",

@@ -23,11 +23,14 @@ class ScaleJoinSpec extends AnyFunSuite {
   }
 
   test("salted join splits a hot key across salt buckets") {
-    val hot = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
-      .union(Seq(("cold", 2)).toDF("k", "v"))
+    // hot rows vary in their payload column, so the deterministic
+    // hash-of-row salt spreads them; fully identical rows would share a
+    // salt (pure-duplicate skew needs a different remedy)
+    val hot = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+      .union(Seq(("cold", 0)).toDF("k", "v"))
     val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "name")
     val salted = hot.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(4)))
+      pmod(hash($"k", $"v"), lit(4)))
     val nSalts = salted.where($"k" === "hot").select("_salt").distinct().count()
     assert(nSalts == 4, "hot rows must land in every salt bucket")
     val out = ScaleJoins.saltedJoin(hot, dim, "k", 4)
