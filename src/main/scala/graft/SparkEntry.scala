@@ -328,10 +328,14 @@ object SparkEntry {
         |  count(*) AS n
         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
     "c5_dead_letter" ->
+      // json_extract guarded by json_valid: DuckDB's json_extract ERRORS on
+      // malformed JSON (vs Spark's PERMISSIVE null), so an unguarded oracle
+      // would crash on the very rows the dead-letter query exists to count
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
-        |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |  CAST(sum(CASE WHEN json_valid(props)
+        |    THEN CAST(json_extract(props, '$.k') AS INTEGER) END) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s2b_partition_pruned" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders

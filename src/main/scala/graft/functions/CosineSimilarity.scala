@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) *
   * sqrt(list_dot_product(b,b)))`, so results are bit-identical, not just
   * close. Returns NULL on null input, length mismatch, or a zero-norm
-  * side. Null array elements are read as 0.0 (embeddings are
-  * non-nullable by schema).
+  * side. Null array ELEMENTS are treated as 0.0 — checked explicitly
+  * (isNullAt) in both the interpreted and codegen paths, so arbitrary
+  * `array<double>` input (not just the non-nullable embeddings schema)
+  * behaves identically in both modes.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val yi = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -76,8 +79,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $x = $a.getDouble($i);
-         |    final double $y = $b.getDouble($i);
+         |    final double $x = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |    final double $y = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -109,7 +112,18 @@ object GraftFunctions {
   val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-    (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+    (args: Seq[Expression]) => {
+      // clean analysis-time arity error instead of an IndexOutOfBounds
+      if (args.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "graft_cosine",
+            "expectedNum" -> "2",
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      CosineSimilarity(args(0), args(1))
+    })
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -7,20 +7,47 @@ import graft.Tables._
 /** Dedup endgame + event-funnel analytics. */
 object ClusterOps {
 
+  /** Iteration cap for e16's label propagation — far above any real
+    * near-dup cluster diameter; the convergence guard throws loudly if
+    * it is ever hit. */
+  val MaxCcIters = 100
+
+  /** Reliable checkpoint location for iterative queries. `checkpoint()`
+    * (vs `localCheckpoint()`) writes blocks to this directory — an
+    * HDFS-compatible path at cluster scale — so an executor loss
+    * mid-loop recovers from persisted files instead of killing the query
+    * (localCheckpoint stores blocks on executors AND truncates lineage,
+    * making the loss unrecoverable). Override via GRAFT_CHECKPOINT_DIR. */
+  def ensureCheckpointDir(s: SparkSession): String = synchronized {
+    s.sparkContext.getCheckpointDir.getOrElse {
+      val dir = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
+        sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures")
+          + "/checkpoints")
+      s.sparkContext.setCheckpointDir(dir)
+      s.sparkContext.getCheckpointDir.get
+    }
+  }
+
   /** E16: duplicate clusters — connected components over the near-dup
     * pair graph (exact-hash pairs ∪ n-gram-Jaccard pairs), labeling each
     * clustered document with its component's minimum doc_id (the
     * canonical keeper). This is the step that turns pairwise similarity
     * into actual dedup decisions.
     *
-    * Algorithm: min-label propagation to fixpoint — the standard
-    * Pregel-style connected components. Each iteration is one
-    * distributed join+aggregate; the driver only checks convergence
-    * (count of changed labels), never touches row data. Iterations are
-    * bounded by the graph diameter (near-dup clusters are shallow;
-    * capped at 20). At 100 TB the same loop runs unchanged — state is
-    * two (node, label) columns, and each step shuffles by node id. */
+    * Algorithm: FRONTIER-based min-label propagation to fixpoint — the
+    * standard Pregel-style connected components, but each round only the
+    * nodes whose label changed last round send messages, so late rounds
+    * (when most labels have converged) join a shrinking frontier instead
+    * of the full vertex set. Each iteration is one distributed
+    * join+aggregate; the driver only checks convergence (count of
+    * changed labels), never touches row data. Iterations are bounded by
+    * the graph diameter (near-dup clusters are shallow; hard-capped at
+    * [[MaxCcIters]] with a loud failure). At 100 TB the same loop runs
+    * unchanged — state is two (node, label) columns, each step shuffles
+    * by node id, and per-iteration state is RELIABLY checkpointed (see
+    * [[ensureCheckpointDir]]) so executor loss mid-loop is survivable. */
   def e16DedupClusters(s: SparkSession, d: String): DataFrame = {
+    ensureCheckpointDir(s)
     // exact-duplicate pairs: same normalized content hash (the one
     // definition shared with e1TextDedup)
     val h = documents(s, d).select(col("doc_id"),
@@ -30,27 +57,30 @@ object ClusterOps {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
     val nearPairs = SimOps.e8NgramJaccard(s, d).select("d1", "d2")
     val undirected = exactPairs.unionByName(nearPairs).distinct()
-    // localCheckpoint truncates lineage: without it each iteration's plan
+    // checkpoint truncates lineage: without it each iteration's plan
     // embeds the previous one and the analyzer blows the heap by ~iter 10
     val edges = undirected.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(undirected.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
+      .checkpoint()
     val verts = edges.select(col("a").as("node")).distinct()
 
-    var labels = verts.withColumn("lbl", col("node")).localCheckpoint()
-    var changed = 1L
+    var labels = verts.withColumn("lbl", col("node")).checkpoint()
+    // round 0: every node is in the frontier (all labels "changed" at init)
+    var frontier = labels
+    var changed = frontier.count()
     var iter = 0
-    while (changed > 0 && iter < 100) {
-      val fromNbr = edges
-        .join(labels, edges("b") === labels("node"))
+    while (changed > 0 && iter < MaxCcIters) {
+      val msgs = edges
+        .join(frontier, edges("b") === frontier("node"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
       // carry the old label through so convergence is one filter+count
       // over the checkpointed result, not an extra join per iteration
-      val next = labels.join(fromNbr, labels("node") === fromNbr("a"), "left")
+      val next = labels.join(msgs, labels("node") === msgs("a"), "left")
         .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.where(col("lbl") =!= col("old")).count()
+        .checkpoint()
+      frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
+      changed = frontier.count()
       labels = next.drop("old")
       iter += 1
     }

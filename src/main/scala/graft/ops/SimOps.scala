@@ -148,13 +148,22 @@ object SimOps {
     * collision rate is J² per band — candidate volume stays proportional
     * to true near-dups, not N². */
   def e6MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // The shingle relation feeds the signature aggregation AND both sides
+    // of the Jaccard verification — persist it so tokenize→window→distinct
+    // runs once, not 3-4× (it was 26% of total bench time re-executed).
+    // MEMORY_AND_DISK: spills instead of recomputing under pressure.
     val sh = shingleRows(s, d).select("doc_id", "sh")
-    // all 8 MinHash values in ONE aggregation pass (8 agg columns over
-    // one scan of the shingle rows) instead of an 8-way row fan-out +
-    // two extra shuffles; band hashes follow in the same row.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // all 8 MinHash values AND the per-doc shingle count in ONE
+    // aggregation pass (9 agg columns over one scan of the cached shingle
+    // rows) instead of an 8-way row fan-out + a separate counts pass;
+    // band hashes follow in the same row.
     val mhCols = (0 until 8).map(h =>
-      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h"))
+      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h")) :+
+      count(lit(1)).as("n_sh")
     val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: bands + both count joins
     val bands = sigs.select(col("doc_id"),
       expr("""stack(4,
               |  0L, md5(concat(mh0, mh1)),
@@ -167,10 +176,19 @@ object SimOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: candDocs + verify + final
+    val counts = sigs.select(col("doc_id"), col("n_sh"))
+    // Verification only needs shingles of docs that appear in a candidate
+    // pair — semi-join-reduce BEFORE shuffling shingle rows by (doc, sh).
+    // At 100 TB candidates are a vanishing fraction of the corpus, so this
+    // turns the verification shuffle from O(all shingles) into
+    // O(candidate-doc shingles).
+    val candDocs = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val common = pairs
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .join(shC.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -186,9 +204,13 @@ object SimOps {
   }
 
   /** E7: SimHash fingerprint — 16-bit simhash over token frequencies,
-    * bits keyed off md5 hex nibbles so both engines agree. Pure
-    * scan + broadcast(16 bit-ids) + two hash aggs; pairing near
-    * fingerprints is e6/e8's job. */
+    * bits keyed off md5 hex nibbles so both engines agree.
+    *
+    * The 16 signed-contribution sums are 16 AGGREGATION COLUMNS over the
+    * un-fanned (doc, word) rows — the same shape as e6's 8 MinHash
+    * columns — so no row is ever multiplied 16×: one scan, one
+    * (doc, word) hash agg, one (doc) hash agg with 16 sums, all inside
+    * whole-stage codegen. Pairing near fingerprints is e6/e8's job. */
   def e7Simhash(s: SparkSession, d: String): DataFrame = {
     val tokens = documents(s, d).repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -196,21 +218,31 @@ object SimOps {
       .where(length(col("word")) > 0)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
-      // hash once per (doc, word) BEFORE the 16-way bit fan-out
+      // hash once per distinct (doc, word), then pre-split the 4 hex
+      // nibbles once each (not once per bit)
       .withColumn("h", md5(col("word")))
-    val bits = broadcast(s.range(16).toDF("b"))
-    tokens.crossJoin(bits)
-      .withColumn("nibble",
-        expr("CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("bit", expr("CAST(floor(nibble / power(2, b % 4)) AS INT) % 2"))
-      .withColumn("contrib", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("bitval * CAST(power(2, b) AS BIGINT)")).as("simhash"))
+      .withColumn("nb0", expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)"))
+      .withColumn("nb1", expr("CAST(conv(substring(h, 2, 1), 16, 10) AS INT)"))
+      .withColumn("nb2", expr("CAST(conv(substring(h, 3, 1), 16, 10) AS INT)"))
+      .withColumn("nb3", expr("CAST(conv(substring(h, 4, 1), 16, 10) AS INT)"))
+    // bit b lives in nibble b/4 at weight 2^(b%4); contribution is
+    // +cnt when set, -cnt when clear (the classic SimHash vote)
+    val bitSums = (0 until 16).map { b =>
+      sum(expr(s"CASE WHEN (nb${b / 4} div ${1 << (b % 4)}) % 2 = 1 " +
+        s"THEN cnt ELSE -cnt END")).as(s"s$b")
+    }
+    documentsAgg(tokens, bitSums)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
+
+  /** groupBy(doc_id).agg over a non-empty agg list (helper keeps e7
+    * readable). */
+  private def documentsAgg(df: DataFrame, aggs: Seq[Column]): DataFrame =
+    df.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
 
   /** E8: n-gram Jaccard near-dup pairs — exact set Jaccard over word
     * bigrams, candidate pairs generated ONLY through the shared-bigram

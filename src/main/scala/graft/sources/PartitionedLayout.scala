@@ -19,10 +19,14 @@ import graft.Tables._
 object PartitionedLayout {
 
   /** Layout path is per scale factor — the same session may verify at
-    * one SF and test at another. */
-  def layoutDir(d: String): String =
+    * one SF and test at another. Keyed by basename PLUS a hash of the
+    * full source path so two roots with the same basename never collide. */
+  def layoutDir(d: String): String = {
+    val p = java.nio.file.Paths.get(d)
+    val key = f"${p.toAbsolutePath.toString.hashCode}%08x"
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
-      s"/orders_by_status/${java.nio.file.Paths.get(d).getFileName}"
+      s"/orders_by_status/${p.getFileName}-$key"
+  }
 
   /** One-time: write orders partitioned by status. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {

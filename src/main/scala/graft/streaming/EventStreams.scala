@@ -38,14 +38,23 @@ object EventStreams {
     * landing directory — the layout a production file stream reads. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    // Landing dir keyed by the FULL source path (hashed) plus basename, so
+    // /a/sf0.1 and /b/sf0.1 never collide; staged copy is refreshed when
+    // the source's (size, mtime) changes — no silently-stale stream input.
+    val key = f"${Paths.get(dir).toAbsolutePath.toString.hashCode}%08x"
     val landing = Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
-      "stream-events", Paths.get(dir).getFileName.toString)
+      "stream-events", s"${Paths.get(dir).getFileName.toString}-$key")
     synchronized {
-      if (!Files.exists(landing.resolve("events.parquet"))) {
+      val dst = landing.resolve("events.parquet")
+      val stale = !Files.exists(dst) ||
+        Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0
+      if (stale) {
         Files.createDirectories(landing)
-        Files.copy(Paths.get(dir, "events.parquet"),
-          landing.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

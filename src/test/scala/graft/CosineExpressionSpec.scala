@@ -56,6 +56,32 @@ class CosineExpressionSpec extends AnyFunSuite {
     assert(out(2).isEmpty && out(3).isEmpty && out(4).isEmpty)
   }
 
+  test("null array ELEMENTS read as 0.0 — identically in codegen and interpreted") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // codegen path (projection over a plan)
+    val viaPlan = spark.sql("SELECT array(3.0d, CAST(NULL AS DOUBLE)) AS a, array(4.0d, 5.0d) AS b")
+      .select(GraftFunctions.cosine($"a", $"b").as("c")).collect()(0).getDouble(0)
+    // interpreted path (direct eval)
+    val expr = graft.functions.CosineSimilarity(
+      Literal(new GenericArrayData(Array[Any](3.0, null)), ArrayType(DoubleType, true)),
+      Literal(new GenericArrayData(Array[Any](4.0, 5.0)), ArrayType(DoubleType, true)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    // null element ⇒ 0.0: dot=12, |a|=3, |b|=sqrt(41)
+    val expected = 12.0 / (3.0 * math.sqrt(41.0))
+    assert(viaPlan == interpreted)
+    assert(math.abs(viaPlan - expected) < 1e-15)
+  }
+
+  test("graft_cosine wrong arity fails analysis cleanly, not with IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
+  }
+
   test("SQL registration: graft_cosine callable after register()") {
     GraftFunctions.register(spark)
     val r = spark.sql(
