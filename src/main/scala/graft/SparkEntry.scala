@@ -77,6 +77,7 @@ object SparkEntry {
     "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
     // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
     "e1_text_dedup"     -> (TextOps.e1TextDedup _),
+    "e1x_dedup_xxhash"  -> (TextOps.e1xTextDedupXx _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e3_token_counts"   -> (TextOps.e3TokenCounts _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
     "e12_ann_brute"     -> (SimOps.e12AnnBrute _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
+    "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "ord_a4_renest"        -> (OrdPipeline.ordA4Renest _),
     "ord_s6_sink"          -> (OrdPipeline.ordS6Sink _),
     "ord_v1_downgrade"     -> (OrdPipeline.ordV1Downgrade _),
+    "ord_units_diverge"    -> (OrdPipeline.ordUnitsDiverge _),
   )
 
   private val ordNested = s"${OrdFixtures.nestedPath}/*.parquet"
@@ -344,6 +347,20 @@ object SparkEntry {
       """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    // hash-independent output: Spark groups by xxhash64(normalized text),
+    // the oracle by the normalized text itself — identical groupings
+    // absent 64-bit collisions (the hash values themselves are not
+    // exposed, DuckDB having no xxhash64)
+    "e1x_dedup_xxhash" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |ORDER BY keeper_id""".stripMargin,
+    "x3_salted_agg" ->
+      """SELECT CASE l_returnflag WHEN 'R' THEN 'RETURNED'
+        |  WHEN 'A' THEN 'ACCEPTED' ELSE 'NONE' END AS flag_name,
+        |  count(*) AS n, CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY flag_name""".stripMargin,
     "e2_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
@@ -678,6 +695,15 @@ object SparkEntry {
          |  comp.reaction_role AS reaction_role
          |FROM c WHERE file = 'ord_formatted_data.json'
          |ORDER BY dataset_id, reaction_id, tab_pos, comp_pos""".stripMargin,
+    "ord_units_diverge" ->
+      s"""$ordCte
+         |SELECT file, comp.amount_kind AS amount_kind,
+         |  CASE WHEN comp.amount_kind = 'moles' THEN 'MOLE' ELSE 'LITER' END AS v1_units,
+         |  comp.amount_units AS v2_units, count(*) AS n,
+         |  (CASE WHEN comp.amount_kind = 'moles' THEN 'MOLE' ELSE 'LITER' END)
+         |    <> comp.amount_units AS diverges
+         |FROM c WHERE comp.amount_kind IN ('moles', 'volume')
+         |GROUP BY 1, 2, 3, 4 ORDER BY file, amount_kind, v2_units""".stripMargin,
     "ord_a4_renest" ->
       s"""WITH rx AS (
          |  SELECT file, dataset_id, unnest(reactions) AS r

@@ -69,18 +69,29 @@ object ClusterOps {
     var frontier = labels
     var changed = frontier.count()
     var iter = 0
+    // Iterative-state management: persist each round (cheap, truncates
+    // nothing), reliable checkpoint every 3rd (bounds both the lineage
+    // depth the analyzer must chew AND the recompute window after an
+    // executor loss to <3 cached joins past the last checkpoint file).
+    var lastPersisted: DataFrame = null
     while (changed > 0 && iter < MaxCcIters) {
       val msgs = edges
         .join(frontier, edges("b") === frontier("node"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
       // carry the old label through so convergence is one filter+count
-      // over the checkpointed result, not an extra join per iteration
-      val next = labels.join(msgs, labels("node") === msgs("a"), "left")
+      // over the materialized result, not an extra join per iteration
+      val nextRaw = labels.join(msgs, labels("node") === msgs("a"), "left")
         .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .checkpoint()
+      val reliable = iter % 3 == 2
+      val next =
+        if (reliable) nextRaw.checkpoint()
+        else nextRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
-      changed = frontier.count()
+      changed = frontier.count() // materializes `next`
+      // the superseded round's cache is dead weight once `next` is live
+      if (lastPersisted != null) lastPersisted.unpersist(false)
+      lastPersisted = if (reliable) null else next
       labels = next.drop("old")
       iter += 1
     }

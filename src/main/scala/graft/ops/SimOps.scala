@@ -147,7 +147,38 @@ object SimOps {
     * 100 TB path: the only self-join is on the band hash, whose
     * collision rate is J² per band — candidate volume stays proportional
     * to true near-dups, not N². */
-  def e6MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def e6MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d,
+      // md5-keyed so the DuckDB oracle reproduces the exact hash values
+      mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),
+      bandHash = (a, b) => md5(concat(a, b)))
+
+  /** E6x: the PRODUCTION-hash fast path of e6 — xxhash64 (64-bit,
+    * non-cryptographic, codegen'd, no hex-string materialization) in
+    * place of md5 for both the MinHash values and the band keys: ~3×
+    * cheaper per shingle and the shuffled band key is an 8-byte long
+    * instead of a 32-char string. Same plan shape, same verification
+    * math (n_common/n1/n2/jaccard are hash-independent). DuckDB has no
+    * xxhash64, so this variant is covered by XxHashVariantSpec (exact
+    * duplicates must surface identically; shared pairs must carry
+    * identical Jaccard) rather than a declared oracle; e6 stays the
+    * oracle-stable form. */
+  def e6xMinhashLshXx(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d,
+      mh = (h, sh) => xxhash64(lit(h), sh),
+      bandHash = (a, b) => xxhash64(a, b))
+
+  /** Shared MinHash+LSH pipeline, parametrized by the hash family:
+    * shingle → 8 MinHash values → 4 bands of 2 → band hash → candidate
+    * pairs via an equi-join on (band, band_hash) → verified Jaccard.
+    *
+    * 100 TB path: the only self-join is on the band hash, whose
+    * collision rate is J² per band — candidate volume stays proportional
+    * to true near-dups, not N². */
+  private def minhashLsh(
+      s: SparkSession, d: String,
+      mh: (Int, Column) => Column,
+      bandHash: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // The shingle relation feeds the signature aggregation AND both sides
     // of the Jaccard verification — persist it so tokenize→window→distinct
@@ -160,16 +191,16 @@ object SimOps {
     // rows) instead of an 8-way row fan-out + a separate counts pass;
     // band hashes follow in the same row.
     val mhCols = (0 until 8).map(h =>
-      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h")) :+
+      min(mh(h, col("sh"))).as(s"mh$h")) :+
       count(lit(1)).as("n_sh")
     val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: bands + both count joins
-    val bands = sigs.select(col("doc_id"),
-      expr("""stack(4,
-              |  0L, md5(concat(mh0, mh1)),
-              |  1L, md5(concat(mh2, mh3)),
-              |  2L, md5(concat(mh4, mh5)),
-              |  3L, md5(concat(mh6, mh7))) AS (band, bh)""".stripMargin))
+    val bandPairs = (0 until 4).map(b => struct(
+      lit(b.toLong).as("band"),
+      bandHash(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandPairs: _*)).as("bp"))
+      .select(col("doc_id"), col("bp.band").as("band"), col("bp.bh").as("bh"))
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -250,13 +281,18 @@ object SimOps {
     * scalable exact-similarity-join shape), thresholded to keep output
     * proportional to true matches. */
   def e8NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val win = Window.partitionBy("doc_id").orderBy("pos")
+    // persisted: feeds the per-doc set sizes AND (via the df>1 filter)
+    // both sides of the self-join — without the cache the
+    // tokenize→window→distinct subtree executes 3×
     val bg = tokenRows(s, d)
       .withColumn("w1", lead("w0", 1).over(win))
       .where(col("w1").isNotNull)
       .select(col("doc_id"), col("source"),
         concat_ws(" ", col("w0"), col("w1")).as("bg"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
     // prefix filter: a bigram occurring in a single document within its
     // bucket can never generate a pair — drop it BEFORE the self-join
@@ -264,6 +300,7 @@ object SimOps {
     val bgF = bg.withColumn("df",
       count(lit(1)).over(Window.partitionBy("source", "bg")))
       .where(col("df") > 1).drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK) // probed twice by the self-join
     val common = bgF.as("a")
       .join(bgF.as("b"),
         col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&

@@ -49,6 +49,51 @@ object TextOps {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_id")
 
+  /** E1x: exact dedup via the PRODUCTION-hash fast path — xxhash64
+    * (64-bit, non-cryptographic, ~3× cheaper per row than sha2-256 and
+    * codegen'd) instead of the cryptographic hash. The declared output
+    * exposes only the hash-INDEPENDENT columns (keeper id, copy count):
+    * DuckDB has no xxhash64, so the oracle groups by the normalized text
+    * itself — equivalent grouping absent 64-bit collisions (none at test
+    * scale; at ~10^10 docs the birthday bound makes collisions plausible,
+    * so contractual dedup keeps sha2 (e1) while bulk pipelines use this).
+    * XxHashVariantSpec additionally asserts e1-equivalence. */
+  def e1xTextDedupXx(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), xxhash64(norm(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+      .orderBy("keeper_id")
+
+  /** E11x: fingerprinting via xxhash64 — same shape as e11 (full-content
+    * fingerprint + winnowing min-shingle) with 8-byte longs in place of
+    * hex strings: the aggregation state and the shuffled bytes shrink ~4×.
+    * Hash values aren't DuckDB-reproducible → covered by
+    * XxHashVariantSpec (shingle counts must equal e11's; fingerprint
+    * equality classes must match md5's), not a declared oracle. */
+  def e11xFingerprintXx(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsParallel(s, d).select(col("doc_id"), norm(col("text")).as("nrm"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val shAgg = base
+      .select(col("doc_id"), posexplode(split(col("nrm"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead("w0", 1).over(w))
+      .withColumn("w2", lead("w0", 2).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(col("sh")).cast("int").as("n_shingles"),
+        min(xxhash64(col("sh"))).as("fp_min_shingle_xx"))
+    base
+      .select(col("doc_id"), xxhash64(col("nrm")).as("fp_xx"))
+      .join(shAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp_xx"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"), col("fp_min_shingle_xx"))
+      .orderBy("doc_id")
+  }
+
   /** E3: token counting — classic word-count with per-word doc
     * frequency. Tokenizer = whitespace split (the BPE-ish regex variant
     * is e10's token metrics). */

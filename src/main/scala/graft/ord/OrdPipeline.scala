@@ -193,6 +193,24 @@ object OrdPipeline {
         col("reaction_role"))
       .orderBy("dataset_id", "reaction_id", "tab_pos", "comp_pos")
 
+  /** The v1-units BUG as evidence (SURVEY §1.3): v1 hardcodes MOLE for
+    * every moles amount and LITER for every volume amount
+    * (web_scraper.py:447,455), while v2 decodes the actual unit enum
+    * (web_scrpaer_2.py:124-145) — so real GRAM/MILLILITER/MILLIGRAM data
+    * silently mislabels under v1. Per (file, kind, v2 unit): how many
+    * components v1's hardcoding would have mislabeled. */
+  def ordUnitsDiverge(s: SparkSession, d: String): DataFrame =
+    components(s)
+      .where(col("amount_kind").isin("moles", "volume"))
+      .select(col("file"), col("amount_kind"),
+        when(col("amount_kind") === "moles", lit("MOLE"))
+          .otherwise(lit("LITER")).as("v1_units"),
+        col("amount_units").as("v2_units"))
+      .groupBy("file", "amount_kind", "v1_units", "v2_units")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("diverges", col("v1_units") =!= col("v2_units"))
+      .orderBy("file", "amount_kind", "v2_units")
+
   /** S6 over ORD: the reference's primary sink — each dataset envelope
     * rendered as one nested JSON document (`json.dump`,
     * web_scrpaer_2.py:545-548). `to_json` drops null fields, matching

@@ -40,6 +40,25 @@ object ScaleJoins {
     salted.join(explodedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Declared-query form of the salted join (x3_salted_agg): lineitem's
+    * return flag carries only 3 distinct values — a genuinely skewed
+    * join key at ANY scale — decoded against a tiny dim through
+    * [[saltedJoin]] so the hot keys' rows spread over 8 salt buckets,
+    * then aggregated. Semantically identical to the plain join (the
+    * DuckDB oracle checks it); the salting changes only row placement. */
+  def x3SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq("R" -> "RETURNED", "A" -> "ACCEPTED", "N" -> "NONE")
+      .toDF("l_returnflag", "flag_name")
+    saltedJoin(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      dim, "l_returnflag", saltBuckets = 8)
+      .groupBy("flag_name")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity"))).cast("long").as("qty"))
+      .orderBy("flag_name")
+  }
+
   /** One-time setup: write orders + lineitem bucketed by the join key
     * into a warehouse under `target/bucketed` (local stand-in for the
     * curated bucketed layout a 100 TB deployment maintains). */

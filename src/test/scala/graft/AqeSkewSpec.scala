@@ -30,19 +30,50 @@ class AqeSkewSpec extends AnyFunSuite {
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-      val hot = spark.range(200000)
-        .select((col("id") % 1000).cast("int").as("noise"),
-          when(col("id") % 10 === 0, 0).otherwise(pmod(col("id"), lit(97)).cast("int") + 1)
-            .as("k"))
+      // a real skewed FIXTURE on disk (not an in-memory range): 10% of
+      // rows pile onto key 0, the layout a production fact table with a
+      // hot entity actually has
+      val fixDir = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+        "/skewed_fact"
+      if (!new java.io.File(s"$fixDir/_SUCCESS").exists()) {
+        spark.range(200000)
+          .select((col("id") % 1000).cast("int").as("noise"),
+            when(col("id") % 10 === 0, 0).otherwise(pmod(col("id"), lit(97)).cast("int") + 1)
+              .as("k"))
+          .write.mode("overwrite").parquet(fixDir)
+      }
+      val hot = spark.read.parquet(fixDir)
       val dim = spark.range(98).select(col("id").cast("int").as("k"),
         concat(lit("name"), col("id")).as("name"))
       val joined = hot.join(dim.hint("merge"), "k")
       // collect() drives THIS DataFrame's QueryExecution (count() would
       // plan a separate one and leave this plan unfinalized)
       assert(joined.collect().length == 200000)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE should have split the hot partition:\n${plan.take(2000)}")
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.contains("skew=true"),
+        s"AQE should have split the hot partition:\n${plan.toString.take(2000)}")
+      // the hot partition must actually have been SPLIT: the AQE shuffle
+      // read on the probe side exposes >1 partial-reducer spec for the
+      // skewed reducer
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+      // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are opaque to
+      // collect() — walk through them explicitly
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        p +: through.flatMap(allNodes)
+      }
+      val splitCounts = allNodes(plan).collect {
+        case r: AQEShuffleReadExec =>
+          r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
+      }
+      assert(splitCounts.exists(_ >= 2),
+        s"expected a skewed partition split into >=2 partial reads, got $splitCounts")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
