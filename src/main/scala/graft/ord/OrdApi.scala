@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object OrdApi {
 
-  /** One row per reaction, with positional metadata for range slicing. */
+  /** One row per reaction, with positional metadata for range slicing.
+    * Dataset position follows the file's STORED key order (the
+    * reference's scrape-arrival catalog order, `ds_pos` in the model) —
+    * not an alphabetical re-sort, which would silently renumber the
+    * unsorted golden files. */
   private def catalog(s: SparkSession): DataFrame = {
     OrdFixtures.ensure(s)
     import org.apache.spark.sql.expressions.Window
     val ds = s.read.parquet(OrdFixtures.nestedPath)
-      .withColumn("ds_pos",
-        row_number().over(Window.orderBy(col("file"), col("dataset_id"))))
+      .withColumn("ds_pos", // global 1-based over (file order, stored order)
+        row_number().over(Window.orderBy(col("file"), col("ds_pos"))))
     ds.select(col("file"), col("dataset_id"), col("ds_pos"),
         explode(col("reactions")).as("rx"))
       .select(col("file"), col("dataset_id"), col("ds_pos"),
@@ -80,4 +84,26 @@ object OrdApi {
       corpus: Option[String] = None): DataFrame =
     scoped(s, corpus)
       .where(col("dataset_id") === datasetId && col("rx_pos1") === rxIndex)
+
+  /** The reference's SAVE step (`json.dump(data, f, indent=2,
+    * ensure_ascii=False)`, web_scrpaer_2.py:545-548): write the selected
+    * datasets as one formatted-data JSON document, byte-compatible with
+    * the golden files (OrdJson pins layout, escaping, float lexemes, and
+    * the stored dataset order).
+    *
+    * Driver-side by design: this is where a curated, already-small
+    * result leaves the cluster — the reference's output files are ≤650 KB.
+    * Bulk exports belong to the distributed sink
+    * (OrdPipeline.ordS6Sink / DataFrameWriter). */
+  def saveFormatted(
+      s: SparkSession, path: String,
+      corpus: Option[String] = None, ids: Seq[String] = Nil): Unit = {
+    OrdFixtures.ensure(s)
+    import s.implicits._
+    var df = s.read.parquet(OrdFixtures.nestedPath)
+    corpus.foreach(f => df = df.where(col("file") === f))
+    if (ids.nonEmpty) df = df.where(col("dataset_id").isin(ids: _*))
+    val datasets = df.orderBy("file", "ds_pos").as[OrdDataset].collect().toSeq
+    OrdJson.writeFile(path, datasets)
+  }
 }

@@ -49,6 +49,9 @@ case class OrdReaction(
 case class OrdDataset(
     file: String,
     shape: String, // v1 (vestigial outcome amount) | v2 (measurements)
+    ds_pos: Int, // position within its file — the top-level JSON map's key
+                 // order is SCRAPE-ARRIVAL order (unsorted in the golden
+                 // files), load-bearing for byte-exact re-rendering
     dataset_id: String,
     total_reactions_scraped: Long,
     reactions: Seq[OrdReaction])
@@ -71,7 +74,9 @@ object OrdFixtures {
 
   val fixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures")
-  def nestedPath: String = s"$fixtureDir/ord_nested.parquet"
+  // _v2: fixture schema is versioned in the path so a stale on-disk
+  // fixture from an older schema can never be silently read
+  def nestedPath: String = s"$fixtureDir/ord_nested_v2.parquet"
   def rawPath: String = s"$fixtureDir/ord_raw.parquet"
 
   private val refDir = "/root/reference"
@@ -97,7 +102,9 @@ object OrdFixtures {
     val mapper = new ObjectMapper()
     val out = files.flatMap { f =>
       val root = mapper.readTree(new File(s"$refDir/$f"))
-      root.properties.asScala.toSeq.map { e => parseDataset(f, e.getKey, e.getValue) }
+      root.properties.asScala.toSeq.zipWithIndex.map { case (e, i) =>
+        parseDataset(f, e.getKey, e.getValue, i)
+      }
     }
     val datasets = out.map(_._1)
     val raws = out.flatMap(_._2)
@@ -175,7 +182,7 @@ object OrdFixtures {
     if (n.hasNonNull(k)) n.get(k).asText else default
 
   private def parseDataset(
-      file: String, key: String, env: JsonNode): (OrdDataset, Seq[OrdRaw]) = {
+      file: String, key: String, env: JsonNode, pos: Int): (OrdDataset, Seq[OrdRaw]) = {
     val reactions = Option(env.get("reactions")).map(_.elements.asScala.toSeq)
       .getOrElse(Seq.empty)
     val parsed = reactions.zipWithIndex.map { case (rx, i) => parseReaction(rx, i) }
@@ -185,7 +192,7 @@ object OrdFixtures {
       if (parsed.exists(_.outcomes.exists(_.measurements.nonEmpty))) "v2"
       else "v1"
     val ds = OrdDataset(
-      file = file, shape = shape,
+      file = file, shape = shape, ds_pos = pos,
       dataset_id = optText(env, "dataset_id", key),
       total_reactions_scraped =
         Option(env.get("total_reactions_scraped")).map(_.asLong).getOrElse(0L),

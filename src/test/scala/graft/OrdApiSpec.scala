@@ -48,6 +48,18 @@ class OrdApiSpec extends AnyFunSuite {
     assert(byDs == Map(ids(0) -> Seq(1, 2), ids(1) -> Seq(4, 5)))
   }
 
+  test("saveFormatted writes a byte-identical formatted-data file through Spark") {
+    // the _one corpus has 50 datasets in UNSORTED key order — this also
+    // proves the stored ds_pos survives the parquet round trip
+    val f = "ord_formatted_data_one.json"
+    val tmp = java.nio.file.Files.createTempFile("graft-save", ".json")
+    OrdApi.saveFormatted(spark, tmp.toString, corpus = Some(f))
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(tmp),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"/root/reference/$f"))))
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("mode single_target returns exactly one reaction") {
     val first = OrdApi.allReactions(spark).limit(1).collect()(0)
     val out = OrdApi.singleTarget(spark,

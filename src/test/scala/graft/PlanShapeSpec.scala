@@ -33,6 +33,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("E6 persists the shingle relation: plan reads the cache, not the tokenize subtree") {
+    val p = plan(SimOps.e6MinhashLsh(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "the shared shingle/signature relations must come from the cache")
+  }
+
+  test("E7 SimHash runs with NO row fan-out: no cross/nested-loop join anywhere") {
+    val p = plan(SimOps.e7Simhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the 16 bit votes must be aggregation columns, not a 16x row multiply")
+    assert(!p.contains("Join"), "e7 is scan -> two hash aggs; any join is a regression")
+  }
+
+  test("X3 salted join replicates the dim via explode and stays an equi-join") {
+    val p = plan(graft.plans.ScaleJoins.x3SaltedAgg(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Generate explode"), "salt replication should be a Generate node")
+  }
+
+  test("E1x xxhash64 dedup: partial aggregation, hash computed in the scan stage") {
+    val p = plan(TextOps.e1xTextDedupXx(spark, sf))
+    assert(p.contains("xxhash64") && p.contains("HashAggregate"))
+  }
+
   test("E2b LSH and E13 near-dup also avoid all-pairs products") {
     assert(!plan(SimOps.e2bCosineLsh(spark, sf)).contains("CartesianProduct"))
     assert(!plan(SimOps.e13EmbedNeardup(spark, sf)).contains("CartesianProduct"))

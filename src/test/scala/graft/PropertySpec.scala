@@ -26,6 +26,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pyFloatRepr round-trips every random finite double and obeys Python's notation rules") {
+    val fixed = Seq(0.1, 1.0 / 3.0, math.Pi, 1e-4, 9.999999999999999e-5,
+      1e15, 1.0000000000000002e16, Double.MinPositiveValue, Double.MaxValue)
+    val randoms = Seq.fill(2000) {
+      // span magnitudes: random sign/mantissa/exponent
+      val m = rnd.nextDouble() * 2 - 1
+      val e = rnd.nextInt(613) - 306
+      m * math.pow(10, e)
+    }.filter(d => !d.isNaN && !d.isInfinite && d != 0.0)
+    (fixed ++ randoms).foreach { d =>
+      val s = graft.ord.OrdJson.pyFloatRepr(d)
+      assert(s.toDouble == d, s"not a round trip: $d -> $s")
+      // CPython: fixed notation iff decimal exponent in [-4, 16)
+      val mag = math.abs(d)
+      val exp = math.floor(math.log10(mag)).toInt
+      if (s.contains("e")) {
+        assert(s.matches("-?\\d(\\.\\d+)?e[+-]\\d\\d+"), s"bad sci shape: $s")
+      } else if (mag >= 1e-4 && mag < 1e15) {
+        // (log10 at regime boundaries is float-fuzzy; interior is exact)
+        assert(exp >= -4 && exp < 16, s"fixed notation out of range: $d -> $s")
+      }
+    }
+  }
+
   test("first-seen dedup is idempotent and keeps minimal positions") {
     import org.apache.spark.sql.expressions.Window
     for (_ <- 1 to 5) {
