@@ -94,6 +94,7 @@ object SparkEntry {
     "e12_ann_brute"     -> (SimOps.e12AnnBrute _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
+    "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -361,6 +362,13 @@ object SparkEntry {
         |  WHEN 'A' THEN 'ACCEPTED' ELSE 'NONE' END AS flag_name,
         |  count(*) AS n, CAST(round(sum(l_quantity)) AS BIGINT) AS qty
         |FROM lineitem GROUP BY 1 ORDER BY flag_name""".stripMargin,
+    // the bucketed layout changes the PLAN (zero-Exchange SMJ, asserted in
+    // ScaleJoinSpec), never the ANSWER — the oracle is the plain join
+    "x4_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "e2_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),

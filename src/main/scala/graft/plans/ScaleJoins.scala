@@ -59,15 +59,25 @@ object ScaleJoins {
       .orderBy("flag_name")
   }
 
+  /** Table names are keyed by the scale-factor dir so the same session
+    * can verify at one SF and bench at another without silently reusing
+    * stale bucketed data. */
+  private def bktName(base: String, d: String): String = {
+    val p = java.nio.file.Paths.get(d)
+    val key = f"${p.toAbsolutePath.toString.hashCode}%08x"
+    s"${base}_bkt_$key"
+  }
+
   /** One-time setup: write orders + lineitem bucketed by the join key
-    * into a warehouse under `target/bucketed` (local stand-in for the
-    * curated bucketed layout a 100 TB deployment maintains). */
+    * into the session warehouse (local stand-in for the curated bucketed
+    * layout a 100 TB deployment maintains). */
   def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
-    if (!s.catalog.tableExists("orders_bkt") || !s.catalog.tableExists("lineitem_bkt")) {
+    val (ot, lt) = (bktName("orders", d), bktName("lineitem", d))
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
       // the in-memory catalog forgets tables across sessions while their
       // files persist — clear stale locations before re-creating
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      for (t <- Seq("orders_bkt", "lineitem_bkt")) {
+      for (t <- Seq(ot, lt)) {
         val dir = new java.io.File(wh, t)
         if (dir.exists()) {
           import scala.reflect.io.Directory
@@ -76,10 +86,10 @@ object ScaleJoins {
       }
       orders(s, d).write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("orders_bkt")
+        .saveAsTable(ot)
       lineitem(s, d).write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("lineitem_bkt")
+        .saveAsTable(lt)
     }
   }
 
@@ -91,8 +101,8 @@ object ScaleJoins {
     * feeds the downstream per-key aggregation shuffle-free. */
   def bucketedJoinDemo(s: SparkSession, d: String): DataFrame = {
     ensureBucketed(s, d)
-    s.table("orders_bkt").hint("merge")
-      .join(s.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+    s.table(bktName("orders", d)).hint("merge")
+      .join(s.table(bktName("lineitem", d)), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity"))).cast("long").as("qty"))
       .orderBy("o_orderkey")
