@@ -26,6 +26,12 @@ object Bench {
     // loading. Failures degrade to a per-query stderr line.
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      // Queries that persist() shared sub-relations (e6/e8/e16) register
+      // them in the session cache by canonicalized plan, so a later run
+      // of the same query would silently reuse the earlier run's cache
+      // and report a time that excludes building it. Clear the cache so
+      // every reported number pays its own materialization.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -92,6 +92,8 @@ object SparkEntry {
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
     "e12_ann_brute"     -> (SimOps.e12AnnBrute _),
+    "e14_hash_sample"    -> (TextOps.e14HashSample _),
+    "e17_len_quantiles"  -> (TextOps.e17LengthQuantiles _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
@@ -603,6 +605,23 @@ object SparkEntry {
         |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
         |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 5
         |ORDER BY q_id, "rank"""".stripMargin,
+    "e14_hash_sample" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
+        |    AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 < 8
+        |    THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 = 8
+        |    THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e17_len_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(min(length(text)) AS INTEGER) AS min_len,
+        |  round(quantile_cont(length(text), 0.25), 6) AS p25,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50,
+        |  round(quantile_cont(length(text), 0.75), 6) AS p75,
+        |  CAST(max(length(text)) AS INTEGER) AS max_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,

@@ -229,6 +229,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** E14: deterministic hash-split sampling — the holdout-split
+    * primitive of a training-data pipeline: bucket = first-16-bits of
+    * md5(doc_id) mod 10 → 8/1/1 train/val/test. Hash-derived, so the
+    * split is stable across runs, engines, and cluster layouts — no RNG
+    * seed coupling, no sampleBy reshuffle drift; a document keeps its
+    * split forever even as the corpus grows. md5 keeps the DuckDB oracle
+    * bit-identical (production: xxhash64, same shape). One scan, fully
+    * codegen'd, no shuffle before the output sort. */
+  def e14HashSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 10"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** E17: corpus length statistics — exact continuous quantiles of
+    * document length per source (the distribution check run before and
+    * after every filtering stage of a data pipeline). Exact
+    * `percentile` here because the oracle must match bit-for-bit; the
+    * 100 TB path swaps `percentile_approx` (t-digest sketch, one pass,
+    * mergeable across partitions) into the same plan. */
+  def e17LengthQuantiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), length(col("text")).as("len"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"),
+        round(percentile(col("len"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("len"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("len"), lit(0.75)), 6).as("p75"),
+        max(col("len")).as("max_len"))
+      .orderBy("source")
+
   /** M1: multimodal column plumbing — text bytes stand in for an opaque
     * media payload (`binary` column + typed metadata), run through a
     * partition-batched decode STUB.
