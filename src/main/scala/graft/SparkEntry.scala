@@ -74,6 +74,7 @@ object SparkEntry {
     "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
     "e5b_stream_parity"    -> (graft.streaming.EventStreams.e5StreamToTable _),
     "c5_dead_letter"       -> (graft.streaming.EventStreams.c5DeadLetterStats _),
+    "c4_stateful_totals"   -> (graft.streaming.StatefulOps.c4StatefulTotals _),
     "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
     // §2.10 LLM-pipeline: dedup / similarity / text analysis / multimodal
     "e1_text_dedup"     -> (TextOps.e1TextDedup _),
@@ -346,6 +347,12 @@ object SparkEntry {
     "s2b_partition_pruned" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    // the custom-state stream must converge to the plain batch aggregate
+    "c4_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e1_text_dedup" ->
       """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies

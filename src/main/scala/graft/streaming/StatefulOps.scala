@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary-state streaming (SURVEY §2.10 C4's strong form): the
+  * reference keeps custom progress state across pages — `page_num` and a
+  * seen-set carried between scrape rounds (`/root/reference/
+  * web_scrpaer_2.py:246-281`) — which is MORE than a windowed
+  * aggregation: it is user-defined state evolved by user code. The Spark
+  * analogue is `KeyValueGroupedDataset.flatMapGroupsWithState`, used
+  * here for per-user running totals whose state (event count, value
+  * cents) is updated by arbitrary Scala per micro-batch.
+  *
+  * Scale stance: state lives in the state store partitioned by user_id
+  * (RocksDB-backed on a cluster), one entry per user; each micro-batch
+  * shuffles only its own rows. Rounding to cents happens in the
+  * DataFrame (Spark SQL `round`) BEFORE entering typed code, so the
+  * value the state fold sees is the exact long the DuckDB oracle
+  * computes — no JVM-vs-SQL rounding divergence.
+  */
+object StatefulOps {
+
+  /** One output row per (user, micro-batch) with the running totals. */
+  case class UserAgg(user_id: Long, n_events: Long, value_cents: Long)
+
+  /** Streaming per-user running totals with custom state. Update-mode
+    * output: each micro-batch emits the refreshed totals for the users
+    * it touched. */
+  def userRunningTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = EventStreams.eventsStream(s, dir)
+      .select(col("user_id"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+      .as[(Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; cents += c }
+          state.update((n, cents))
+          Iterator(UserAgg(user, n, cents))
+      }
+      .toDF()
+  }
+
+  /** Declared-query form (`c4_stateful_totals`): drain the throttled
+    * stream, then keep each user's LAST update — n_events strictly
+    * increases per user, so the max-count row is the final state. The
+    * DuckDB oracle is the plain batch aggregation: proof that arbitrary
+    * streaming state converges to the batch answer once the source is
+    * drained (the reference's resumed-scrape == full-scrape property). */
+  def c4StatefulTotals(s: SparkSession, dir: String): DataFrame = {
+    val name = s"c4_state_${System.nanoTime()}"
+    val q = userRunningTotals(s, dir).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+}

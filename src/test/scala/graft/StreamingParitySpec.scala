@@ -60,6 +60,19 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("C4 custom state: flatMapGroupsWithState running totals converge to batch") {
+    val out = graft.streaming.StatefulOps.c4StatefulTotals(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+          .as("value_cents"))
+      .orderBy("user_id")
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+    assert(out.count() > 0)
+  }
+
   test("C5 dead-letter decode never throws: malformed props become error rows") {
     import spark.implicits._
     val df = Seq(
