@@ -81,6 +81,7 @@ object SparkEntry {
     "e1x_dedup_xxhash"  -> (TextOps.e1xTextDedupXx _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
+    "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
     "e3_token_counts"   -> (TextOps.e3TokenCounts _),
     "e3b_token_regex"   -> (TextOps.e3bTokenRegex _),
     "e13_embed_neardup" -> (SimOps.e13EmbedNeardup _),
@@ -389,6 +390,17 @@ object SparkEntry {
         |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
         |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
         |ORDER BY q_id, "rank"""".stripMargin,
+    "e2c_topk_native" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+        |  FROM q JOIN n c ON q.label = c.label AND c.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM j)
+        |SELECT q_id, cand_id, cos_sim FROM r WHERE rn <= 3
+        |ORDER BY q_id, cos_sim DESC, cand_id""".stripMargin,
     "e2b_cosine_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id, v,

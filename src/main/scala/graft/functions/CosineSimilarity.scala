@@ -130,8 +130,11 @@ object GraftFunctions {
       cosineDescriptor._1.funcName, cosineDescriptor._3, "scala_udf")
 }
 
-/** Injectable extensions class (`spark.sql.extensions`). */
+/** Injectable extensions class (`spark.sql.extensions`): the SQL
+  * function(s) plus the TopKPerKey planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -57,6 +57,25 @@ object SimOps {
         cosine(col("qv"), col("v")).as("cos_sim")), 3)
   }
 
+  /** E2c: e2's semantics through the custom TopKPerKey Catalyst operator
+    * (graft.plans.TopKPerKey) instead of the window+filter idiom — at
+    * scale the window form shuffles EVERY scored candidate; the custom
+    * operator's map-side bounded heaps ship at most partitions×keys×k
+    * rows to the exchange. Same rows as e2 minus the rank column
+    * (oracle-checked against the same DuckDB query). */
+  def e2cTopkNative(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d))
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), Seq("label"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+    graft.plans.TopKPerKey.topKPerKey(scored, 3,
+      keys = Seq("q_id"), orderBy = Seq(("cos_sim", false), ("cand_id", true)))
+      .orderBy(col("q_id"), col("cos_sim").desc, col("cand_id"))
+  }
+
   /** E12: brute-force cosine top-k baseline — the exact-answer reference
     * for E2. The tiny query set is broadcast and streamed against every
     * vector (BroadcastNestedLoopJoin): one scan of the big side, O(Q·N)

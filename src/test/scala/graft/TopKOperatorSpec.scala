@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+import scala.util.Random
+
+/** The custom TopKPerKey Catalyst operator: exactness vs the window
+  * idiom on random data, the partial→exchange→final physical shape, and
+  * the map-side row reduction that is its whole reason to exist. */
+class TopKOperatorSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+
+  test("exact vs window row_number on random data (with ties and tiny groups)") {
+    for (_ <- 1 to 3) {
+      // values drawn from a small range so ties are common — the
+      // tie-break column keeps the ordering total
+      val rows = Seq.fill(5000)((rnd.nextInt(40).toLong, rnd.nextInt(20), rnd.nextInt(100000)))
+      val df = rows.toDF("key", "score", "tiebreak").repartition(7)
+      val viaOp = TopKPerKey.topKPerKey(df, 3,
+        keys = Seq("key"), orderBy = Seq(("score", false), ("tiebreak", true)))
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("tiebreak"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).drop("rn")
+      assert(viaOp.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaOp).count() == 0)
+      assert(viaOp.count() > 0)
+    }
+  }
+
+  test("k larger than every group degenerates to the identity") {
+    val df = Seq((1L, 10), (1L, 20), (2L, 30)).toDF("key", "score")
+    val out = TopKPerKey.topKPerKey(df, 100,
+      keys = Seq("key"), orderBy = Seq(("score", true)))
+    assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+  }
+
+  test("physical plan: partial heap -> exchange -> final heap") {
+    val df = Seq.fill(100)((rnd.nextInt(5).toLong, rnd.nextInt())).toDF("key", "score")
+      .repartition(4)
+    val out = TopKPerKey.topKPerKey(df, 2,
+      keys = Seq("key"), orderBy = Seq(("score", false)))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    // the partial exec must sit BELOW the exchange (map side)
+    val lines = p.linesIterator.toSeq
+    val iFinal = lines.indexWhere(_.contains("TopKPerKeyFinal"))
+    val iEx = lines.indexWhere(_.contains("Exchange"), iFinal)
+    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial"), iFinal)
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
+      s"expected Final above Exchange above Partial:\n$p")
+  }
+
+  test("map side ships at most partitions*keys*k rows to the shuffle") {
+    // 10k rows, 4 keys, 8 partitions, k=2 → partial output <= 8*4*2 = 64
+    val df = Seq.fill(10000)((rnd.nextInt(4).toLong, rnd.nextInt())).toDF("key", "score")
+      .repartition(8)
+    val out = TopKPerKey.topKPerKey(df, 2,
+      keys = Seq("key"), orderBy = Seq(("score", false)))
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: through.flatMap(allNodes)
+    }
+    val partialRows = allNodes(out.queryExecution.executedPlan).collectFirst {
+      case t: TopKPerKeyExec if t.partial => t.metrics("numOutputRows").value
+    }
+    assert(partialRows.exists(n => n > 0 && n <= 64),
+      s"partial output should be bounded by partitions*keys*k, got $partialRows")
+  }
+
+  test("unknown column fails fast with a clear message") {
+    val df = Seq((1L, 1)).toDF("key", "score")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, 1, Seq("nope"), Seq(("score", true)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
