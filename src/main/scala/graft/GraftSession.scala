@@ -22,6 +22,9 @@ object GraftSession {
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // GC'd checkpointed RDDs (e16's final per-query state) release
+      // their files; intermediate loop state is deleted eagerly in-op
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   def local(
       cores: Int = Runtime.getRuntime.availableProcessors(),

@@ -17,6 +17,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
+        // queries that persist() shared sub-relations register them in the
+        // session cache for the query's lifetime — release between queries
+        spark.catalog.clearCache()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         name -> "ok"

@@ -28,6 +28,25 @@ object ClusterOps {
     }
   }
 
+  /** Checkpoint files backing a checkpointed DataFrame (empty when the
+    * plan isn't a checkpoint scan — cleanup is strictly best-effort). */
+  private def checkpointFiles(df: DataFrame): Seq[String] =
+    scala.util.Try {
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getCheckpointFile.toSeq
+        }.flatten
+    }.getOrElse(Seq.empty)
+
+  private def deleteFiles(s: SparkSession, files: Seq[String]): Unit =
+    files.foreach { f =>
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+
   /** E16: duplicate clusters — connected components over the near-dup
     * pair graph (exact-hash pairs ∪ n-gram-Jaccard pairs), labeling each
     * clustered document with its component's minimum doc_id (the
@@ -55,7 +74,8 @@ object ClusterOps {
     val exactPairs = h.as("a").join(h.as("b"),
       col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val nearPairs = SimOps.e8NgramJaccard(s, d).select("d1", "d2")
+    val (nearPairsFull, e8Caches) = SimOps.e8NgramJaccardWithCaches(s, d)
+    val nearPairs = nearPairsFull.select("d1", "d2")
     val undirected = exactPairs.unionByName(nearPairs).distinct()
     // The edge set is probed by every iteration: reliable checkpoint —
     // durable files AND a truncated logical plan, so each round's analysis
@@ -63,7 +83,8 @@ object ClusterOps {
     // (measured 8 s -> 13 s when this was a persist with intact lineage).
     val edges = undirected.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(undirected.select(col("d2").as("a"), col("d1").as("b")))
-      .checkpoint()
+      .checkpoint() // eager — e8's caches are releasable from here on
+    e8Caches.foreach(_.unpersist(blocking = false))
     val verts = edges.select(col("a").as("node")).distinct()
 
     var labels = verts.withColumn("lbl", col("node")).checkpoint()
@@ -88,10 +109,18 @@ object ClusterOps {
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
         .checkpoint()
       frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
+      val prevFiles = checkpointFiles(labels)
       changed = frontier.count() // materializes `next`
+      // each checkpoint truncates lineage, so once `next` is on disk the
+      // PREVIOUS round's files back nothing — delete them (the loop would
+      // otherwise leak one state snapshot per round per run)
+      deleteFiles(s, prevFiles)
       labels = next.drop("old")
       iter += 1
     }
+    // the loop is done with the edge snapshot too; only the final labels
+    // checkpoint (which the returned plan reads) must outlive this call
+    deleteFiles(s, checkpointFiles(edges))
     // diameter-bound exceeded: labels would be silently wrong vs the
     // exact recursive-CTE oracle — fail loudly instead
     if (changed > 0)

@@ -299,7 +299,16 @@ object SimOps {
     * equi-join within a `source` bucket (inverted-index join, the
     * scalable exact-similarity-join shape), thresholded to keep output
     * proportional to true matches. */
-  def e8NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def e8NgramJaccard(s: SparkSession, d: String): DataFrame =
+    e8NgramJaccardWithCaches(s, d)._1
+
+  /** e8 plus the handles of its persisted sub-relations — for callers
+    * (e16) that consume e8 inside an EAGER step and can release the
+    * caches as soon as their downstream materializes. The plain
+    * e8NgramJaccard keeps them for the query's lifetime (the lazy result
+    * still reads them); sessions reclaim via catalog.clearCache(). */
+  private[ops] def e8NgramJaccardWithCaches(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val win = Window.partitionBy("doc_id").orderBy("pos")
     // persisted: feeds the per-doc set sizes AND (via the df>1 filter)
@@ -326,7 +335,7 @@ object SimOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(counts.select(col("doc_id").as("d1"), col("n_bg").as("n1")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n_bg").as("n2")), "d2")
       .withColumn("n_union", col("n1") + col("n2") - col("n_common"))
@@ -334,5 +343,6 @@ object SimOps {
       .where(col("n_common") >= 5 && col("jaccard") >= 0.1)
       .select("d1", "d2", "n_common", "n_union", "jaccard")
       .orderBy("d1", "d2")
+    (result, Seq(bg, bgF))
   }
 }

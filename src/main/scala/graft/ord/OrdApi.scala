@@ -104,6 +104,15 @@ object OrdApi {
     corpus.foreach(f => df = df.where(col("file") === f))
     if (ids.nonEmpty) df = df.where(col("dataset_id").isin(ids: _*))
     val datasets = df.orderBy("file", "ds_pos").as[OrdDataset].collect().toSeq
+    // the output document is a map keyed by dataset_id — the same id from
+    // two source files cannot be represented (renderFile would silently
+    // keep only the last); fail loudly instead of losing data
+    val dupes = datasets.groupBy(_.dataset_id).filter(_._2.size > 1)
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(
+        "saveFormatted: dataset_id(s) appear in multiple source files and " +
+          s"would collide in one JSON document: ${dupes.keys.mkString(", ")} — " +
+          "scope with corpus=Some(file) or disjoint ids")
     OrdJson.writeFile(path, datasets)
   }
 }

@@ -61,9 +61,10 @@ case class OrdRaw(file: String, dataset_id: String, reaction_id: String, raw: St
   * (`/root/reference/ord_formatted_data*.json`, read-only) into two
   * parquet fixtures under `target/fixtures`:
   *
-  *  - `ord_nested.parquet`  — one row per dataset, full nested schema
-  *  - `ord_raw.parquet`     — one row per reaction with its compact raw
-  *                            JSON (the S4 `from_json` input)
+  *  - `ord_nested_v2.parquet` — one row per dataset, full nested schema
+  *                              (path carries the schema version)
+  *  - `ord_raw.parquet`       — one row per reaction with its compact raw
+  *                              JSON (the S4 `from_json` input)
   *
   * The top-level JSON object is keyed by dataset_id (dynamic keys), so it
   * is parsed driver-side with Jackson (which preserves key order) rather

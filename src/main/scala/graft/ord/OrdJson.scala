@@ -32,9 +32,12 @@ import scala.jdk.CollectionConverters._
   */
 object OrdJson {
 
-  /** CPython `repr(float)` equivalent for non-integral finite doubles. */
+  /** CPython `repr(float)` equivalent for non-integral finite doubles
+    * (and signed zeros: Python prints -0.0 as "-0.0"). */
   def pyFloatRepr(v: Double): String = {
     require(!v.isNaN && !v.isInfinite, s"non-finite double unrepresentable in JSON: $v")
+    if (v == 0.0)
+      return if (java.lang.Double.doubleToRawLongBits(v) != 0L) "-0.0" else "0.0"
     // shortest round-tripping significand: try 1..17 significant digits
     var digits: String = null
     var exp10 = 0
@@ -51,7 +54,7 @@ object OrdJson {
       }
       p += 1
     }
-    val sign = if (v < 0) "-" else ""
+    val sign = if (java.lang.Double.doubleToRawLongBits(v) < 0L) "-" else ""
     if (exp10 >= -4 && exp10 < 16) {
       // fixed notation (CPython: -4 <= exp < 16)
       if (exp10 >= digits.length - 1) {
@@ -95,8 +98,11 @@ object OrdJson {
     else {
       val v = n.asDouble
       // integral double → int lexeme (see Scaladoc: matches every golden
-      // file; the reference's source JSON types integers as ints)
-      if (v == math.rint(v) && math.abs(v) < 1e16) sb.append(v.toLong.toString)
+      // file; the reference's source JSON types integers as ints).
+      // -0.0 is NOT integral-rendered: Python prints it "-0.0".
+      val negZero = v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L
+      if (!negZero && v == math.rint(v) && math.abs(v) < 1e16)
+        sb.append(v.toLong.toString)
       else sb.append(pyFloatRepr(v))
     }
 

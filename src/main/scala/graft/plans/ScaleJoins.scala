@@ -73,7 +73,18 @@ object ScaleJoins {
     * layout a 100 TB deployment maintains). */
   def ensureBucketed(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
     val (ot, lt) = (bktName("orders", d), bktName("lineitem", d))
-    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+    // staleness gate: regenerated source data at the same path must not
+    // silently reuse old bucketed copies — compare source mtimes against
+    // a marker written when the tables were built
+    val srcM = Seq("orders.parquet", "lineitem.parquet")
+      .map(f => new java.io.File(d, f).lastModified).max
+    val wh0 = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val marker = new java.io.File(wh0, s"$ot-src-mtime")
+    val fresh = s.catalog.tableExists(ot) && s.catalog.tableExists(lt) &&
+      marker.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(srcM)
+    if (!fresh) {
       // the in-memory catalog forgets tables across sessions while their
       // files persist — clear stale locations before re-creating
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -90,6 +101,8 @@ object ScaleJoins {
       lineitem(s, d).write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lt)
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, srcM.toString)
     }
   }
 

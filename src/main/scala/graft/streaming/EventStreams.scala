@@ -91,6 +91,35 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n"))
 
+  /** Drain a streaming DataFrame into a memory-sink table and return the
+    * table name. The checkpoint is a THROWAWAY (a memory sink cannot
+    * resume across processes anyway): it lives under the fixture root,
+    * not /tmp, and is deleted once the drain finishes — repeated
+    * bench/verify runs leak nothing. */
+  private[graft] def drainToTable(
+      s: SparkSession, df: DataFrame, name: String, mode: String): String = {
+    val ckpt = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-ckpt", name)
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      scala.util.Try { // best-effort: the checkpoint has no further use
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(ckpt))
+          Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    name
+  }
+
   /** Declared-query form of the E4 streaming aggregation: drains the
     * throttled file stream to a memory sink and returns the final table —
     * so the driver's DuckDB oracle checks STREAMING output, not just the
@@ -98,26 +127,16 @@ object EventStreams {
     * ingestion arriving at the same totals as a full scrape,
     * web_scrpaer_2.py:246-281.) */
   def e4StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val name = s"e4_stream_${System.nanoTime()}"
-    val q = e4TimeWindowStream(s, dir).writeStream
-      .format("memory").queryName(name).outputMode("complete")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val name = drainToTable(s, e4TimeWindowStream(s, dir),
+      s"e4_stream_${System.nanoTime()}", "complete")
     s.table(name).orderBy("win_start", "event_type")
   }
 
   /** Declared-query form of the E5 streaming sessionization (see
     * e4StreamToTable). */
   def e5StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val name = s"e5_stream_${System.nanoTime()}"
-    val q = e5SessionWindowStream(s, dir).writeStream
-      .format("memory").queryName(name).outputMode("complete")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val name = drainToTable(s, e5SessionWindowStream(s, dir),
+      s"e5_stream_${System.nanoTime()}", "complete")
     s.table(name).orderBy("user_id", "sess_start")
   }
 

@@ -54,13 +54,8 @@ object StatefulOps {
     * streaming state converges to the batch answer once the source is
     * drained (the reference's resumed-scrape == full-scrape property). */
   def c4StatefulTotals(s: SparkSession, dir: String): DataFrame = {
-    val name = s"c4_state_${System.nanoTime()}"
-    val q = userRunningTotals(s, dir).writeStream
-      .format("memory").queryName(name).outputMode("update")
-      .option("checkpointLocation", s"/tmp/graft-ckpt-$name")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val name = EventStreams.drainToTable(s, userRunningTotals(s, dir),
+      s"c4_state_${System.nanoTime()}", "update")
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
     s.table(name)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")

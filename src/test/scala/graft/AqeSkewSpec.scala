@@ -32,16 +32,16 @@ class AqeSkewSpec extends AnyFunSuite {
 
       // a real skewed FIXTURE on disk (not an in-memory range): 10% of
       // rows pile onto key 0, the layout a production fact table with a
-      // hot entity actually has
+      // hot entity actually has. Rewritten EVERY run (~1 s) — an
+      // existence gate would silently pin the test to a stale
+      // distribution after the generator expression changes.
       val fixDir = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
         "/skewed_fact"
-      if (!new java.io.File(s"$fixDir/_SUCCESS").exists()) {
-        spark.range(200000)
-          .select((col("id") % 1000).cast("int").as("noise"),
-            when(col("id") % 10 === 0, 0).otherwise(pmod(col("id"), lit(97)).cast("int") + 1)
-              .as("k"))
-          .write.mode("overwrite").parquet(fixDir)
-      }
+      spark.range(200000)
+        .select((col("id") % 1000).cast("int").as("noise"),
+          when(col("id") % 10 === 0, 0).otherwise(pmod(col("id"), lit(97)).cast("int") + 1)
+            .as("k"))
+        .write.mode("overwrite").parquet(fixDir)
       val hot = spark.read.parquet(fixDir)
       val dim = spark.range(98).select(col("id").cast("int").as("k"),
         concat(lit("name"), col("id")).as("name"))

@@ -58,5 +58,8 @@ class OrdByteExactSpec extends AnyFunSuite {
     assert(OrdJson.pyFloatRepr(1e22) == "1e+22")
     assert(OrdJson.pyFloatRepr(1.5) == "1.5")
     assert(OrdJson.pyFloatRepr(123456.0) == "123456.0")
+    // signed zeros: CPython prints them distinctly
+    assert(OrdJson.pyFloatRepr(0.0) == "0.0")
+    assert(OrdJson.pyFloatRepr(-0.0) == "-0.0")
   }
 }
