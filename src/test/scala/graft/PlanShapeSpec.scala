@@ -57,6 +57,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("xxhash64") && p.contains("HashAggregate"))
   }
 
+  test("window top-k idiom gets Spark's native map-side WindowGroupLimit") {
+    // the declarative rank-filter form must stay shuffle-bounded: Spark's
+    // InferWindowGroupLimit inserts a partial per-key limit BELOW the
+    // exchange (the built-in cousin of our TopKPerKey operator)
+    val p = plan(SimOps.e2CosineTopk(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter should trigger InferWindowGroupLimit")
+  }
+
   test("E2b LSH and E13 near-dup also avoid all-pairs products") {
     assert(!plan(SimOps.e2bCosineLsh(spark, sf)).contains("CartesianProduct"))
     assert(!plan(SimOps.e13EmbedNeardup(spark, sf)).contains("CartesianProduct"))

@@ -33,6 +33,19 @@ class TopKOperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("composite keys: top-1 per (key1, key2) matches the window form") {
+    val rows = Seq.fill(3000)(
+      (rnd.nextInt(6), rnd.nextInt(4).toString, rnd.nextInt(1000), rnd.nextInt(1000)))
+    val df = rows.toDF("k1", "k2", "score", "tb").repartition(5)
+    val viaOp = TopKPerKey.topKPerKey(df, 1,
+      keys = Seq("k1", "k2"), orderBy = Seq(("score", true), ("tb", true)))
+    val w = Window.partitionBy("k1", "k2").orderBy(col("score"), col("tb"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    assert(viaOp.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaOp).count() == 0)
+  }
+
   test("k larger than every group degenerates to the identity") {
     val df = Seq((1L, 10), (1L, 20), (2L, 30)).toDF("key", "score")
     val out = TopKPerKey.topKPerKey(df, 100,
