@@ -140,6 +140,29 @@ object EventStreams {
     s.table(name).orderBy("user_id", "sess_start")
   }
 
+  /** Production FILE-sink pattern (the reference's append-a-page-per-
+    * round output, web_scrpaer_2.py:268-281, made restart-safe):
+    * `foreachBatch` writes each micro-batch to its own `batch=<id>`
+    * subdirectory with overwrite semantics. A batch REPLAYED after a
+    * restart (the at-least-once window between sink write and offset
+    * commit) overwrites its own directory instead of duplicating rows —
+    * idempotence by layout, no transactional sink needed. Returns the
+    * number of micro-batches written this invocation. */
+  def streamEventsToParquet(s: SparkSession, dir: String, outDir: String): Long = {
+    val ckpt = s"$outDir/_checkpoint"
+    var batches = 0L
+    val q = eventsStream(s, dir).writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        batches += 1
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
     * row lands in an error column instead of failing the task
     * (reference: failed reaction → success:false row retained,

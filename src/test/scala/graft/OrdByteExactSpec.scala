@@ -62,4 +62,16 @@ class OrdByteExactSpec extends AnyFunSuite {
     assert(OrdJson.pyFloatRepr(0.0) == "0.0")
     assert(OrdJson.pyFloatRepr(-0.0) == "-0.0")
   }
+
+  test("ensure_ascii=False escaping: unicode raw, control chars escaped like Python") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("a", "h\u00e9llo\nw\u00f6rld\t\"q\"\\")
+    node.put("b", "\u0001")
+    node.putNull("nul")
+    // python: json.dumps(..., indent=2, ensure_ascii=False)
+    val expected =
+      "{\n  \"a\": \"h\u00e9llo\\nw\u00f6rld\\t\\\"q\\\"\\\\\",\n  \"b\": \"\\u0001\",\n  \"nul\": null\n}"
+    assert(OrdJson.prettyPrint(node) == expected)
+  }
 }

@@ -31,6 +31,19 @@ class RecoverySpec extends AnyFunSuite {
     assert(files > 0, s"no checkpoint files under $ckptDir")
   }
 
+  test("foreachBatch parquet sink is idempotent across re-runs of the same checkpoint") {
+    val out = Files.createTempDirectory("graft-fb").toString
+    val n1 = graft.streaming.EventStreams.streamEventsToParquet(spark, sf, out)
+    assert(n1 > 0)
+    val afterFirst = spark.read.parquet(s"$out/batch=*").count()
+    assert(afterFirst == Tables.events(spark, sf).count())
+    // second run, same checkpoint, no new source files: nothing replays,
+    // nothing duplicates
+    val n2 = graft.streaming.EventStreams.streamEventsToParquet(spark, sf, out)
+    assert(n2 == 0, s"drained source should yield no batches, got $n2")
+    assert(spark.read.parquet(s"$out/batch=*").count() == afterFirst)
+  }
+
   test("streaming restart from checkpoint: exactly-once across stop/resume") {
     val base = Files.createTempDirectory("graft-recov")
     val landing = base.resolve("landing")
