@@ -361,7 +361,9 @@ object SimOps {
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
     // prefix filter: a bigram occurring in a single document within its
     // bucket can never generate a pair — drop it BEFORE the self-join
-    // (set-size counts above still use the unfiltered relation)
+    // (set-size counts above still use the unfiltered relation).
+    // (A hash-agg + semi-join formulation measured equal to this window
+    // form at sf0.1 — the window keeps it to one exchange of bg rows.)
     val bgF = bg.withColumn("df",
       count(lit(1)).over(Window.partitionBy("source", "bg")))
       .where(col("df") > 1).drop("df")

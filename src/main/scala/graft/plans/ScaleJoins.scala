@@ -62,11 +62,8 @@ object ScaleJoins {
   /** Table names are keyed by the scale-factor dir so the same session
     * can verify at one SF and bench at another without silently reusing
     * stale bucketed data. */
-  private def bktName(base: String, d: String): String = {
-    val p = java.nio.file.Paths.get(d)
-    val key = f"${p.toAbsolutePath.toString.hashCode}%08x"
-    s"${base}_bkt_$key"
-  }
+  private def bktName(base: String, d: String): String =
+    s"${base}_bkt_${graft.util.PathKeys.pathKey(d)}"
 
   /** One-time setup: write orders + lineitem bucketed by the join key
     * into the session warehouse (local stand-in for the curated bucketed

@@ -21,12 +21,9 @@ object PartitionedLayout {
   /** Layout path is per scale factor — the same session may verify at
     * one SF and test at another. Keyed by basename PLUS a hash of the
     * full source path so two roots with the same basename never collide. */
-  def layoutDir(d: String): String = {
-    val p = java.nio.file.Paths.get(d)
-    val key = f"${p.toAbsolutePath.toString.hashCode}%08x"
+  def layoutDir(d: String): String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
-      s"/orders_by_status/${p.getFileName}-$key"
-  }
+      s"/orders_by_status/${graft.util.PathKeys.keyedName(d)}"
 
   /** One-time: write orders partitioned by status. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {

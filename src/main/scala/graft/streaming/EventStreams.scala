@@ -42,10 +42,9 @@ object EventStreams {
     // Landing dir keyed by the FULL source path (hashed) plus basename, so
     // /a/sf0.1 and /b/sf0.1 never collide; staged copy is refreshed when
     // the source's (size, mtime) changes — no silently-stale stream input.
-    val key = f"${Paths.get(dir).toAbsolutePath.toString.hashCode}%08x"
     val landing = Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
-      "stream-events", s"${Paths.get(dir).getFileName.toString}-$key")
+      "stream-events", graft.util.PathKeys.keyedName(dir))
     synchronized {
       val dst = landing.resolve("events.parquet")
       val stale = !Files.exists(dst) ||

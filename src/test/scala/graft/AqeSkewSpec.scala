@@ -55,20 +55,9 @@ class AqeSkewSpec extends AnyFunSuite {
       // the hot partition must actually have been SPLIT: the AQE shuffle
       // read on the probe side exposes >1 partial-reducer spec for the
       // skewed reducer
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
       import org.apache.spark.sql.execution.PartialReducerPartitionSpec
-      // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are opaque to
-      // collect() — walk through them explicitly
-      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-        val through = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case _ => p.children
-        }
-        p +: through.flatMap(allNodes)
-      }
-      val splitCounts = allNodes(plan).collect {
+      val splitCounts = PlanWalk.allNodes(plan).collect {
         case r: AQEShuffleReadExec =>
           r.partitionSpecs.count(_.isInstanceOf[PartialReducerPartitionSpec])
       }

@@ -77,17 +77,7 @@ class TopKOperatorSpec extends AnyFunSuite {
     val out = TopKPerKey.topKPerKey(df, 2,
       keys = Seq("key"), orderBy = Seq(("score", false)))
     out.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val through = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => p.children
-      }
-      p +: through.flatMap(allNodes)
-    }
-    val partialRows = allNodes(out.queryExecution.executedPlan).collectFirst {
+    val partialRows = PlanWalk.allNodes(out.queryExecution.executedPlan).collectFirst {
       case t: TopKPerKeyExec if t.partial => t.metrics("numOutputRows").value
     }
     assert(partialRows.exists(n => n > 0 && n <= 64),
