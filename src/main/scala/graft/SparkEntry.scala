@@ -98,6 +98,7 @@ object SparkEntry {
     "e14_hash_sample"    -> (TextOps.e14HashSample _),
     "e17_len_quantiles"  -> (TextOps.e17LengthQuantiles _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
+    "m2_frame_sample"    -> (TextOps.m2FrameSample _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
@@ -677,6 +678,15 @@ object SparkEntry {
         |  CAST((octet_length(CAST(text AS BLOB)) % 48) * 16 + 32 AS INTEGER) AS height,
         |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, n % 7 + 1 AS nf FROM m),
+        |g AS (SELECT doc_id, n, nf, unnest(range(0, nf)) AS u FROM f)
+        |SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
+        |  CAST(u * (n // nf) AS BIGINT) AS frame_off,
+        |  CAST((n * 31 + u * 17) % 256 AS INTEGER) AS frame_sig
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     "ord_envelope_check" ->
       s"""SELECT file, dataset_id, total_reactions_scraped,
          |  CAST(len(reactions) AS INTEGER) AS n_rx,

@@ -266,6 +266,34 @@ object TextOps {
         max(col("len")).as("max_len"))
       .orderBy("source")
 
+  /** M2: multimodal FRAME SAMPLING — the one-row-in, k-rows-out batch
+    * shape of video frame extraction (each payload expands to n_frames
+    * sampled frames with per-frame metadata), run through the same
+    * `mapPartitions` seam as m1's decode. The frame decoder is a
+    * clearly-marked deterministic STUB (codecs aren't in this
+    * container): offsets/dimensions derive arithmetically from byte
+    * length + frame index, so the DuckDB oracle reproduces them exactly;
+    * in production the lambda body calls the real codec and everything
+    * around it — schema, partition batching, flatMap expansion,
+    * downstream relational ops — is unchanged. */
+  def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    // STUB frame extraction: n_frames and per-frame offset/checksum are
+    // deterministic functions of the payload length — replace the body
+    // with a real demuxer in production.
+    val frames = payloads.mapPartitions(_.flatMap { case (id, bytes) =>
+      val n = bytes.length
+      val nFrames = n % 7 + 1
+      (0 until nFrames).iterator.map { f =>
+        (id, f, f.toLong * (n / nFrames), (n * 31 + f * 17) % 256)
+      }
+    }).toDF("doc_id", "frame_idx", "frame_off", "frame_sig")
+    frames.orderBy("doc_id", "frame_idx")
+  }
+
   /** M1: multimodal column plumbing — text bytes stand in for an opaque
     * media payload (`binary` column + typed metadata), run through a
     * partition-batched decode STUB.
