@@ -53,27 +53,50 @@ object ClusterOps {
     * canonical keeper). This is the step that turns pairwise similarity
     * into actual dedup decisions.
     *
-    * Algorithm: FRONTIER-based min-label propagation to fixpoint — the
-    * standard Pregel-style connected components, but each round only the
-    * nodes whose label changed last round send messages, so late rounds
-    * (when most labels have converged) join a shrinking frontier instead
-    * of the full vertex set. Each iteration is one distributed
-    * join+aggregate; the driver only checks convergence (count of
-    * changed labels), never touches row data. Iterations are bounded by
-    * the graph diameter (near-dup clusters are shallow; hard-capped at
-    * [[MaxCcIters]] with a loud failure). At 100 TB the same loop runs
+    * Algorithm: FRONTIER-based min-label propagation WITH PATH HALVING —
+    * Pregel-style connected components where each round (1) only nodes
+    * whose label changed last round send messages, and (2) every node
+    * additionally jumps to its label's own label (`lbl ← lbl(lbl)`, the
+    * pointer-halving step of union-find). Halving makes the round count
+    * ~log(diameter) instead of diameter (measured 8 → 4 rounds on the
+    * sf0.1 graph; a diameter-9 chain converges in ≤5 rounds,
+    * DedupClusterSpec). Each round is ONE driver-side action: the
+    * convergence count rides the checkpoint action as an `observe`
+    * metric, so there is no separate count job per round (the r3 loop
+    * paid checkpoint + count). Iterations are hard-capped at
+    * [[MaxCcIters]] with a loud failure. At 100 TB the same loop runs
     * unchanged — state is two (node, label) columns, each step shuffles
     * by node id, and per-iteration state is RELIABLY checkpointed (see
     * [[ensureCheckpointDir]]) so executor loss mid-loop is survivable. */
-  def e16DedupClusters(s: SparkSession, d: String): DataFrame = {
+  def e16DedupClusters(s: SparkSession, d: String): DataFrame =
+    e16WithStats(s, d)._1
+
+  /** e16 plus the number of propagation rounds it took to converge —
+    * the loop runs eagerly (each round materializes a reliable
+    * checkpoint), so the round count is known by the time the labeled
+    * DataFrame is returned. Exposed for DedupClusterSpec's round-count
+    * assertion. */
+  private[graft] def e16WithStats(s: SparkSession, d: String): (DataFrame, Int) = {
+    var segT0 = System.nanoTime()
+    def seg(tag: String): Unit = if (sys.env.contains("GRAFT_E16_DEBUG")) {
+      System.err.println(
+        f"[e16] seg $tag ${(System.nanoTime() - segT0) / 1e9}%.2f s")
+      segT0 = System.nanoTime()
+    }
     ensureCheckpointDir(s)
     // exact-duplicate pairs: same normalized content hash (the one
-    // definition shared with e1TextDedup)
-    val h = documents(s, d).select(col("doc_id"),
-      sha2(TextOps.norm(col("text")), 256).as("ch"))
-    val exactPairs = h.as("a").join(h.as("b"),
-      col("a.ch") === col("b.ch") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // definition shared with e1TextDedup), as a posting-list aggregation
+    // + partition-local double-explode — one scan of documents, no
+    // self-join (the same inverted-index shape as e8's pair generation)
+    val exactPairs = documents(s, d)
+      .select(col("doc_id"), sha2(TextOps.norm(col("text")), 256).as("ch"))
+      .groupBy("ch").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
+        size(col("ds")))).as("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
     val (nearPairsFull, e8Caches) = SimOps.e8NgramJaccardWithCaches(s, d)
     val nearPairs = nearPairsFull.select("d1", "d2")
     val undirected = exactPairs.unionByName(nearPairs).distinct()
@@ -81,43 +104,122 @@ object ClusterOps {
     // durable files AND a truncated logical plan, so each round's analysis
     // sees a leaf scan instead of re-optimizing the embedded e8 pipeline
     // (measured 8 s -> 13 s when this was a persist with intact lineage).
-    val edges = undirected.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(undirected.select(col("d2").as("a"), col("d1").as("b")))
-      .checkpoint() // eager — e8's caches are releasable from here on
+    // Both directions come from ONE explode (a two-branch union would
+    // execute the whole pair pipeline twice), and the relation is
+    // persisted across the checkpoint so the checkpoint's internal write
+    // job re-reads the cache instead of re-running the plan. The edge
+    // count rides the checkpoint action as an observe metric and sizes
+    // the loop's shuffle width below.
+    val obsE = new org.apache.spark.sql.Observation(
+      s"e16_edges_${System.nanoTime()}")
+    val edgesCache = undirected
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = edgesCache
+      .observe(obsE, count(lit(1)).as("changed"))
+      .checkpoint() // eager — caches are releasable once this is on disk
     e8Caches.foreach(_.unpersist(blocking = false))
-    val verts = edges.select(col("a").as("node")).distinct()
+    edgesCache.unpersist(blocking = false)
+    val nEdges = obsChanged(obsE)
+    seg("edges")
 
-    var labels = verts.withColumn("lbl", col("node")).checkpoint()
-    // round 0: every node is in the frontier (all labels "changed" at init)
-    var frontier = labels
-    var changed = frontier.count()
+    // The LOOP's shuffle width is sized to the GRAPH, not the corpus: the
+    // pair graph is orders of magnitude smaller than the document table
+    // (~10³ nodes here vs 10⁵ rows; the same ratio holds at 100 TB), so
+    // corpus-sized shuffle widths would give every tiny round 32+ tasks
+    // of scheduling overhead. One partition per ~100k edges, capped at
+    // the session's configured width. AQE is disabled INSIDE the loop
+    // only: its per-stage replanning adds latency to each of the ~7
+    // rounds and its coalescing decision is exactly what the explicit
+    // width already encodes. Both confs are restored in the finally.
+    val conf = s.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
     var iter = 0
+    var changed = 0L
+    var labels: DataFrame = null
+    val loopParts =
+      math.max(1L, math.min(prevParts.toLong, nEdges / 100000L)).toInt
+    var edgesLoop: DataFrame = null
+    try {
+      conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // The checkpointed edge files keep the WIDE partitioning they were
+      // written with (corpus-sized, 32 here) — probing them directly
+      // would give every round's join 32 tasks of scheduling overhead.
+      // One graph-sized repartition by the join key, persisted: rounds
+      // read the cache; an executor loss recomputes it from the durable
+      // checkpoint files.
+      edgesLoop = edges.repartition(loopParts, col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // round 0: every node is in the frontier (all labels "changed" at
+      // init); the vertex count rides the init checkpoint as an observe
+      // metric instead of a separate count job
+      val obs0 = new org.apache.spark.sql.Observation(
+        s"e16_init_${System.nanoTime()}")
+      labels = edgesLoop.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .observe(obs0, count(lit(1)).as("changed")).checkpoint()
+      var frontier = labels
+      changed = obsChanged(obs0)
     // Each round's state goes through a RELIABLE checkpoint: durable
     // files (executor loss recovers; the reason localCheckpoint was
     // dropped) and a truncated logical plan (the analyzer sees a leaf
-    // scan, not an ever-deeper join tree). Measured equal to a fancier
-    // persist-with-interval-checkpoint scheme at sf0.1 — the simple form
-    // wins on both fault story and code.
-    while (changed > 0 && iter < MaxCcIters) {
-      val msgs = edges
-        .join(frontier, edges("b") === frontier("node"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
-      // carry the old label through so convergence is one filter+count
-      // over the checkpointed result, not an extra join per iteration
-      val next = labels.join(msgs, labels("node") === msgs("a"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .checkpoint()
-      frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
-      val prevFiles = checkpointFiles(labels)
-      changed = frontier.count() // materializes `next`
-      // each checkpoint truncates lineage, so once `next` is on disk the
-      // PREVIOUS round's files back nothing — delete them (the loop would
-      // otherwise leak one state snapshot per round per run)
-      deleteFiles(s, prevFiles)
-      labels = next.drop("old")
-      iter += 1
+    // scan, not an ever-deeper join tree). The changed-label count is an
+    // `observe` metric on the SAME action (Dataset.checkpoint runs under
+    // withAction, so the CollectMetrics listener fires — verified by
+    // DedupClusterSpec's job-count assertion): one driver-side action
+    // per round, no separate convergence job. The ==0 convergence test
+    // is robust even if the checkpoint's internal write re-runs the
+    // plan and double-counts the accumulator (0 doubles to 0).
+      while (changed > 0 && iter < MaxCcIters) {
+        val msgs = edgesLoop
+          .join(frontier, edgesLoop("b") === frontier("node"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
+        val prop = labels.join(msgs, labels("node") === msgs("a"), "left")
+          .select(col("node"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl1"))
+        // PATH HALVING: every label value is itself a node id of the same
+        // component, so jumping to the label's current label (`lbl(lbl)`)
+        // is a monotone shortcut that cuts convergence from O(diameter)
+        // to ~O(log diameter) rounds — one extra equi-join per round
+        // against the (tiny, checkpointed) label map.
+        val jump = labels.select(col("node").as("jn"), col("lbl").as("jl"))
+        val obs = new org.apache.spark.sql.Observation(
+          s"e16_round${iter}_${System.nanoTime()}")
+        // persisted across the checkpoint: the checkpoint's internal
+        // write job re-reads the round's cache instead of re-running the
+        // three joins (checkpoint materializes its plan twice otherwise)
+        val nextCache = prop.join(jump, prop("lbl1") === col("jn"), "left")
+          .select(col("node"), col("old"),
+            least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val next = nextCache
+          .observe(obs,
+            sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+          .checkpoint()
+        frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
+        val prevFiles = checkpointFiles(labels)
+        changed = obsChanged(obs) // reported by the checkpoint action above
+        nextCache.unpersist(blocking = false)
+        // each checkpoint truncates lineage, so once `next` is on disk the
+        // PREVIOUS round's files back nothing — delete them (the loop would
+        // otherwise leak one state snapshot per round per run)
+        deleteFiles(s, prevFiles)
+        labels = next.drop("old")
+        iter += 1
+        if (sys.env.contains("GRAFT_E16_DEBUG"))
+          System.err.println(s"[e16] round $iter changed=$changed")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      if (edgesLoop != null) edgesLoop.unpersist(blocking = false)
     }
+    seg("loop")
     // the loop is done with the edge snapshot too; only the final labels
     // checkpoint (which the returned plan reads) must outlive this call
     deleteFiles(s, checkpointFiles(edges))
@@ -133,9 +235,18 @@ object ClusterOps {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))))
 
-    sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+    (sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id"), iter)
   }
+
+  /** Read the `changed` observe metric once its action (the round's
+    * checkpoint) has reported. `sum` over zero matching rows is null →
+    * 0. */
+  private def obsChanged(obs: org.apache.spark.sql.Observation): Long =
+    obs.get.get("changed") match {
+      case Some(n: Number) => n.longValue()
+      case _               => 0L
+    }
 
   /** E15: signup→purchase funnel — per user, the first signup and the
     * first purchase at-or-after it, with conversion delay. One scan per

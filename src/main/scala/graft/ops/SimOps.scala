@@ -333,9 +333,26 @@ object SimOps {
 
   /** E8: n-gram Jaccard near-dup pairs — exact set Jaccard over word
     * bigrams, candidate pairs generated ONLY through the shared-bigram
-    * equi-join within a `source` bucket (inverted-index join, the
-    * scalable exact-similarity-join shape), thresholded to keep output
-    * proportional to true matches. */
+    * inverted index within a `source` bucket (the scalable
+    * exact-similarity-join shape), thresholded to keep output
+    * proportional to true matches.
+    *
+    * Internal representation: bigram identity is `xxhash64(w0, w1)` (an
+    * 8-byte shuffle key; the string form would shuffle ~3× the bytes).
+    * The declared output is hash-INDEPENDENT (doc ids + set counts), so
+    * the DuckDB oracle — which groups by the bigram string — still
+    * matches exactly; a 64-bit collision would be needed to perturb a
+    * count (odds ~n²/2^65 ≈ 1e-9 at 10⁵ distinct bigrams; the sha2 e1
+    * remains the collision-contractual form).
+    *
+    * Pair generation: ONE exchange by (source, bigram-hash) into
+    * `collect_list(doc_id)`, then a partition-local double-explode over
+    * each posting list — replacing the former self-join, whose plan paid
+    * three exchanges of bigram rows (distinct, df-window, join). Each
+    * posting array costs 8 bytes × df; a bigram would need ~10⁸ docs
+    * before its array mattered, and pair EXPLOSION (inherent to exact
+    * Jaccard, either formulation) dominates long before that — see
+    * SkewStressSpec for the degenerate-bucket bound. */
   def e8NgramJaccard(s: SparkSession, d: String): DataFrame =
     e8NgramJaccardWithCaches(s, d)._1
 
@@ -348,32 +365,35 @@ object SimOps {
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val win = Window.partitionBy("doc_id").orderBy("pos")
-    // persisted: feeds the per-doc set sizes AND (via the df>1 filter)
-    // both sides of the self-join — without the cache the
-    // tokenize→window→distinct subtree executes 3×
+    // persisted: feeds the per-doc set sizes AND the posting-list
+    // aggregation — without the cache the tokenize→window→dedup subtree
+    // executes twice. The dropDuplicates is partition-LOCAL: the rows are
+    // already hash-partitioned by doc_id (tokenRows), which satisfies the
+    // (doc_id, source, h) clustering, so no extra exchange.
     val bg = tokenRows(s, d)
       .withColumn("w1", lead("w0", 1).over(win))
       .where(col("w1").isNotNull)
       .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("w0"), col("w1")).as("bg"))
-      .distinct()
+        xxhash64(col("w0"), col("w1")).as("h"))
+      .dropDuplicates("doc_id", "source", "h")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
-    // prefix filter: a bigram occurring in a single document within its
-    // bucket can never generate a pair — drop it BEFORE the self-join
-    // (set-size counts above still use the unfiltered relation).
-    // (A hash-agg + semi-join formulation measured equal to this window
-    // form at sf0.1 — the window keeps it to one exchange of bg rows.)
-    val bgF = bg.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("source", "bg")))
-      .where(col("df") > 1).drop("df")
-      .persist(StorageLevel.MEMORY_AND_DISK) // probed twice by the self-join
-    val common = bgF.as("a")
-      .join(bgF.as("b"),
-        col("a.source") === col("b.source") && col("a.bg") === col("b.bg") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_common"))
+    // inverted index: posting list of docs per (source, bigram); a
+    // singleton posting can never generate a pair — dropped here (the
+    // prefix filter), BEFORE any pair exists
+    val grp = bg.groupBy("source", "h")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+    // all ordered pairs from each posting list, partition-local: element
+    // i pairs with the slice after it; least/greatest orders the pair by
+    // doc id (posting lists are unordered)
+    val pairs = grp
+      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
+        size(col("ds")))).as("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+    val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
     val result = common
       .join(counts.select(col("doc_id").as("d1"), col("n_bg").as("n1")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n_bg").as("n2")), "d2")
@@ -382,6 +402,6 @@ object SimOps {
       .where(col("n_common") >= 5 && col("jaccard") >= 0.1)
       .select("d1", "d2", "n_common", "n_union", "jaccard")
       .orderBy("d1", "d2")
-    (result, Seq(bg, bgF))
+    (result, Seq(bg))
   }
 }
