@@ -82,6 +82,7 @@ object SparkEntry {
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
+    "e2r_recall_at_k"   -> (SimOps.e2rRecallAtK _),
     "e3_token_counts"   -> (TextOps.e3TokenCounts _),
     "e3b_token_regex"   -> (TextOps.e3bTokenRegex _),
     "e13_embed_neardup" -> (SimOps.e13EmbedNeardup _),
@@ -97,6 +98,8 @@ object SparkEntry {
     "e12_ann_brute"     -> (SimOps.e12AnnBrute _),
     "e14_hash_sample"    -> (TextOps.e14HashSample _),
     "e17_len_quantiles"  -> (TextOps.e17LengthQuantiles _),
+    "e17x_len_quantiles_approx" -> (TextOps.e17xLenQuantilesApprox _),
+    "e18_distinct_sketch" -> (EventOps.e18DistinctSketch _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     "m2_frame_sample"    -> (TextOps.m2FrameSample _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
@@ -642,6 +645,45 @@ object SparkEntry {
         |  CAST(len(sh) AS INTEGER) AS n_shingles,
         |  list_min(list_transform(sh, y -> md5(y))) AS fp_min_shingle
         |FROM sh ORDER BY doc_id""".stripMargin,
+    // every input to the recall computation is deterministic, so the
+    // oracle recomputes exact top-k, IVF and LSH candidate sets, and the
+    // intersection counts — recall itself is oracle-checked end to end
+    "e2r_recall_at_k" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm,
+        |  (CASE WHEN v[1]+v[2]-v[3]-v[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[5]+v[6]-v[7]-v[8] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[9]+v[10]-v[11]-v[12] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[13]+v[14]-v[15]-v[16] >= 0 THEN '1' ELSE '0' END) AS bkt
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, label, bkt, v AS qv, nrm AS qn
+        |  FROM n WHERE vec_id < 8),
+        |ex AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, c.vec_id AS cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6)
+        |      DESC, c.vec_id) AS rk
+        |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.q_id) WHERE rk <= 3),
+        |iv AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, c.vec_id AS cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6)
+        |      DESC, c.vec_id) AS rk
+        |  FROM q JOIN n c ON q.label = c.label AND c.vec_id <> q.q_id) WHERE rk <= 3),
+        |ls AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, c.vec_id AS cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6)
+        |      DESC, c.vec_id) AS rk
+        |  FROM q JOIN n c ON q.bkt = c.bkt AND c.vec_id <> q.q_id) WHERE rk <= 3),
+        |base AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id),
+        |hi AS (SELECT q_id, count(*) AS hits_ivf
+        |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM iv) GROUP BY q_id),
+        |hl AS (SELECT q_id, count(*) AS hits_lsh
+        |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM ls) GROUP BY q_id)
+        |SELECT base.q_id, n_exact,
+        |  COALESCE(hits_ivf, 0) AS hits_ivf, COALESCE(hits_lsh, 0) AS hits_lsh,
+        |  round(COALESCE(hits_ivf, 0) / n_exact, 6) AS recall_ivf,
+        |  round(COALESCE(hits_lsh, 0) / n_exact, 6) AS recall_lsh
+        |FROM base LEFT JOIN hi USING (q_id) LEFT JOIN hl USING (q_id)
+        |ORDER BY base.q_id""".stripMargin,
     "e12_ann_brute" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nrm FROM e),
@@ -670,6 +712,17 @@ object SparkEntry {
         |  round(quantile_cont(length(text), 0.75), 6) AS p75,
         |  CAST(max(length(text)) AS INTEGER) AS max_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the *_ok flags assert the sketch CONTRACT (rank / std-error bound)
+    // from the Spark side; DuckDB recomputes the exact columns and pins
+    // the flags to TRUE, so an out-of-bound sketch fails the hash compare
+    "e17x_len_quantiles_approx" ->
+      """SELECT source, count(*) AS n_docs,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "e18_distinct_sketch" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,

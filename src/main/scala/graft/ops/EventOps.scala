@@ -39,4 +39,27 @@ object EventOps {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n"))
       .orderBy("user_id", "sess_start")
+
+  /** E18: distinct-count SKETCH — `approx_count_distinct` (HyperLogLog++,
+    * fixed 2^p-register state per group, partial-aggregable) beside the
+    * exact `count(distinct)`, which shuffles every distinct key. At
+    * 100 TB cardinality estimation runs the sketch; this key gates its
+    * CONTRACT: the estimate must land within 5 standard errors of the
+    * exact count (rsd = 0.02 → ±10%, P(miss) < 1e-6), with an absolute
+    * floor of 10 for tiny groups where relative error is meaningless.
+    * DuckDB independently recomputes the exact side and asserts
+    * `hll_ok`; an out-of-bound estimate fails the hash compare. */
+  def e18DistinctSketch(s: SparkSession, d: String): DataFrame = {
+    val rsd = 0.02
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * (5 * rsd), lit(10.0))).as("hll_ok"))
+      .orderBy("event_type")
+  }
 }

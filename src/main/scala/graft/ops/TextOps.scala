@@ -266,6 +266,49 @@ object TextOps {
         max(col("len")).as("max_len"))
       .orderBy("source")
 
+  /** E17x: the APPROXIMATE-sketch form of e17 — `percentile_approx`
+    * (a mergeable quantile sketch: one pass, partial-aggregable across
+    * partitions, O(accuracy) state per group) in place of the exact
+    * `percentile`, which must buffer every value per group. At 100 TB
+    * the exact form is not runnable; this is the production path.
+    *
+    * The oracle gate checks the sketch's CONTRACT, not its bit pattern:
+    * the returned value's rank must lie within n/accuracy of the target
+    * rank (the documented GK-sketch guarantee, accuracy = 100 → 1%
+    * rank error). Spark computes the rank check itself (one extra
+    * aggregation over the same scan); DuckDB independently recomputes
+    * n_docs and asserts the `*_ok` flags are all true, so an
+    * out-of-bound sketch value fails the hash compare. */
+  def e17xLenQuantilesApprox(s: SparkSession, d: String): DataFrame = {
+    val acc = 100
+    val lens = documents(s, d)
+      .select(col("source"), length(col("text")).as("len"))
+    val approx = lens.groupBy("source").agg(
+      percentile_approx(col("len"), lit(0.25), lit(acc)).as("v25"),
+      percentile_approx(col("len"), lit(0.5), lit(acc)).as("v50"),
+      percentile_approx(col("len"), lit(0.75), lit(acc)).as("v75"))
+    // rank check: the sketch value v_q is an actual element whose rank
+    // interval (cnt_lt, cnt_le] must intersect [q*n - n/acc, q*n + n/acc]
+    // (±1 absorbs the integer rank grid)
+    def ok(q: Double, lt: Column, le: Column, n: Column): Column =
+      (lt <= n * q + n / acc + 1) && (le >= n * q - n / acc - 1)
+    lens.join(approx, "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("len") < col("v25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col("len") <= col("v25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("len") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("len") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("len") < col("v75"), 1L).otherwise(0L)).as("lt75"),
+        sum(when(col("len") <= col("v75"), 1L).otherwise(0L)).as("le75"))
+      .select(col("source"), col("n_docs"),
+        ok(0.25, col("lt25"), col("le25"), col("n_docs")).as("p25_ok"),
+        ok(0.5, col("lt50"), col("le50"), col("n_docs")).as("p50_ok"),
+        ok(0.75, col("lt75"), col("le75"), col("n_docs")).as("p75_ok"))
+      .orderBy("source")
+  }
+
   /** M2: multimodal FRAME SAMPLING — the one-row-in, k-rows-out batch
     * shape of video frame extraction (each payload expands to n_frames
     * sampled frames with per-frame metadata), run through the same
