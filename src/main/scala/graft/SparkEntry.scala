@@ -73,6 +73,7 @@ object SparkEntry {
     // §2.10 engine mechanisms: streaming parity, dead-letter, partitioned scan
     "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
     "e5b_stream_parity"    -> (graft.streaming.EventStreams.e5StreamToTable _),
+    "e1s_stream_dedup"     -> (graft.streaming.EventStreams.e1sStreamDedup _),
     "c5_dead_letter"       -> (graft.streaming.EventStreams.c5DeadLetterStats _),
     "c4_stateful_totals"   -> (graft.streaming.StatefulOps.c4StatefulTotals _),
     "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
@@ -322,6 +323,12 @@ object SparkEntry {
         |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS sess_start,
         |  count(*) AS n
         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    // streaming dedup parity: the deduped stream's per-type key count
+    // must equal batch count(DISTINCT) — first-arrival row choice is
+    // nondeterministic, the distinct-key count is not
+    "e1s_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_uniq_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e4b_stream_parity" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
         |  event_type, count(*) AS n,

@@ -139,6 +139,33 @@ object EventStreams {
     s.table(name).orderBy("user_id", "sess_start")
   }
 
+  /** E1s: STREAMING exact dedup — the reference's seen-set
+    * (`web_scrpaer_2.py:262-263`) in its strongest engine form:
+    * `dropDuplicates` over the watermarked event stream keeps the
+    * first-seen row per (user_id, event_type) in keyed state and emits
+    * it exactly once (append mode). State is one entry per DISTINCT key
+    * — the seen-set itself, compact but unbounded like the reference's;
+    * when keys provably don't recur past the watermark,
+    * `dropDuplicatesWithinWatermark` is the bounded-state swap (not used
+    * here because the fixture's keys span the whole timeline and parity
+    * with batch-global dedup is the gate). The declared result
+    * aggregates the deduped stream per event_type — first-arrival order
+    * inside a micro-batch is nondeterministic, the count of distinct
+    * keys is not — so the DuckDB oracle (count(DISTINCT user_id)) gates
+    * streaming dedup semantics exactly. StreamDedupRecoverySpec proves
+    * the seen-set survives a stop/restart from the checkpoint. */
+  def e1sStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = drainToTable(s,
+      eventsStream(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("user_id", "event_type"),
+      s"e1s_dedup_${System.nanoTime()}", "append")
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_uniq_users"))
+      .orderBy("event_type")
+  }
+
   /** Production FILE-sink pattern (the reference's append-a-page-per-
     * round output, web_scrpaer_2.py:268-281, made restart-safe):
     * `foreachBatch` writes each micro-batch to its own `batch=<id>`

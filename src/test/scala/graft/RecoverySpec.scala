@@ -44,6 +44,75 @@ class RecoverySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/batch=*").count() == afterFirst)
   }
 
+  test("e1s seen-set state survives stop/restart: no key re-emitted, none lost") {
+    val base = Files.createTempDirectory("graft-dedup-recov")
+    val landing = base.resolve("landing")
+    val staged = base.resolve("staged")
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(landing)
+
+    // phase A carries only even users; phase B carries EVERY event — so
+    // the restart sees all phase-A keys again (they must not re-emit)
+    // plus the odd-user keys (they must)
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    ev.where(col("user_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$staged/a")
+    ev.coalesce(1).write.parquet(s"$staged/b")
+    def stagedFile(sub: String): java.nio.file.Path =
+      Files.list(staged.resolve(sub))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+
+    // memory sink cannot recover an append-mode checkpoint — the
+    // restartable sink is foreachBatch (same pattern as
+    // streamEventsToParquet), one batch=<id> dir per micro-batch
+    val sink = base.resolve("sink").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing.toString)
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // phase A: only the even-user file has arrived; dedup, then STOP
+    Files.copy(stagedFile("a"), landing.resolve("part-a.parquet"))
+    runOnce()
+    val batchesA = Files.list(java.nio.file.Paths.get(sink)).toArray
+      .map(_.toString).filter(_.contains("batch=")).sorted
+    val keysA = spark.read.parquet(batchesA: _*)
+      .select("user_id", "event_type")
+
+    // phase B: the FULL event file arrives (phase-A keys included);
+    // restart from the SAME checkpoint — the new batch dirs receive
+    // exactly the keys first seen AFTER restart
+    Files.copy(stagedFile("b"), landing.resolve("part-b.parquet"))
+    runOnce()
+    val batchesB = Files.list(java.nio.file.Paths.get(sink)).toArray
+      .map(_.toString).filter(_.contains("batch=")).sorted
+      .filterNot(batchesA.contains)
+    assert(batchesB.nonEmpty, "restart produced no new micro-batches")
+    val keysB = spark.read.parquet(batchesB: _*)
+      .select("user_id", "event_type")
+
+    val nA = keysA.count(); val nB = keysB.count()
+    val allKeys = ev.select("user_id", "event_type").distinct().count()
+    assert(nA > 0 && nB > 0, s"both phases must emit: $nA / $nB")
+    // state survived: a key seen in phase A is never re-emitted in phase B
+    assert(keysA.join(keysB, Seq("user_id", "event_type")).count() == 0,
+      "restart re-emitted already-seen keys — seen-set state was lost")
+    // and nothing is lost: the two phases partition the distinct key set
+    assert(nA + nB == allKeys, s"$nA + $nB != $allKeys")
+  }
+
   test("streaming restart from checkpoint: exactly-once across stop/resume") {
     val base = Files.createTempDirectory("graft-recov")
     val landing = base.resolve("landing")
