@@ -30,12 +30,37 @@ import org.apache.spark.sql.graft.Bridge
   * Exactness requires the ordering to be TOTAL per key (pass tie-break
   * columns), same as deterministic row_number. Memory is O(keys·k) per
   * task — the reason a heap, not a sort, runs on the map side.
+  *
+  * PATHOLOGICAL KEY CARDINALITY: when nearly every row is its own key,
+  * a map-side heap map would hold the whole partition. The partial exec
+  * therefore carries a FLUSH VALVE ([[TopKPerKeyExec.flushHeldRows]]):
+  * once the held-row count crosses the threshold it emits everything
+  * accumulated so far and starts a fresh map. Any partial output that
+  * is a SUPERSET of the per-partition winners is correct (the final
+  * exec recomputes the exact top-k), so flushing trades reduction for
+  * bounded memory — the same deal hash aggregation makes when it spills
+  * partial results. The FINAL exec never flushes (it needs every row of
+  * a key); its state is the keys-per-reduce-partition × k working set,
+  * the same assumption a hash aggregate makes, and shuffle partitioning
+  * controls it.
+  *
+  * WHY NO CODEGEN (`CodegenSupport`): the operator is a PIPELINE
+  * BREAKER like sort and hash-agg — it must consume its whole input
+  * before emitting, so fusing it into a parent's produce/consume loop
+  * buys nothing. Its per-row work is one UnsafeProjection (already
+  * code-generated), one generated-ordering comparison, and a heap
+  * insert; none of that is interpreted expression evaluation. The
+  * stages above and below still whole-stage-compile — the plan shows
+  * WholeStageCodegen spans ending at the exec boundary, exactly as they
+  * do at Spark's own SortExec.
   */
 case class TopKPerKeyNode(
     k: Int,
     partitionExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    flushHeldRows: Int = TopKPerKeyExec.DefaultFlushHeldRows)
+  extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   require(partitionExprs.nonEmpty, "TopKPerKey needs >=1 key column " +
     "(global top-k is Spark's built-in TakeOrderedAndProject)")
@@ -49,7 +74,9 @@ case class TopKPerKeyExec(
     partitionExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    flushHeldRows: Int = TopKPerKeyExec.DefaultFlushHeldRows)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def nodeName: String =
@@ -61,14 +88,21 @@ case class TopKPerKeyExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"))
+      .createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial heap-map flushes"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val numFlushes = longMetric("numFlushes")
     val kLocal = k
     val partLocal = partitionExprs
     val orderLocal = orderExprs
     val childOutput = child.output
+    // only the map side may emit early: its output only needs to be a
+    // superset of the per-partition winners; the final exec needs every
+    // row of a key together before it can decide anything
+    val maxHeld = if (partial) flushHeldRows else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)
@@ -77,25 +111,47 @@ case class TopKPerKeyExec(
       val heapOrd: Ordering[InternalRow] = ord
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        val heap = heaps.getOrElse(key, null) match {
-          case null =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            heaps.put(key.copy(), h)
-            h
-          case h => h
+      new Iterator[InternalRow] {
+        private var held = 0
+        private var drain: Iterator[InternalRow] = Iterator.empty
+
+        // emit each key's winners best-first (dequeueAll is worst-first)
+        private def flushAll(): Iterator[InternalRow] = {
+          val out = heaps.values.toArray.iterator
+            .flatMap(_.dequeueAll.reverseIterator)
+          heaps.clear()
+          held = 0
+          out
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+
+        private def pump(): Unit = {
+          while (!drain.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            val heap = heaps.getOrElse(key, null) match {
+              case null =>
+                val h = scala.collection.mutable.PriorityQueue
+                  .empty[InternalRow](heapOrd)
+                heaps.put(key.copy(), h)
+                h
+              case h => h
+            }
+            if (heap.size < kLocal) { heap.enqueue(row.copy()); held += 1 }
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+            if (held >= maxHeld) { numFlushes += 1; drain = flushAll() }
+          }
+          if (!drain.hasNext && !iter.hasNext && heaps.nonEmpty)
+            drain = flushAll()
+        }
+
+        override def hasNext: Boolean = { pump(); drain.hasNext }
+        override def next(): InternalRow = {
+          pump(); numOutputRows += 1; drain.next()
         }
       }
-      // emit each key's winners best-first (dequeueAll yields worst-first)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-        .map { r => numOutputRows += 1; r }
     }
   }
 
@@ -103,12 +159,20 @@ case class TopKPerKeyExec(
     copy(child = c)
 }
 
+object TopKPerKeyExec {
+  /** Map-side held-row cap before a flush — ~4M rows of heap state per
+    * task; at 8-byte keys plus row payloads this stays comfortably
+    * inside a task's execution-memory share while making the flush path
+    * unreachable for normal key cardinalities. */
+  val DefaultFlushHeldRows: Int = 1 << 22
+}
+
 /** Planner rule: logical TopKPerKeyNode → partial + shuffle + final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, part, ord, child) =>
+    case TopKPerKeyNode(k, part, ord, child, flush) =>
       TopKPerKeyExec(k, part, ord, partial = false,
-        TopKPerKeyExec(k, part, ord, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(k, part, ord, partial = true, planLater(child), flush)) :: Nil
     case _ => Nil
   }
 }
@@ -122,7 +186,8 @@ object TopKPerKey {
     * injects it for `spark.sql.extensions` users). */
   def topKPerKey(
       df: DataFrame, k: Int,
-      keys: Seq[String], orderBy: Seq[(String, Boolean)]): DataFrame = {
+      keys: Seq[String], orderBy: Seq[(String, Boolean)],
+      flushHeldRows: Int = TopKPerKeyExec.DefaultFlushHeldRows): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -135,6 +200,7 @@ object TopKPerKey {
     val ord = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    Bridge.ofRows(spark, TopKPerKeyNode(k, keys.map(attr), ord, analyzed))
+    Bridge.ofRows(spark,
+      TopKPerKeyNode(k, keys.map(attr), ord, analyzed, flushHeldRows))
   }
 }

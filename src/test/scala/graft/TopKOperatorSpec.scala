@@ -84,6 +84,58 @@ class TopKOperatorSpec extends AnyFunSuite {
       s"partial output should be bounded by partitions*keys*k, got $partialRows")
   }
 
+  test("under AQE: operator plans inside AdaptiveSparkPlanExec and stays exact") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val rows = Seq.fill(4000)((rnd.nextInt(25).toLong, rnd.nextInt(50), rnd.nextInt(100000)))
+      val df = rows.toDF("key", "score", "tiebreak").repartition(6)
+      val viaOp = TopKPerKey.topKPerKey(df, 3,
+        keys = Seq("key"), orderBy = Seq(("score", false), ("tiebreak", true)))
+      viaOp.collect()
+      // the adaptively-executed plan must contain both exec phases —
+      // PlanWalk unwraps AdaptiveSparkPlanExec/QueryStageExec
+      val execs = PlanWalk.allNodes(viaOp.queryExecution.executedPlan)
+        .collect { case t: TopKPerKeyExec => t.partial }
+      assert(viaOp.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"),
+        "expected the query to run under AQE")
+      assert(execs.contains(true) && execs.contains(false),
+        s"expected partial+final under AQE, got $execs")
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("tiebreak"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).drop("rn")
+      assert(viaOp.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaOp).count() == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("pathological key cardinality: every row its own key degenerates to identity") {
+    val df = (1 to 20000).map(i => (i.toLong, i * 31 % 977)).toDF("key", "score")
+      .repartition(8)
+    val out = TopKPerKey.topKPerKey(df, 1,
+      keys = Seq("key"), orderBy = Seq(("score", true)))
+    assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+  }
+
+  test("partial flush valve bounds map-side state and never changes the result") {
+    val rows = Seq.fill(8000)((rnd.nextInt(2000).toLong, rnd.nextInt(1000), rnd.nextInt(100000)))
+    val df = rows.toDF("key", "score", "tiebreak").repartition(4)
+    // threshold far below keys*k forces many flushes per task
+    val viaOp = TopKPerKey.topKPerKey(df, 2,
+      keys = Seq("key"), orderBy = Seq(("score", false), ("tiebreak", true)),
+      flushHeldRows = 64)
+    viaOp.collect()
+    val flushes = PlanWalk.allNodes(viaOp.queryExecution.executedPlan).collectFirst {
+      case t: TopKPerKeyExec if t.partial => t.metrics("numFlushes").value
+    }
+    assert(flushes.exists(_ > 0), s"expected flushes at threshold 64, got $flushes")
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("tiebreak"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).drop("rn")
+    assert(viaOp.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaOp).count() == 0)
+  }
+
   test("unknown column fails fast with a clear message") {
     val df = Seq((1L, 1)).toDF("key", "score")
     val e = intercept[IllegalArgumentException] {
