@@ -266,11 +266,21 @@ object SimOps {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandPairs: _*)).as("bp"))
       .select(col("doc_id"), col("bp.band").as("band"), col("bp.bh").as("bh"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // candidate pairs via posting lists (same shape as e8's r4 rewrite):
+    // ONE exchange by (band, band-hash) into collect_list, singleton
+    // buckets dropped before any pair exists, then a partition-local
+    // double-explode — replaces a self-join that shuffled band rows
+    // twice and re-sorted both sides. n_bands = how many bands the pair
+    // collides in (hash-independent once the hash family is fixed).
+    val pairs = bands.groupBy("band", "bh")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
+      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
+        size(col("ds")))).as("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_bands"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: candDocs + verify + final
     val counts = sigs.select(col("doc_id"), col("n_sh"))
@@ -363,12 +373,20 @@ object SimOps {
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(lit(_)): _*)).as("band"))
       .withColumn("nib", expr("shiftright(simhash, band * 8) & 255"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
-        col("b.doc_id").as("d2"), col("b.simhash").as("s2"))
+    // pairing via posting lists per (band, byte) — one exchange +
+    // partition-local double-explode (see e8); a pair colliding in
+    // several bands appears once per band, deduped before verification
+    val cand = banded.groupBy("band", "nib")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "pa")), col("ds"))
+      .select(col("pa"), explode(slice(col("ds"), col("i") + lit(2),
+        size(col("ds")))).as("pb"))
+      .select(
+        when(col("pa.doc_id") < col("pb.doc_id"), col("pa")).otherwise(col("pb")).as("p1"),
+        when(col("pa.doc_id") < col("pb.doc_id"), col("pb")).otherwise(col("pa")).as("p2"))
+      .select(col("p1.doc_id").as("d1"), col("p1.simhash").as("s1"),
+        col("p2.doc_id").as("d2"), col("p2.simhash").as("s2"))
       .distinct()
     cand
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
