@@ -117,6 +117,7 @@ object SparkEntry {
     "ord_s4_decode"        -> (OrdPipeline.ordS4Decode _),
     "ord_a4_renest"        -> (OrdPipeline.ordA4Renest _),
     "ord_s6_sink"          -> (OrdPipeline.ordS6Sink _),
+    "ord_s6b_raw_sink"     -> (OrdPipeline.ordS6bRawSink _),
     "ord_v1_downgrade"     -> (OrdPipeline.ordV1Downgrade _),
     "ord_units_diverge"    -> (OrdPipeline.ordUnitsDiverge _),
   )

@@ -225,6 +225,43 @@ object OrdPipeline {
         .as("doc"))
       .orderBy("file", "dataset_id")
 
+  /** S6b: the RAW (unformatted-inclusive) sink — the reference's EP3
+    * `reaction_database_scrape.json` (`web_scraper.py:349-352`): one
+    * envelope per dataset carrying every reaction WITH its raw scrape
+    * payload and success flag, plus the count and dataset-level status
+    * (`web_scraper.py:294-307`; empty datasets keep an empty reactions
+    * list). The raw payload is embedded verbatim as a string field —
+    * the reference has no golden file for this output, so nothing can
+    * be byte-verified (rows-only check, like s6); OrdRawSinkSpec proves
+    * every envelope parses, counts agree, and payloads round-trip
+    * bit-exactly against the raw fixture. Reactions nest in stored
+    * scrape order (rx_pos), so the document is deterministic. */
+  def ordS6bRawSink(s: SparkSession, d: String): DataFrame = {
+    val rx = nested(s)
+      .select(col("file"), col("dataset_id"), explode(col("reactions")).as("r"))
+      .select(col("file"), col("dataset_id"),
+        col("r.rx_pos").as("rx_pos"),
+        col("r.reaction_id").as("reaction_id"), col("r.success").as("success"))
+    val raw = s.read.parquet(OrdFixtures.rawPath)
+      .select(col("file"), col("dataset_id"), col("reaction_id"), col("raw"))
+    val agged = rx.join(raw, Seq("file", "dataset_id", "reaction_id"))
+      .groupBy(col("file"), col("dataset_id"))
+      .agg(sort_array(collect_list(struct(
+        col("rx_pos"), col("reaction_id"), col("success"), col("raw")))).as("rs"))
+    nested(s).select(col("file"), col("dataset_id"))
+      .join(agged, Seq("file", "dataset_id"), "left")
+      .select(col("file"), col("dataset_id"),
+        to_json(struct(
+          col("dataset_id"),
+          transform(coalesce(col("rs"), array()), r => struct(
+            r.getItem("reaction_id").as("reaction_id"),
+            r.getItem("raw").as("data"),
+            r.getItem("success").as("success"))).as("reactions"),
+          coalesce(size(col("rs")), lit(0)).as("total_reactions"),
+          col("rs").isNotNull.as("success"))).as("doc"))
+      .orderBy("file", "dataset_id")
+  }
+
   /** Flagship (SparkEntry.entry, SURVEY §7.3 M1): golden JSON → explodes
     * → amount union → per-dataset agg → envelope check. Exercises scan,
     * explode ×3, case analysis, aggregation in one plan. */
