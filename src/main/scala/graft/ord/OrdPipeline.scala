@@ -227,16 +227,33 @@ object OrdPipeline {
 
   /** S6b: the RAW (unformatted-inclusive) sink — the reference's EP3
     * `reaction_database_scrape.json` (`web_scraper.py:349-352`): one
-    * envelope per dataset carrying every reaction WITH its raw scrape
-    * payload and success flag, plus the count and dataset-level status
-    * (`web_scraper.py:294-307`; empty datasets keep an empty reactions
-    * list). The raw payload is embedded verbatim as a string field —
-    * the reference has no golden file for this output, so nothing can
-    * be byte-verified (rows-only check, like s6); OrdRawSinkSpec proves
-    * every envelope parses, counts agree, and payloads round-trip
-    * bit-exactly against the raw fixture. Reactions nest in stored
-    * scrape order (rx_pos), so the document is deterministic. */
+    * envelope per dataset with the reference's exact field set
+    * (`web_scraper.py:294-307`): `{dataset_id, reactions,
+    * total_reactions, successful_scrapes}`, plus
+    * `error: "No reactions found"` for an empty dataset
+    * (`web_scraper.py:271-276`). Each reaction entry mirrors
+    * `scrape_reaction_data`'s result dict: success →
+    * `{reaction_id, data, success: true, formatted_data}`
+    * (`web_scraper.py:228-232,283-285`); failure → `{reaction_id,
+    * data: null, success: false, error: "Max retries exceeded"}`
+    * (`web_scraper.py:248-253`). `data` is spliced VERBATIM as a JSON
+    * object (not a quoted string): the document is rendered textually
+    * because the payload is already compact JSON.
+    *
+    * One documented deviation remains — data availability, not schema:
+    * the reference's `data` is the full scraped modal JSON and
+    * `formatted_data` the extracted subset (`web_scraper.py:410-504`),
+    * but the golden corpus preserves only the formatted form, so the
+    * sink embeds the same payload for both fields. No golden file
+    * exists for this output (rows-only check, like s6); OrdRawSinkSpec
+    * proves every envelope parses, counts/flags/error fields match the
+    * reference contract, and payloads round-trip bit-exactly against
+    * the raw fixture. Reactions nest in stored scrape order (rx_pos),
+    * so the document is deterministic. */
   def ordS6bRawSink(s: SparkSession, d: String): DataFrame = {
+    // JSON string literal (ids are control-char-free; escape " and \)
+    def jstr(c: Column): Column =
+      concat(lit("\""), regexp_replace(c, "([\"\\\\])", "\\\\$1"), lit("\""))
     val rx = nested(s)
       .select(col("file"), col("dataset_id"), explode(col("reactions")).as("r"))
       .select(col("file"), col("dataset_id"),
@@ -244,21 +261,38 @@ object OrdPipeline {
         col("r.reaction_id").as("reaction_id"), col("r.success").as("success"))
     val raw = s.read.parquet(OrdFixtures.rawPath)
       .select(col("file"), col("dataset_id"), col("reaction_id"), col("raw"))
+    val rxDoc = when(col("success"),
+        concat(lit("{\"reaction_id\": "), jstr(col("reaction_id")),
+          lit(", \"data\": "), col("raw"),
+          lit(", \"success\": true, \"formatted_data\": "), col("raw"),
+          lit("}")))
+      .otherwise(
+        concat(lit("{\"reaction_id\": "), jstr(col("reaction_id")),
+          lit(", \"data\": null, \"success\": false, " +
+            "\"error\": \"Max retries exceeded\"}")))
     val agged = rx.join(raw, Seq("file", "dataset_id", "reaction_id"))
+      .select(col("file"), col("dataset_id"), col("rx_pos"), col("success"),
+        rxDoc.as("doc"))
       .groupBy(col("file"), col("dataset_id"))
       .agg(sort_array(collect_list(struct(
-        col("rx_pos"), col("reaction_id"), col("success"), col("raw")))).as("rs"))
+        col("rx_pos"), col("success"), col("doc")))).as("rs"))
     nested(s).select(col("file"), col("dataset_id"))
       .join(agged, Seq("file", "dataset_id"), "left")
       .select(col("file"), col("dataset_id"),
-        to_json(struct(
-          col("dataset_id"),
-          transform(coalesce(col("rs"), array()), r => struct(
-            r.getItem("reaction_id").as("reaction_id"),
-            r.getItem("raw").as("data"),
-            r.getItem("success").as("success"))).as("reactions"),
-          coalesce(size(col("rs")), lit(0)).as("total_reactions"),
-          col("rs").isNotNull.as("success"))).as("doc"))
+        concat(
+          lit("{\"dataset_id\": "), jstr(col("dataset_id")),
+          lit(", \"reactions\": ["),
+          when(col("rs").isNotNull,
+            array_join(transform(col("rs"), r => r.getField("doc")), ", "))
+            .otherwise(lit("")),
+          lit("], \"total_reactions\": "),
+          coalesce(size(col("rs")), lit(0)).cast("string"),
+          lit(", \"successful_scrapes\": "),
+          coalesce(size(filter(col("rs"), r => r.getField("success"))), lit(0))
+            .cast("string"),
+          when(coalesce(size(col("rs")), lit(0)) === 0,
+            lit(", \"error\": \"No reactions found\"")).otherwise(lit("")),
+          lit("}")).as("doc"))
       .orderBy("file", "dataset_id")
   }
 

@@ -5,15 +5,17 @@ import graft.ord.{OrdFixtures, OrdPipeline}
 
 /** The raw (unformatted-inclusive) sink — the reference's EP3
   * `reaction_database_scrape.json`. No golden file exists for this
-  * output in the reference, so the contract is structural: every
-  * envelope parses as JSON, counts agree with the reaction list, empty
-  * datasets keep empty lists, and every embedded payload round-trips
-  * bit-exactly against the raw fixture. */
+  * output in the reference, so the contract is structural against the
+  * envelope code (`web_scraper.py:294-307,248-253,271-276`): the exact
+  * reference field set (`successful_scrapes` count, `error` markers,
+  * `formatted_data` only on success), `data` embedded as a JSON
+  * OBJECT (not a quoted string) that round-trips bit-exactly against
+  * the raw fixture, and empty datasets keeping empty lists. */
 class OrdRawSinkSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  test("every raw envelope parses, counts agree, payloads round-trip") {
+  test("raw envelopes match the reference EP3 field set and payloads round-trip") {
     val rows = OrdPipeline.ordS6bRawSink(spark, SparkTestSession.sf).collect()
     val (_, raws) = OrdFixtures.parseAll()
     val rawByKey = raws.map(r => (r.file, r.dataset_id, r.reaction_id) -> r.raw).toMap
@@ -26,16 +28,34 @@ class OrdRawSinkSpec extends AnyFunSuite {
       val doc = mapper.readTree(row.getString(2))
       assert(doc.get("dataset_id").asText() == dsId)
       val rx = doc.get("reactions")
+      // reference envelope: counts, not a boolean status field
       assert(doc.get("total_reactions").asInt() == rx.size())
-      assert(doc.get("success").asBoolean() == (rx.size() > 0))
-      if (rx.size() == 0) empties += 1
+      assert(!doc.has("success"), "dataset envelope has no success field in the reference")
+      val successful = (0 until rx.size()).count(i => rx.get(i).get("success").asBoolean())
+      assert(doc.get("successful_scrapes").asInt() == successful)
+      if (rx.size() == 0) {
+        empties += 1
+        // web_scraper.py:271-276: empty dataset carries an error marker
+        assert(doc.get("error").asText() == "No reactions found")
+      } else {
+        assert(!doc.has("error"))
+      }
       (0 until rx.size()).foreach { i =>
         val r = rx.get(i)
-        val orig = rawByKey((file, dsId, r.get("reaction_id").asText()))
-        // verbatim payload: parse both and compare trees (the sink
-        // stores the payload as a string field)
-        assert(mapper.readTree(r.get("data").asText()) == mapper.readTree(orig),
-          s"payload mismatch for ${r.get("reaction_id").asText()}")
+        val orig = mapper.readTree(rawByKey((file, dsId, r.get("reaction_id").asText())))
+        if (r.get("success").asBoolean()) {
+          // success result dict: data is the parsed JSON OBJECT, spliced
+          // verbatim, plus formatted_data (web_scraper.py:228-232,283-285)
+          assert(r.get("data").isObject, "data must be an embedded object, not a string")
+          assert(r.get("data") == orig, s"payload mismatch for ${r.get("reaction_id").asText()}")
+          assert(r.get("formatted_data") == orig)
+          assert(!r.has("error"))
+        } else {
+          // failure result dict (web_scraper.py:248-253)
+          assert(r.get("data").isNull)
+          assert(r.get("error").asText() == "Max retries exceeded")
+          assert(!r.has("formatted_data"))
+        }
         withPayloads += 1
       }
     }
