@@ -8,6 +8,23 @@ import org.apache.spark.sql.SparkSession
   * fully computed and serialized by the executors (unlike `.count()`,
   * which lets Catalyst prune all columns and skip projection work), with
   * zero sink I/O cost, so the number measures the query itself.
+  *
+  * Measurement protocol (r4 verdict: the official artifact diverged up
+  * to 4x from a same-day snapshot on two queries):
+  *
+  *  - one warm pass (codegen/JIT/reader caches), then THREE measured
+  *    passes, INTERLEAVED — pass k runs every query once in the same
+  *    alphabetical order, so a transient machine-load spike lands on one
+  *    repeat of many queries instead of all repeats of one query, and
+  *    the reported per-query number is the median of its three repeats;
+  *  - durable checkpoint I/O (e16's loop state) is redirected to tmpfs
+  *    (/dev/shm) when available: r4's spread was worst on e16 and its
+  *    alphabetical neighbor, consistent with checkpoint writes landing
+  *    on the same disk the bench reads from;
+  *  - the printed line carries the protocol (`passes`, `run_order`,
+  *    `checkpoint_dir`) so a reader can see HOW the numbers were taken;
+  *    per-repeat raw values land in the file artifact only (keeps the
+  *    stdout line short enough to survive the driver's tail capture).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,9 +38,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two passes per query: the first warms codegen/JIT/readers, the
-    // second is reported — steady-state engine throughput, not class
-    // loading. Failures degrade to a per-query stderr line.
+    // Pre-set the checkpoint dir so ClusterOps.ensureCheckpointDir keeps
+    // it; GRAFT_CHECKPOINT_DIR still wins for explicit placement.
+    val ckptDir: String = sys.env.get("GRAFT_CHECKPOINT_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-bench-ckpt")
+      else None
+    }.getOrElse("target/bench-checkpoints")
+    spark.sparkContext.setCheckpointDir(ckptDir)
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // Queries that persist() shared sub-relations (e6/e8/e16) register
@@ -42,20 +64,48 @@ object Bench {
       }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = ordered.map(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm pass
-    val results = ordered.map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val passes = 3
+    val repeats: Seq[Map[String, Double]] =
+      (1 to passes).map { _ => ordered.map { case (n, f) => n -> run(n, f) }.toMap }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val med = names.map(n => n -> median(repeats.map(_(n))))
+    val total = med.map(_._2).filter(_ >= 0).sum
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val passTotals = repeats
+      .map(r => fmt(r.values.filter(_ >= 0).sum)).mkString("[", ",", "]")
+    val proto = s""""passes":$passes,"pass_totals":$passTotals,""" +
+      s""""run_order":"alphabetical-interleaved","warmup":1,""" +
+      s""""checkpoint_dir":"$ckptDir""""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures stdout, but a long line can truncate in its
-    // transcript — persist the full artifact beside the repo as well
-    // (overridable for multi-SF slope runs)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$proto}"""
+    // Full artifact (adds per-repeat raw values) — beside the working
+    // dir by default; a failed write must not fail a successful bench.
+    val runsJson = names.map { n =>
+      "\"" + n + "\":" + repeats.map(r => fmt(r(n))).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val detail = line.dropRight(1) + s""","queries_runs":$runsJson}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath.toString)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
+    }
+    // tmpfs checkpoints are bench-scoped scratch — reclaim the memory
+    if (ckptDir.startsWith("/dev/shm/")) {
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(ckptDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
     spark.stop()
+    println(line)
   }
 }
