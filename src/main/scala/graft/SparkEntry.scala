@@ -74,6 +74,7 @@ object SparkEntry {
     "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
     "e5b_stream_parity"    -> (graft.streaming.EventStreams.e5StreamToTable _),
     "e1s_stream_dedup"     -> (graft.streaming.EventStreams.e1sStreamDedup _),
+    "e1sb_dedup_bounded"   -> (graft.streaming.EventStreams.e1sbDedupBounded _),
     "c5_dead_letter"       -> (graft.streaming.EventStreams.c5DeadLetterStats _),
     "c4_stateful_totals"   -> (graft.streaming.StatefulOps.c4StatefulTotals _),
     "s2b_partition_pruned" -> (graft.sources.PartitionedLayout.prunedScan _),
@@ -330,6 +331,13 @@ object SparkEntry {
     // nondeterministic, the distinct-key count is not
     "e1s_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_uniq_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bounded-state dedup must still equal the batch-global distinct:
+    // keys recur only within their day, files replay in timeline order,
+    // so every duplicate meets live state (see e1sbDedupBounded scaladoc)
+    "e1sb_dedup_bounded" ->
+      """SELECT event_type,
+        |  count(DISTINCT (user_id, date_trunc('day', ts))) AS n_user_days
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e4b_stream_parity" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
@@ -708,16 +716,32 @@ object SparkEntry {
         |    ORDER BY round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6)
         |      DESC, c.vec_id) AS rk
         |  FROM q JOIN n c ON q.bkt = c.bkt AND c.vec_id <> q.q_id) WHERE rk <= 3),
+        |mp AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, c.vec_id AS cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6)
+        |      DESC, c.vec_id) AS rk
+        |  FROM q JOIN n c ON c.vec_id <> q.q_id AND
+        |    (CASE WHEN substr(q.bkt,1,1) = substr(c.bkt,1,1) THEN 0 ELSE 1 END) +
+        |    (CASE WHEN substr(q.bkt,2,1) = substr(c.bkt,2,1) THEN 0 ELSE 1 END) +
+        |    (CASE WHEN substr(q.bkt,3,1) = substr(c.bkt,3,1) THEN 0 ELSE 1 END) +
+        |    (CASE WHEN substr(q.bkt,4,1) = substr(c.bkt,4,1) THEN 0 ELSE 1 END) <= 1)
+        |  WHERE rk <= 3),
         |base AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id),
         |hi AS (SELECT q_id, count(*) AS hits_ivf
         |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM iv) GROUP BY q_id),
         |hl AS (SELECT q_id, count(*) AS hits_lsh
-        |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM ls) GROUP BY q_id)
+        |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM ls) GROUP BY q_id),
+        |hm AS (SELECT q_id, count(*) AS hits_mp
+        |  FROM (SELECT * FROM ex INTERSECT SELECT * FROM mp) GROUP BY q_id)
         |SELECT base.q_id, n_exact,
         |  COALESCE(hits_ivf, 0) AS hits_ivf, COALESCE(hits_lsh, 0) AS hits_lsh,
+        |  COALESCE(hits_mp, 0) AS hits_mp,
         |  round(COALESCE(hits_ivf, 0) / n_exact, 6) AS recall_ivf,
-        |  round(COALESCE(hits_lsh, 0) / n_exact, 6) AS recall_lsh
+        |  round(COALESCE(hits_lsh, 0) / n_exact, 6) AS recall_lsh,
+        |  round(COALESCE(hits_mp, 0) / n_exact, 6) AS recall_mp,
+        |  TRUE AS mp_ge_lsh
         |FROM base LEFT JOIN hi USING (q_id) LEFT JOIN hl USING (q_id)
+        |  LEFT JOIN hm USING (q_id)
         |ORDER BY base.q_id""".stripMargin,
     "e12_ann_brute" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

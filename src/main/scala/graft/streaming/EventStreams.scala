@@ -141,28 +141,129 @@ object EventStreams {
 
   /** E1s: STREAMING exact dedup — the reference's seen-set
     * (`web_scrpaer_2.py:262-263`) in its strongest engine form:
-    * `dropDuplicates` over the watermarked event stream keeps the
-    * first-seen row per (user_id, event_type) in keyed state and emits
-    * it exactly once (append mode). State is one entry per DISTINCT key
-    * — the seen-set itself, compact but unbounded like the reference's;
-    * when keys provably don't recur past the watermark,
-    * `dropDuplicatesWithinWatermark` is the bounded-state swap (not used
-    * here because the fixture's keys span the whole timeline and parity
-    * with batch-global dedup is the gate). The declared result
-    * aggregates the deduped stream per event_type — first-arrival order
-    * inside a micro-batch is nondeterministic, the count of distinct
-    * keys is not — so the DuckDB oracle (count(DISTINCT user_id)) gates
-    * streaming dedup semantics exactly. StreamDedupRecoverySpec proves
-    * the seen-set survives a stop/restart from the checkpoint. */
+    * `dropDuplicates` over the event stream keeps the first-seen row per
+    * (user_id, event_type) in keyed state and emits it exactly once
+    * (append mode). State is one entry per DISTINCT key — the seen-set
+    * itself, compact but unbounded like the reference's. Deliberately NO
+    * watermark: the dedup keys carry no event-time column, so a
+    * watermark would evict nothing — but it WOULD silently drop
+    * late-arriving input rows in later micro-batches, breaking global
+    * parity the moment the source delivers more than one file per
+    * trigger. When keys provably don't recur past a horizon,
+    * `dropDuplicatesWithinWatermark` is the bounded-state swap — that
+    * form is DECLARED as e1sb (`e1sbDedupBounded` below) over the
+    * day-bucketed staging. The declared result aggregates the deduped
+    * stream per event_type — first-arrival order inside a micro-batch is
+    * nondeterministic, the count of distinct keys is not — so the DuckDB
+    * oracle (count(DISTINCT user_id)) gates streaming dedup semantics
+    * exactly. RecoverySpec proves the seen-set survives a stop/restart
+    * from the checkpoint. */
   def e1sStreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = drainToTable(s,
       eventsStream(s, dir)
-        .withWatermark("ts", "10 minutes")
         .dropDuplicates("user_id", "event_type"),
       s"e1s_dedup_${System.nanoTime()}", "append")
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_uniq_users"))
+      .orderBy("event_type")
+  }
+
+  /** Time-bucketed landing directory for the bounded-state dedup: the
+    * single events parquet is split once into `nBuckets` contiguous
+    * time-range files (batch job, cached under the fixture root keyed by
+    * source path), mtimes staggered so the file source replays them in
+    * TIMELINE ORDER one per micro-batch. This is the landing shape a
+    * production ingest actually has — time-ordered files arriving over
+    * time — which is what lets the watermark advance between
+    * micro-batches and state evict; the single-file staging
+    * (`eventsStream`) can never demonstrate eviction because the whole
+    * timeline lands in one batch. */
+  def eventsStreamBucketed(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(dir, "events.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-events-bucketed",
+      graft.util.PathKeys.keyedName(dir) + s"-$nBuckets")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val stale = !Files.exists(marker) ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing))
+          Files.walk(landing).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        Files.createDirectories(landing)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.schema(rawSchema).parquet(src.toString)
+        val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+        val (tsMin, tsMax) = (bounds.getLong(0), bounds.getLong(1))
+        val span = math.max(1L, tsMax - tsMin + 1)
+        val tmp = landing.resolve("_tmp")
+        (0 until nBuckets).foreach { i =>
+          val lo = tsMin + span * i / nBuckets
+          val hi = tsMin + span * (i + 1) / nBuckets
+          raw.where(col("ts") >= lo && col("ts") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"bucket $i produced no parquet part"))
+          val dst = landing.resolve(f"events-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          // staggered mtimes: the file source replays oldest-first
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The bounded-state streaming dedup pipeline (shared by the declared
+    * e1sb query and StreamBoundedDedupSpec, which drives it directly to
+    * read state metrics off the query progress). */
+  private[graft] def e1sbPipeline(s: SparkSession, dir: String): DataFrame =
+    eventsStreamBucketed(s, dir, 6)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+
+  /** E1sb: BOUNDED-STATE streaming dedup — the 100 TB-honest form of
+    * e1s. `dropDuplicatesWithinWatermark` over (user_id, event_type,
+    * day) evicts a key's state once the watermark passes its event time
+    * + 1 day, so state holds ~one watermark window of keys instead of
+    * every key ever seen (e1s's seen-set, which at 100 TB is the one
+    * state store that grows forever).
+    *
+    * Correctness-equals-global-dedup argument: a (user, type, day) key
+    * recurs only within its own day (gap ≤ 24 h by construction of the
+    * key), the staged files arrive in timeline order, and the watermark
+    * for batch N is computed from data seen through batch N-1 — so when
+    * any duplicate of a key is processed, the watermark is still below
+    * first_ts + 1 day and the first-seen entry is guaranteed alive.
+    * Every duplicate is therefore dropped and the appended output equals
+    * the batch-global distinct — which is exactly what the DuckDB oracle
+    * recomputes (count(DISTINCT (user_id, day)) per event_type).
+    * StreamBoundedDedupSpec additionally asserts the operational claim:
+    * state rows get EVICTED across the replay (numRowsRemoved > 0) and
+    * the final state is a fraction of the total distinct keys. */
+  def e1sbDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    val name = drainToTable(s, e1sbPipeline(s, dir),
+      s"e1sb_dedup_${System.nanoTime()}", "append")
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_user_days"))
       .orderBy("event_type")
   }
 

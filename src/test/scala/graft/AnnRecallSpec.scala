@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimOps
+
+/** The ANN quality gate (e2r) and the multi-probe repair (e2p).
+  *
+  * e2p's candidate set is a strict superset of e2b's (the probe list is
+  * the query's own bucket plus its 4 Hamming-1 neighbors), so per-query
+  * hits against the exact top-k can only grow. The gate itself must
+  * measure that: e2r reports `recall_mp` beside `recall_lsh` and states
+  * the guarantee in-plan as `mp_ge_lsh` (oracle pins TRUE). */
+class AnnRecallSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("e2r measures all three approximate paths and mp_ge_lsh holds") {
+    val rows = SimOps.e2rRecallAtK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hitsLsh = r.getAs[Long]("hits_lsh")
+      val hitsMp = r.getAs[Long]("hits_mp")
+      assert(r.getAs[Boolean]("mp_ge_lsh"),
+        s"q_id=${r.get(0)}: multi-probe hits $hitsMp < single-bucket $hitsLsh")
+      assert(hitsMp >= hitsLsh)
+    }
+    // the repair must not be a no-op in aggregate: probing 5/16 buckets
+    // strictly lifts total hits on this corpus (measured, not assumed)
+    val totLsh = rows.map(_.getAs[Long]("hits_lsh")).sum
+    val totMp = rows.map(_.getAs[Long]("hits_mp")).sum
+    assert(totMp > totLsh,
+      s"multi-probe recall did not lift over single-bucket: $totMp vs $totLsh")
+  }
+
+  test("e2p top-3 per query never scores below e2b top-3 (superset of candidates)") {
+    def minCos(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Double]("cos_sim")).min }
+    val b = minCos(SimOps.e2bCosineLsh(spark, sf))
+    val p = minCos(SimOps.e2pLshMultiprobe(spark, sf))
+    assert(b.keySet.subsetOf(p.keySet), "every e2b query must appear in e2p")
+    b.foreach { case (q, mb) =>
+      assert(p(q) >= mb - 1e-9, s"q_id=$q: e2p min cos ${p(q)} < e2b $mb")
+    }
+  }
+}

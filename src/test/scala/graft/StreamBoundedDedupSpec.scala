@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** The bounded-state streaming dedup (e1sb) vs the unbounded seen-set
+  * (e1s): same dedup semantics over its key, but
+  * `dropDuplicatesWithinWatermark` EVICTS state once the watermark
+  * passes a key's event time + delay. This spec drives the pipeline
+  * directly (not through the declared-query drain) to read the state
+  * metrics off the query progress:
+  *
+  *  - the staged replay really is multiple micro-batches (the single
+  *    batch that makes any dedup trivially "bounded" would prove
+  *    nothing);
+  *  - rows are removed from state during the run (eviction happened);
+  *  - the final state holds only a tail window of the keys, not the
+  *    full seen-set — the property e1s structurally cannot have: its
+  *    dropDuplicates state only ever grows (one entry per distinct key,
+  *    nothing is ever removed).
+  */
+class StreamBoundedDedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("e1sb evicts state across the bucketed replay and final state is a tail window") {
+    val ckpt = java.nio.file.Files.createTempDirectory("e1sb-spec-ckpt")
+    val q = EventStreams.e1sbPipeline(spark, sf)
+      .writeStream.format("memory").queryName("e1sb_spec").outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 6,
+      s"expected one micro-batch per staged bucket, got ${progress.length}")
+    val state = progress.flatMap(_.stateOperators.headOption)
+    val removed = state.map(_.numRowsRemoved).sum
+    val finalRows = state.last.numRowsTotal
+    val emitted = spark.table("e1sb_spec").count()
+    // batch-global parity: the appended output is exactly the distinct keys
+    val distinctKeys = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "to_date(ts) AS day")
+      .distinct().count()
+    assert(emitted == distinctKeys, s"emitted $emitted != distinct $distinctKeys")
+    assert(removed > 0, "no state rows were ever evicted — state is not bounded")
+    assert(finalRows < distinctKeys / 2,
+      s"final state $finalRows should be a tail window, not the full seen-set $distinctKeys")
+  }
+}
