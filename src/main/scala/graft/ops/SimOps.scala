@@ -207,17 +207,31 @@ object SimOps {
 
   /** E13: embedding-cosine near-duplicate pairs — the dedup-flavored
     * variant of similarity search: all same-cell pairs above a cosine
-    * threshold. Candidates come only from the IVF cell equi-join
-    * (per-cell work is |cell|²/2, bounded by cell size — at 100 TB cells
-    * number in the thousands, keeping every task small). */
+    * threshold. Candidates come only from within an IVF cell (per-cell
+    * work is |cell|²/2, bounded by cell size — at 100 TB cells number in
+    * the thousands, keeping every task small).
+    *
+    * Pairing uses the POSTING-LIST shape shared with e6/e7b/e8: ONE
+    * exchange collects each cell's vectors into a sorted list (struct
+    * sorted by vec_id, so the "slice after me" explode yields exactly
+    * the id1 < id2 ordered pairs), then the double-explode runs
+    * partition-local — replacing the former label self-join, which
+    * shuffled the vector table twice. A posting row holds one whole
+    * cell (|cell| × 32 doubles); that is the same per-task bound the
+    * self-join already had, materialized as one row instead of a join
+    * probe set. */
   def e13EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val e = vectors(embeddings(s, d))
-    val a = e.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
-    a.join(b, Seq("label"))
-      .where(col("id1") < col("id2"))
-      .select(col("label"), col("id1"), col("id2"),
-        cosine(col("v1"), col("v2")).as("cos_sim"))
+    val cells = e.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("xs"))
+      .where(size(col("xs")) > 1) // singleton cells can never pair
+    cells
+      .select(col("label"), col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+      .select(col("label"), col("a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("b"))
+      .select(col("label"),
+        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.v"), col("b.v")).as("cos_sim"))
       .where(col("cos_sim") >= 0.3)
       .orderBy("label", "id1", "id2")
   }
