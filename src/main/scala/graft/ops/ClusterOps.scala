@@ -9,8 +9,10 @@ object ClusterOps {
 
   /** Iteration cap for e16's label propagation — far above any real
     * near-dup cluster diameter; the convergence guard throws loudly if
-    * it is ever hit. */
-  val MaxCcIters = 100
+    * it is ever hit. Overridable via system property so the failure
+    * path (checkpoint cleanup on a non-converged run) is testable. */
+  def MaxCcIters: Int =
+    sys.props.get("graft.e16.maxIters").map(_.toInt).getOrElse(100)
 
   /** Reliable checkpoint location for iterative queries. `checkpoint()`
     * (vs `localCheckpoint()`) writes blocks to this directory — an
@@ -144,6 +146,7 @@ object ClusterOps {
     val loopParts =
       math.max(1L, math.min(prevParts.toLong, nEdges / 100000L)).toInt
     var edgesLoop: DataFrame = null
+    var converged = false
     try {
       conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       conf.set("spark.sql.adaptive.enabled", "false")
@@ -214,21 +217,27 @@ object ClusterOps {
         if (sys.env.contains("GRAFT_E16_DEBUG"))
           System.err.println(s"[e16] round $iter changed=$changed")
       }
+      // diameter-bound exceeded: labels would be silently wrong vs the
+      // exact recursive-CTE oracle — fail loudly instead (inside the try
+      // so the finally reclaims the in-flight state snapshot)
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"e16 label propagation did not converge in $iter rounds " +
+            s"($changed labels still changing) — raise the iteration cap")
+      converged = true
     } finally {
       conf.set("spark.sql.shuffle.partitions", prevParts)
       conf.set("spark.sql.adaptive.enabled", prevAqe)
       if (edgesLoop != null) edgesLoop.unpersist(blocking = false)
+      // the loop is done with the edge snapshot on EVERY exit path; the
+      // final labels checkpoint (which the returned plan reads) outlives
+      // this call only on success — a failed run must not leak its
+      // in-flight state snapshot either (per-round cleanup only covers
+      // rounds that completed)
+      deleteFiles(s, checkpointFiles(edges))
+      if (!converged && labels != null) deleteFiles(s, checkpointFiles(labels))
     }
     seg("loop")
-    // the loop is done with the edge snapshot too; only the final labels
-    // checkpoint (which the returned plan reads) must outlive this call
-    deleteFiles(s, checkpointFiles(edges))
-    // diameter-bound exceeded: labels would be silently wrong vs the
-    // exact recursive-CTE oracle — fail loudly instead
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"e16 label propagation did not converge in $iter rounds " +
-          s"($changed labels still changing) — raise the iteration cap")
     val sized = labels
       .withColumn("cluster_id", col("lbl")).drop("lbl")
       .withColumn("cluster_size",

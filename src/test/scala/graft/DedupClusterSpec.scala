@@ -76,6 +76,27 @@ class DedupClusterSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a failed (non-converged) run leaks no checkpoint snapshots") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val ckptRoot = Paths.get(ClusterOps.ensureCheckpointDir(spark))
+    def snapshots(): Set[String] =
+      if (!Files.exists(ckptRoot)) Set.empty
+      else Files.walk(ckptRoot).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .map(_.toString).toSet
+    val before = snapshots()
+    System.setProperty("graft.e16.maxIters", "1")
+    try {
+      intercept[IllegalStateException] {
+        ClusterOps.e16DedupClusters(spark, fixtureDir).count()
+      }
+    } finally System.clearProperty("graft.e16.maxIters")
+    val leaked = snapshots() -- before
+    assert(leaked.isEmpty,
+      s"non-converged run left checkpoint snapshots behind: $leaked")
+  }
+
   test("the loop restores session confs it tunes") {
     val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
