@@ -39,10 +39,19 @@ import org.apache.spark.sql.graft.Bridge
   * is a SUPERSET of the per-partition winners is correct (the final
   * exec recomputes the exact top-k), so flushing trades reduction for
   * bounded memory — the same deal hash aggregation makes when it spills
-  * partial results. The FINAL exec never flushes (it needs every row of
-  * a key); its state is the keys-per-reduce-partition × k working set,
-  * the same assumption a hash aggregate makes, and shuffle partitioning
-  * controls it.
+  * partial results. The FINAL exec is SORT-BASED and streaming: it
+  * requires its child ordered by (keys, order), so EnsureRequirements
+  * plants a SortExec after the exchange — Spark's external sorter,
+  * which SPILLS — and the exec itself just walks each key's contiguous,
+  * best-first run emitting the first k rows: O(1) state, no heap map,
+  * no OOM at any key cardinality (the r4 final exec held every key's
+  * heap for its partition — hash-aggregate's working-set assumption but
+  * without hash-aggregate's spill path). Under normal cardinality the
+  * sorted input is the already-reduced partial output (≤ partitions ×
+  * keys × k rows), so the sort is over the small side, not the table.
+  * Key-run boundaries are detected with the key ORDERING, not byte
+  * equality, so sort-equal keys that differ in bytes (-0.0 vs 0.0)
+  * cannot split a group.
   *
   * WHY NO CODEGEN (`CodegenSupport`): the operator is a PIPELINE
   * BREAKER like sort and hash-agg — it must consume its whole input
@@ -86,6 +95,16 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
 
+  // the final exec consumes key-contiguous best-first runs; the sort
+  // this demands is planted by EnsureRequirements as a spill-safe
+  // SortExec over the (already partial-reduced) exchange output
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(partitionExprs.map(SortOrder(_, Ascending)) ++ orderExprs)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else child.outputOrdering
+
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
@@ -99,10 +118,36 @@ case class TopKPerKeyExec(
     val partLocal = partitionExprs
     val orderLocal = orderExprs
     val childOutput = child.output
-    // only the map side may emit early: its output only needs to be a
-    // superset of the per-partition winners; the final exec needs every
-    // row of a key together before it can decide anything
-    val maxHeld = if (partial) flushHeldRows else Int.MaxValue
+    if (!partial) {
+      // SORT-BASED FINAL: the child is (key, order)-sorted, so each
+      // key's rows arrive contiguously and best-first — emit the first
+      // k of each run. O(1) state; the upstream SortExec owns spilling.
+      return child.execute().mapPartitions { iter =>
+        val keyOrd = RowOrdering.create(
+          partLocal.map(SortOrder(_, Ascending)), childOutput)
+        new Iterator[InternalRow] {
+          private var prevKeyRow: InternalRow = null
+          private var emitted = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && iter.hasNext) {
+              val row = iter.next()
+              if (prevKeyRow == null || keyOrd.compare(prevKeyRow, row) != 0) {
+                prevKeyRow = row.copy()
+                emitted = 0
+              }
+              if (emitted < kLocal) { emitted += 1; pending = row }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val r = pending; pending = null; numOutputRows += 1; r
+          }
+        }
+      }
+    }
+    val maxHeld = flushHeldRows
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       val ord = RowOrdering.create(orderLocal, childOutput)

@@ -53,7 +53,7 @@ class TopKOperatorSpec extends AnyFunSuite {
     assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
   }
 
-  test("physical plan: partial heap -> exchange -> final heap") {
+  test("physical plan: partial heap -> exchange -> spill-safe sort -> streaming final") {
     val df = Seq.fill(100)((rnd.nextInt(5).toLong, rnd.nextInt())).toDF("key", "score")
       .repartition(4)
     val out = TopKPerKey.topKPerKey(df, 2,
@@ -61,13 +61,16 @@ class TopKOperatorSpec extends AnyFunSuite {
     out.collect()
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
-    // the partial exec must sit BELOW the exchange (map side)
+    // final consumes a (key, order)-sorted run: EnsureRequirements must
+    // plant a SortExec (Spark's external, SPILLING sorter) between the
+    // exchange and the final exec; the partial sits below the exchange
     val lines = p.linesIterator.toSeq
     val iFinal = lines.indexWhere(_.contains("TopKPerKeyFinal"))
-    val iEx = lines.indexWhere(_.contains("Exchange"), iFinal)
-    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial"), iFinal)
-    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
-      s"expected Final above Exchange above Partial:\n$p")
+    val iSort = lines.indexWhere(_.contains("Sort "), iFinal)
+    val iEx = lines.indexWhere(_.contains("Exchange"), iSort)
+    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial"), iEx)
+    assert(iFinal >= 0 && iSort > iFinal && iEx > iSort && iPartial > iEx,
+      s"expected Final above Sort above Exchange above Partial:\n$p")
   }
 
   test("map side ships at most partitions*keys*k rows to the shuffle") {
@@ -115,6 +118,27 @@ class TopKOperatorSpec extends AnyFunSuite {
     val out = TopKPerKey.topKPerKey(df, 1,
       keys = Seq("key"), orderBy = Seq(("score", true)))
     assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+  }
+
+  test("high cardinality under a tiny flush valve: both sides stay memory-bounded") {
+    // every row its own key AND the partial valve forced to flush every
+    // 128 held rows: the reduce side receives (nearly) the whole input,
+    // which the r4 heap-map final would have held in memory at once —
+    // the sort-based final walks it with O(1) state behind the spilling
+    // SortExec and must still be exact
+    val rows = (1 to 30000).map(i => (i.toLong, i * 17 % 10007, i))
+    val df = rows.toDF("key", "score", "tb").repartition(8)
+    val out = TopKPerKey.topKPerKey(df, 2,
+      keys = Seq("key"), orderBy = Seq(("score", false), ("tb", true)),
+      flushHeldRows = 128)
+    // collect() executes out.queryExecution itself — the metric below
+    // belongs to THIS execution (count() would plan a separate one)
+    assert(out.collect().length == 30000)
+    assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+    val finalRows = PlanWalk.allNodes(out.queryExecution.executedPlan).collectFirst {
+      case t: TopKPerKeyExec if !t.partial => t.metrics("numOutputRows").value
+    }
+    assert(finalRows.contains(30000L), s"final output metric: $finalRows")
   }
 
   test("partial flush valve bounds map-side state and never changes the result") {
