@@ -63,7 +63,12 @@ object Bench {
         -1.0 // sentinel: a crashed query must not read as a fast one
       }
     }
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // used for targeted scale runs (e.g. the sf10a per-row-bound tail)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val names = ordered.map(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm pass
     val passes = 3

@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [jsonOut]
 
 For each query parquet under verifyOutDir, runs the matching SQL from
 oracle_sql.json in DuckDB (with the sfDir tables registered as views) and
 compares schema (column names + values) and full row content in order.
+With jsonOut, also writes a CORRECTNESS-style per-query JSON report.
 """
 import json
 import sys
@@ -16,11 +17,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Amplified copies store events.ts as BIGINT nanos (Spark cannot
+    # write TIMESTAMP(NANOS) parquet) — apply the same micros adapter
+    # the Spark side uses (graft.Tables.events) so the oracle SQL sees
+    # a timestamp either way.
+    (ts_type,) = con.sql(
+        "SELECT column_type FROM (DESCRIBE events) WHERE column_name = 'ts'").fetchone()
+    if ts_type == "BIGINT":
+        con.execute("DROP VIEW events")
+        con.execute(
+            f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+            f"FROM read_parquet('{sf_dir}/events.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     status = {}
     try:
@@ -28,21 +40,26 @@ def main(sf_dir, out_dir):
     except FileNotFoundError:
         pass
     n_pass = n_fail = 0
+    report = {}
     for name in sorted(set(list(oracle) + list(status))):
         if name not in oracle:
             print(f"[noora] {name}: no oracle (rows-only check), status={status.get(name)}")
+            report[name] = {"rows_only": True, "status": status.get(name)}
             continue
         try:
             spark_df = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"[FAIL ] {name}: no spark result ({str(e).splitlines()[0]})")
+            report[name] = {"match": False, "problems": ["no spark result"]}
             n_fail += 1
             continue
         try:
             duck_df = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL ] {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            report[name] = {"match": False,
+                            "problems": [f"oracle SQL error: {str(e).splitlines()[0]}"]}
             n_fail += 1
             continue
         problems = []
@@ -67,12 +84,20 @@ def main(sf_dir, out_dir):
         if problems:
             n_fail += 1
             print(f"[FAIL ] {name}: " + "; ".join(problems[:4]))
+            report[name] = {"match": False, "rows": len(spark_df),
+                            "problems": problems[:4]}
         else:
             n_pass += 1
             print(f"[ok   ] {name} ({len(spark_df)} rows)")
+            report[name] = {"match": True, "rows": len(spark_df)}
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": report}, f, indent=1, sort_keys=True)
     return n_fail
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
