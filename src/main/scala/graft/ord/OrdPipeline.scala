@@ -251,9 +251,6 @@ object OrdPipeline {
     * the raw fixture. Reactions nest in stored scrape order (rx_pos),
     * so the document is deterministic. */
   def ordS6bRawSink(s: SparkSession, d: String): DataFrame = {
-    // JSON string literal (ids are control-char-free; escape " and \)
-    def jstr(c: Column): Column =
-      concat(lit("\""), regexp_replace(c, "([\"\\\\])", "\\\\$1"), lit("\""))
     val rx = nested(s)
       .select(col("file"), col("dataset_id"), explode(col("reactions")).as("r"))
       .select(col("file"), col("dataset_id"),
@@ -261,6 +258,25 @@ object OrdPipeline {
         col("r.reaction_id").as("reaction_id"), col("r.success").as("success"))
     val raw = s.read.parquet(OrdFixtures.rawPath)
       .select(col("file"), col("dataset_id"), col("reaction_id"), col("raw"))
+    renderRawEnvelopes(nested(s).select(col("file"), col("dataset_id")), rx, raw)
+  }
+
+  /** The raw-envelope render core, separated so the failure branch
+    * (`success = false` → data: null + error, no formatted_data) is
+    * testable: the golden corpus contains only successful reactions, so
+    * OrdRawSinkSpec drives this with a synthetic fixture to cover the
+    * path the reference takes on a scrape failure
+    * (`web_scraper.py:248-253`).
+    *
+    * Inputs: `datasets` = (file, dataset_id) — one row per dataset,
+    * empty ones included; `rx` = (file, dataset_id, rx_pos, reaction_id,
+    * success); `raw` = (file, dataset_id, reaction_id, raw-JSON-string).
+    */
+  private[graft] def renderRawEnvelopes(
+      datasets: DataFrame, rx: DataFrame, raw: DataFrame): DataFrame = {
+    // JSON string literal (ids are control-char-free; escape " and \)
+    def jstr(c: Column): Column =
+      concat(lit("\""), regexp_replace(c, "([\"\\\\])", "\\\\$1"), lit("\""))
     val rxDoc = when(col("success"),
         concat(lit("{\"reaction_id\": "), jstr(col("reaction_id")),
           lit(", \"data\": "), col("raw"),
@@ -270,13 +286,13 @@ object OrdPipeline {
         concat(lit("{\"reaction_id\": "), jstr(col("reaction_id")),
           lit(", \"data\": null, \"success\": false, " +
             "\"error\": \"Max retries exceeded\"}")))
-    val agged = rx.join(raw, Seq("file", "dataset_id", "reaction_id"))
+    val agged = rx.join(raw, Seq("file", "dataset_id", "reaction_id"), "left")
       .select(col("file"), col("dataset_id"), col("rx_pos"), col("success"),
         rxDoc.as("doc"))
       .groupBy(col("file"), col("dataset_id"))
       .agg(sort_array(collect_list(struct(
         col("rx_pos"), col("success"), col("doc")))).as("rs"))
-    nested(s).select(col("file"), col("dataset_id"))
+    datasets
       .join(agged, Seq("file", "dataset_id"), "left")
       .select(col("file"), col("dataset_id"),
         concat(

@@ -63,4 +63,39 @@ class OrdRawSinkSpec extends AnyFunSuite {
     // the golden corpus ships 4 empty datasets (ord_formatted_data_one)
     assert(empties >= 4, s"empty-dataset envelopes must survive, got $empties")
   }
+
+  test("failure branch: failed reactions render data:null + error and survive the join") {
+    // the golden corpus has no success=false reactions, so the failure
+    // render path (web_scraper.py:248-253) is driven synthetically: one
+    // dataset with a success followed by a failure (no raw payload row —
+    // the reference has none for a failed scrape), plus an empty dataset
+    import spark.implicits._
+    val datasets = Seq(("f", "ds1"), ("f", "ds_empty")).toDF("file", "dataset_id")
+    val rx = Seq(
+      ("f", "ds1", 0, "ord-ok", true),
+      ("f", "ds1", 1, "ord-fail", false))
+      .toDF("file", "dataset_id", "rx_pos", "reaction_id", "success")
+    val raw = Seq(("f", "ds1", "ord-ok", """{"reactionId": "ord-ok"}"""))
+      .toDF("file", "dataset_id", "reaction_id", "raw")
+    val docs = graft.ord.OrdPipeline.renderRawEnvelopes(datasets, rx, raw)
+      .collect().map(r => r.getString(1) -> mapper.readTree(r.getString(2))).toMap
+    val d1 = docs("ds1")
+    assert(d1.get("total_reactions").asInt() == 2)
+    assert(d1.get("successful_scrapes").asInt() == 1)
+    assert(!d1.has("error"))
+    val ok = d1.get("reactions").get(0)
+    assert(ok.get("success").asBoolean() && ok.get("data").isObject
+      && ok.get("formatted_data").isObject && !ok.has("error"))
+    val fail = d1.get("reactions").get(1)
+    assert(fail.get("reaction_id").asText() == "ord-fail")
+    assert(!fail.get("success").asBoolean())
+    assert(fail.get("data").isNull, "failed reaction must carry data: null")
+    assert(fail.get("error").asText() == "Max retries exceeded")
+    assert(!fail.has("formatted_data"))
+    val de = docs("ds_empty")
+    assert(de.get("total_reactions").asInt() == 0)
+    assert(de.get("successful_scrapes").asInt() == 0)
+    assert(de.get("reactions").size() == 0)
+    assert(de.get("error").asText() == "No reactions found")
+  }
 }
