@@ -46,4 +46,25 @@ class StreamBoundedDedupSpec extends AnyFunSuite {
     assert(finalRows < distinctKeys / 2,
       s"final state $finalRows should be a tail window, not the full seen-set $distinctKeys")
   }
+
+  test("contrast: e1s's seen-set state only grows — it holds every key and evicts none") {
+    // the same bucketed replay through e1s's dropDuplicates form: its
+    // state must end at exactly the distinct-key count with zero
+    // evictions — the unbounded growth e1sb exists to fix
+    val ckpt = java.nio.file.Files.createTempDirectory("e1s-contrast-ckpt")
+    val q = EventStreams.eventsStreamBucketed(spark, sf, 6)
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("e1s_contrast").outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val state = q.recentProgress.filter(_.numInputRows > 0)
+      .flatMap(_.stateOperators.headOption)
+    val distinctKeys = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(state.map(_.numRowsRemoved).sum == 0,
+      "dropDuplicates state must never evict")
+    assert(state.last.numRowsTotal == distinctKeys,
+      s"seen-set must hold every distinct key: ${state.last.numRowsTotal} vs $distinctKeys")
+  }
 }
