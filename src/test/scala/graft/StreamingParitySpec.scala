@@ -42,6 +42,36 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("E4 parity holds across a REAL multi-batch incremental replay") {
+    // the single-file staging above drains in one micro-batch, which
+    // cannot distinguish incremental state maintenance from a batch
+    // recompute. The bucketed staging replays the timeline as 6
+    // time-ordered micro-batches, so the tumbling-window aggregation
+    // must carry window state ACROSS batches (and the advancing
+    // watermark must drop nothing: buckets are disjoint contiguous time
+    // ranges, so no row is ever behind the previous batch's maximum)
+    val streamed6 = EventStreams.eventsStreamBucketed(spark, sf, 6)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("value_cents"))
+    val name = "e4s_multibatch"
+    val q = streamed6.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name-${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 6,
+      "expected one micro-batch per staged bucket")
+    val streamed = spark.table(name)
+    val batch = EventOps.e4TimeWindow(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("C4 incremental dedup: streaming dropDuplicates equals batch distinct") {
     // the reference's seen-set (web_scrpaer_2.py:262-263) as checkpointed
     // streaming state: watermarked dropDuplicates over the event stream
