@@ -39,8 +39,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-set the checkpoint dir so ClusterOps.ensureCheckpointDir keeps
-    // it; GRAFT_CHECKPOINT_DIR still wins for explicit placement.
-    val ckptDir: String = sys.env.get("GRAFT_CHECKPOINT_DIR").orElse {
+    // it; GRAFT_CHECKPOINT_DIR still wins for explicit placement. Only a
+    // dir the bench itself chose is cleaned up at exit — an explicit env
+    // path may be shared with another process and is never deleted here.
+    val explicitCkpt = sys.env.get("GRAFT_CHECKPOINT_DIR")
+    val ckptDir: String = explicitCkpt.orElse {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-bench-ckpt")
       else None
@@ -80,7 +83,9 @@ object Bench {
     }
     val med = names.map(n => n -> median(repeats.map(_(n))))
     val total = med.map(_._2).filter(_ >= 0).sum
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale must not break the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val passTotals = repeats
@@ -103,14 +108,17 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
     }
-    // tmpfs checkpoints are bench-scoped scratch — reclaim the memory
-    if (ckptDir.startsWith("/dev/shm/")) {
+    // bench-chosen tmpfs checkpoints are scratch — reclaim the memory.
+    // Cleanup and stop are best-effort: a successful 3-pass run must
+    // never lose its summary line (printed LAST so the driver's tail
+    // capture keeps it) to a shutdown failure.
+    if (explicitCkpt.isEmpty && ckptDir.startsWith("/dev/shm/")) {
       scala.util.Try {
         val p = new org.apache.hadoop.fs.Path(ckptDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
-    spark.stop()
+    scala.util.Try(spark.stop())
     println(line)
   }
 }

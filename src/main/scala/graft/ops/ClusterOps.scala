@@ -205,14 +205,18 @@ object ClusterOps {
             sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
           .checkpoint()
         frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
+        // reassign labels BEFORE anything in the round tail that can
+        // throw (obsChanged blocks on the listener bus): `next` is
+        // already durably checkpointed, so a mid-round failure must
+        // steer the finally's !converged cleanup at THIS snapshot, not
+        // the previous round's. The previous files back nothing once
+        // `next` is on disk (each checkpoint truncates lineage) — they
+        // are deleted immediately, whatever obsChanged later reports.
         val prevFiles = checkpointFiles(labels)
+        labels = next.drop("old")
+        deleteFiles(s, prevFiles)
         changed = obsChanged(obs) // reported by the checkpoint action above
         nextCache.unpersist(blocking = false)
-        // each checkpoint truncates lineage, so once `next` is on disk the
-        // PREVIOUS round's files back nothing — delete them (the loop would
-        // otherwise leak one state snapshot per round per run)
-        deleteFiles(s, prevFiles)
-        labels = next.drop("old")
         iter += 1
         if (sys.env.contains("GRAFT_E16_DEBUG"))
           System.err.println(s"[e16] round $iter changed=$changed")

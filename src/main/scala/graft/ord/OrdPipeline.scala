@@ -289,6 +289,11 @@ object OrdPipeline {
     val agged = rx.join(raw, Seq("file", "dataset_id", "reaction_id"), "left")
       .select(col("file"), col("dataset_id"), col("rx_pos"), col("success"),
         rxDoc.as("doc"))
+      // a SUCCESS row with no raw payload renders a null doc (broken
+      // input — the reference cannot produce that state); drop it here
+      // so counts and the reactions array stay consistent with each
+      // other, instead of counting a row the array doesn't carry
+      .where(col("doc").isNotNull)
       .groupBy(col("file"), col("dataset_id"))
       .agg(sort_array(collect_list(struct(
         col("rx_pos"), col("success"), col("doc")))).as("rs"))

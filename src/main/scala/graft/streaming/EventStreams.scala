@@ -112,8 +112,10 @@ object EventStreams {
         import java.nio.file.Files
         import scala.jdk.CollectionConverters._
         if (Files.exists(ckpt))
-          Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          scala.util.Using.resource(Files.walk(ckpt)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          }
       }
     }
     name
@@ -180,8 +182,15 @@ object EventStreams {
     * (`eventsStream`) can never demonstrate eviction because the whole
     * timeline lands in one batch. */
   def eventsStreamBucketed(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    // Files.list/walk streams hold a directory descriptor until closed
+    def deleteTree(root: Path): Unit =
+      Using.resource(Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      }
     val src = Paths.get(dir, "events.parquet")
     val landing = Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
@@ -193,9 +202,7 @@ object EventStreams {
       val stale = !Files.exists(marker) ||
         new String(Files.readAllBytes(marker), "UTF-8") != sig
       if (stale) {
-        if (Files.exists(landing))
-          Files.walk(landing).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        if (Files.exists(landing)) deleteTree(landing)
         Files.createDirectories(landing)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.read.schema(rawSchema).parquet(src.toString)
@@ -208,17 +215,18 @@ object EventStreams {
           val hi = tsMin + span * (i + 1) / nBuckets
           raw.where(col("ts") >= lo && col("ts") < hi)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"bucket $i produced no parquet part"))
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"bucket $i produced no parquet part"))
+          }
           val dst = landing.resolve(f"events-$i%03d.parquet")
           Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
           // staggered mtimes: the file source replays oldest-first
           Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
         }
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        deleteTree(tmp)
         Files.write(marker, sig.getBytes("UTF-8"))
       }
     }

@@ -32,15 +32,26 @@ class AnnRecallSpec extends AnyFunSuite {
       s"multi-probe recall did not lift over single-bucket: $totMp vs $totLsh")
   }
 
-  test("e2p top-3 per query never scores below e2b top-3 (superset of candidates)") {
-    def minCos(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+  test("e2p top-3 per query rank-wise dominates e2b top-3 (superset of candidates)") {
+    // rank-wise, not min-vs-min: when an e2b bucket yields FEWER than k
+    // candidates (the sparse-bucket case e2p exists to fix), e2p
+    // legitimately appends lower-scoring neighbors after them — the
+    // sound superset claim is that at every rank i up to e2b's count,
+    // e2p's i-th best scores at least as high as e2b's i-th best
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
       df.collect().groupBy(_.getAs[Long]("q_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Double]("cos_sim")).min }
-    val b = minCos(SimOps.e2bCosineLsh(spark, sf))
-    val p = minCos(SimOps.e2pLshMultiprobe(spark, sf))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Double]("cos_sim")).toSeq.sorted(Ordering[Double].reverse)
+        }
+    val b = ranked(SimOps.e2bCosineLsh(spark, sf))
+    val p = ranked(SimOps.e2pLshMultiprobe(spark, sf))
     assert(b.keySet.subsetOf(p.keySet), "every e2b query must appear in e2p")
-    b.foreach { case (q, mb) =>
-      assert(p(q) >= mb - 1e-9, s"q_id=$q: e2p min cos ${p(q)} < e2b $mb")
+    b.foreach { case (q, bs) =>
+      val ps = p(q)
+      assert(ps.length >= bs.length, s"q_id=$q: e2p returned fewer rows than e2b")
+      bs.zip(ps).zipWithIndex.foreach { case ((sb, sp), i) =>
+        assert(sp >= sb - 1e-9, s"q_id=$q rank $i: e2p $sp < e2b $sb")
+      }
     }
   }
 }

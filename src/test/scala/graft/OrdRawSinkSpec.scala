@@ -73,7 +73,11 @@ class OrdRawSinkSpec extends AnyFunSuite {
     val datasets = Seq(("f", "ds1"), ("f", "ds_empty")).toDF("file", "dataset_id")
     val rx = Seq(
       ("f", "ds1", 0, "ord-ok", true),
-      ("f", "ds1", 1, "ord-fail", false))
+      ("f", "ds1", 1, "ord-fail", false),
+      // broken input: claims success but has no raw payload row — must
+      // be dropped from BOTH the counts and the array (consistency),
+      // never counted-but-absent
+      ("f", "ds1", 2, "ord-broken", true))
       .toDF("file", "dataset_id", "rx_pos", "reaction_id", "success")
     val raw = Seq(("f", "ds1", "ord-ok", """{"reactionId": "ord-ok"}"""))
       .toDF("file", "dataset_id", "reaction_id", "raw")
@@ -82,6 +86,7 @@ class OrdRawSinkSpec extends AnyFunSuite {
     val d1 = docs("ds1")
     assert(d1.get("total_reactions").asInt() == 2)
     assert(d1.get("successful_scrapes").asInt() == 1)
+    assert(d1.get("reactions").size() == 2)
     assert(!d1.has("error"))
     val ok = d1.get("reactions").get(0)
     assert(ok.get("success").asBoolean() && ok.get("data").isObject
