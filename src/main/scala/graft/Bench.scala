@@ -74,7 +74,8 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val names = ordered.map(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm pass
-    val passes = 3
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).filter(_ >= 1).getOrElse(3)
     val repeats: Seq[Map[String, Double]] =
       (1 to passes).map { _ => ordered.map { case (n, f) => n -> run(n, f) }.toMap }
     def median(xs: Seq[Double]): Double = {
