@@ -47,6 +47,66 @@ class StreamBoundedDedupSpec extends AnyFunSuite {
       s"final state $finalRows should be a tail window, not the full seen-set $distinctKeys")
   }
 
+  test("e1sb bounded state survives stop/restart across the bucketed timeline") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    // build (or reuse) the 6-bucket staging, then replay it as two
+    // phases through the SAME checkpoint: buckets 0-2, stop, buckets
+    // 3-5, restart. A day straddling the phase boundary has its first
+    // occurrence before the stop and duplicates after — dedup across
+    // that edge requires the recovered state store AND the recovered
+    // watermark (memory sinks can't recover append checkpoints, so the
+    // sink is the idempotent foreachBatch parquet pattern).
+    EventStreams.eventsStreamBucketed(spark, sf, 6)
+    val stagedDir = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-events-bucketed", graft.util.PathKeys.keyedName(sf) + "-6")
+    val staged = scala.util.Using.resource(Files.list(stagedDir)) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("events-")).toSeq
+        .sortBy(_.getFileName.toString)
+    }
+    assert(staged.length == 6)
+    val base = Files.createTempDirectory("e1sb-recov")
+    val landing = base.resolve("landing")
+    Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("sink").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("day", to_date(col("ts")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // COPY_ATTRIBUTES keeps the staggered mtimes, so the file source
+    // replays each phase's files in timeline order
+    staged.take(3).foreach(p => Files.copy(p, landing.resolve(p.getFileName),
+      StandardCopyOption.COPY_ATTRIBUTES))
+    runOnce()
+    staged.drop(3).foreach(p => Files.copy(p, landing.resolve(p.getFileName),
+      StandardCopyOption.COPY_ATTRIBUTES))
+    runOnce()
+    val emitted = spark.read.parquet(s"$sink/batch=*")
+      .select("user_id", "event_type", "day")
+    val expected = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "to_date(ts) AS day").distinct()
+    assert(emitted.count() == expected.count(),
+      s"restart broke global-dedup parity: ${emitted.count()} vs ${expected.count()}")
+    assert(emitted.distinct().count() == emitted.count(),
+      "a key was emitted twice across the restart — state or watermark was lost")
+  }
+
   test("contrast: e1s's seen-set state only grows — it holds every key and evicts none") {
     // the same bucketed replay through e1s's dropDuplicates form: its
     // state must end at exactly the distinct-key count with zero
