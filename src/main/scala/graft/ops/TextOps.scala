@@ -331,7 +331,9 @@ object TextOps {
       val n = bytes.length
       val nFrames = n % 7 + 1
       (0 until nFrames).iterator.map { f =>
-        (id, f, f.toLong * (n / nFrames), (n * 31 + f * 17) % 256)
+        // checksum in Long: n*31 overflows Int at ~66 MB payloads, and a
+        // wrapped-negative % would diverge from the oracle's 64-bit math
+        (id, f, f.toLong * (n / nFrames), ((n.toLong * 31 + f * 17) % 256).toInt)
       }
     }).toDF("doc_id", "frame_idx", "frame_off", "frame_sig")
     frames.orderBy("doc_id", "frame_idx")

@@ -47,13 +47,18 @@ object EventStreams {
       "stream-events", graft.util.PathKeys.keyedName(dir))
     synchronized {
       val dst = landing.resolve("events.parquet")
-      val stale = !Files.exists(dst) ||
-        Files.size(dst) != Files.size(src) ||
-        Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0
+      val marker = landing.resolve("_STAGED")
+      // exact (size, mtime) signature equality, same protocol as the
+      // bucketed staging: an mtime-ordering check misses a source
+      // replaced by mv with an older-or-equal timestamp
+      val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val stale = !Files.exists(dst) || !Files.exists(marker) ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
       if (stale) {
         Files.createDirectories(landing)
         Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.COPY_ATTRIBUTES)
+        Files.write(marker, sig.getBytes("UTF-8"))
       }
     }
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -90,16 +95,36 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n"))
 
+  /** Recursive delete; Files.walk streams hold a directory descriptor
+    * until closed, hence Using.resource. */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root))
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      }
+  }
+
   /** Drain a streaming DataFrame into a memory-sink table and return the
     * table name. The checkpoint is a THROWAWAY (a memory sink cannot
     * resume across processes anyway): it lives under the fixture root,
-    * not /tmp, and is deleted once the drain finishes — repeated
-    * bench/verify runs leak nothing. */
+    * not /tmp, and is deleted once the drain finishes. Callers pass a
+    * FIXED name per declared key — the memory sink replaces the temp
+    * view on restart, so repeated bench/verify drains in one session
+    * hold one result table per key, not one per invocation (the drained
+    * declared queries run sequentially in Verify/Bench, never
+    * concurrently, so a stable name cannot collide with an active
+    * query). */
   private[graft] def drainToTable(
       s: SparkSession, df: DataFrame, name: String, mode: String): String = {
     val ckpt = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
       "stream-ckpt", name)
+    // a fixed name implies a reused checkpoint path: a leftover from a
+    // killed previous drain would resume instead of recomputing — wipe
+    scala.util.Try(deleteTree(ckpt))
     val q = df.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
@@ -108,15 +133,8 @@ object EventStreams {
       q.processAllAvailable()
     } finally {
       q.stop()
-      scala.util.Try { // best-effort: the checkpoint has no further use
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(ckpt))
-          scala.util.Using.resource(Files.walk(ckpt)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          }
-      }
+      // best-effort: the checkpoint has no further use
+      scala.util.Try(deleteTree(ckpt))
     }
     name
   }
@@ -129,7 +147,7 @@ object EventStreams {
     * web_scrpaer_2.py:246-281.) */
   def e4StreamToTable(s: SparkSession, dir: String): DataFrame = {
     val name = drainToTable(s, e4TimeWindowStream(s, dir),
-      s"e4_stream_${System.nanoTime()}", "complete")
+      "e4_stream_table", "complete")
     s.table(name).orderBy("win_start", "event_type")
   }
 
@@ -137,7 +155,7 @@ object EventStreams {
     * e4StreamToTable). */
   def e5StreamToTable(s: SparkSession, dir: String): DataFrame = {
     val name = drainToTable(s, e5SessionWindowStream(s, dir),
-      s"e5_stream_${System.nanoTime()}", "complete")
+      "e5_stream_table", "complete")
     s.table(name).orderBy("user_id", "sess_start")
   }
 
@@ -164,7 +182,7 @@ object EventStreams {
     val name = drainToTable(s,
       eventsStream(s, dir)
         .dropDuplicates("user_id", "event_type"),
-      s"e1s_dedup_${System.nanoTime()}", "append")
+      "e1s_dedup_table", "append")
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_uniq_users"))
@@ -182,15 +200,9 @@ object EventStreams {
     * (`eventsStream`) can never demonstrate eviction because the whole
     * timeline lands in one batch. */
   def eventsStreamBucketed(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    // Files.list/walk streams hold a directory descriptor until closed
-    def deleteTree(root: Path): Unit =
-      Using.resource(Files.walk(root)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-      }
     val src = Paths.get(dir, "events.parquet")
     val landing = Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
@@ -268,7 +280,7 @@ object EventStreams {
     * the final state is a fraction of the total distinct keys. */
   def e1sbDedupBounded(s: SparkSession, dir: String): DataFrame = {
     val name = drainToTable(s, e1sbPipeline(s, dir),
-      s"e1sb_dedup_${System.nanoTime()}", "append")
+      "e1sb_dedup_table", "append")
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_user_days"))
