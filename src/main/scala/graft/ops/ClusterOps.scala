@@ -90,15 +90,13 @@ object ClusterOps {
     // definition shared with e1TextDedup), as a posting-list aggregation
     // + partition-local double-explode — one scan of documents, no
     // self-join (the same inverted-index shape as e8's pair generation)
-    val exactPairs = documents(s, d)
-      .select(col("doc_id"), sha2(TextOps.norm(col("text")), 256).as("ch"))
-      .groupBy("ch").agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
-      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
-        size(col("ds")))).as("db"))
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"))
+    val exactPairs = SimOps.listPairs(
+      documents(s, d)
+        .select(col("doc_id"), sha2(TextOps.norm(col("text")), 256).as("ch"))
+        .groupBy("ch").agg(collect_list(col("doc_id")).as("ds"))
+        .where(size(col("ds")) > 1), "ds")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
     val (nearPairsFull, e8Caches) = SimOps.e8NgramJaccardWithCaches(s, d)
     val nearPairs = nearPairsFull.select("d1", "d2")
     val undirected = exactPairs.unionByName(nearPairs).distinct()
@@ -137,6 +135,11 @@ object ClusterOps {
     // only: its per-stage replanning adds latency to each of the ~7
     // rounds and its coalescing decision is exactly what the explicit
     // width already encodes. Both confs are restored in the finally.
+    // KNOWN SCOPE: these are session-global for the loop's duration —
+    // fine under the driver contract (Verify/Bench run declared queries
+    // sequentially on one session; DedupClusterSpec asserts restoration)
+    // but a host running concurrent queries on the same session should
+    // isolate e16 on its own session (newSession()) instead.
     val conf = s.conf
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     val prevAqe = conf.get("spark.sql.adaptive.enabled")

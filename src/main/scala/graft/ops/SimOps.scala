@@ -17,6 +17,24 @@ import graft.Tables._
   */
 object SimOps {
 
+  /** The posting-list pair step shared by every candidate generator
+    * (e6/e7b/e8/e13 here, e16's exact pairs in ClusterOps): all
+    * unordered pairs from each posting list, PARTITION-LOCAL — element
+    * i pairs with the slice strictly after it (`slice` is 1-based and
+    * the slice must start after 0-based position i, hence i+2).
+    * `grouped` carries `listCol` (an array column whose singletons were
+    * already dropped — a one-element posting can never pair); the
+    * output replaces it with element columns `a` and `b`, other columns
+    * passing through. For a list built in sorted order (e13) the pair
+    * is positionally ordered a-before-b; for unordered lists callers
+    * impose the pair order (least/greatest or a struct pick). */
+  private[ops] def listPairs(grouped: DataFrame, listCol: String): DataFrame =
+    grouped
+      .select(col("*"), posexplode(col(listCol)).as(Seq("__i", "a")))
+      .select(col("*"), explode(slice(col(listCol), col("__i") + lit(2),
+        size(col(listCol)))).as("b"))
+      .drop(listCol, "__i")
+
   /** Elementwise-double view of the float embedding. */
   private def vectors(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
@@ -225,10 +243,7 @@ object SimOps {
     val cells = e.groupBy("label")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("xs"))
       .where(size(col("xs")) > 1) // singleton cells can never pair
-    cells
-      .select(col("label"), col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
-      .select(col("label"), col("a"),
-        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("b"))
+    listPairs(cells, "xs")
       .select(col("label"),
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cosine(col("a.v"), col("b.v")).as("cos_sim"))
@@ -326,14 +341,12 @@ object SimOps {
     // double-explode — replaces a self-join that shuffled band rows
     // twice and re-sorted both sides. n_bands = how many bands the pair
     // collides in (hash-independent once the hash family is fixed).
-    val pairs = bands.groupBy("band", "bh")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
-      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
-        size(col("ds")))).as("db"))
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"))
+    val pairs = listPairs(
+      bands.groupBy("band", "bh")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .where(size(col("ds")) > 1), "ds")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_bands"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: candDocs + verify + final
@@ -430,15 +443,13 @@ object SimOps {
     // pairing via posting lists per (band, byte) — one exchange +
     // partition-local double-explode (see e8); a pair colliding in
     // several bands appears once per band, deduped before verification
-    val cand = banded.groupBy("band", "nib")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "pa")), col("ds"))
-      .select(col("pa"), explode(slice(col("ds"), col("i") + lit(2),
-        size(col("ds")))).as("pb"))
+    val cand = listPairs(
+      banded.groupBy("band", "nib")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+        .where(size(col("ds")) > 1), "ds")
       .select(
-        when(col("pa.doc_id") < col("pb.doc_id"), col("pa")).otherwise(col("pb")).as("p1"),
-        when(col("pa.doc_id") < col("pb.doc_id"), col("pb")).otherwise(col("pa")).as("p2"))
+        when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("p1"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("p2"))
       .select(col("p1.doc_id").as("d1"), col("p1.simhash").as("s1"),
         col("p2.doc_id").as("d2"), col("p2.simhash").as("s2"))
       .distinct()
@@ -502,15 +513,11 @@ object SimOps {
     val grp = bg.groupBy("source", "h")
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
-    // all ordered pairs from each posting list, partition-local: element
-    // i pairs with the slice after it; least/greatest orders the pair by
-    // doc id (posting lists are unordered)
-    val pairs = grp
-      .select(posexplode(col("ds")).as(Seq("i", "da")), col("ds"))
-      .select(col("da"), explode(slice(col("ds"), col("i") + lit(2),
-        size(col("ds")))).as("db"))
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"))
+    // all unordered pairs from each posting list (partition-local;
+    // least/greatest orders the pair — posting lists are unordered)
+    val pairs = listPairs(grp, "ds")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
     val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("n_common"))
     val result = common
       .join(counts.select(col("doc_id").as("d1"), col("n_bg").as("n1")), "d1")

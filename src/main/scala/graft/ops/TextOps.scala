@@ -72,7 +72,25 @@ object TextOps {
     * Hash values aren't DuckDB-reproducible → covered by
     * XxHashVariantSpec (shingle counts must equal e11's; fingerprint
     * equality classes must match md5's), not a declared oracle. */
-  def e11xFingerprintXx(s: SparkSession, d: String): DataFrame = {
+  def e11xFingerprintXx(s: SparkSession, d: String): DataFrame =
+    fingerprintPipeline(s, d,
+      nrm => Seq(xxhash64(nrm).as("fp_xx")),
+      sh => min(xxhash64(sh)).as("fp_min_shingle_xx"))
+
+  /** Shared fingerprint pipeline for e11/e11x, parametrized by hash
+    * family (the same pattern as SimOps' shared minhashLsh for e6/e6x):
+    * `docHashes` maps the normalized text to the whole-document
+    * fingerprint columns; `shingleMin` maps a 3-gram shingle to the
+    * min-shingle aggregate.
+    *
+    * Shingles build as posexplode + lead window (codegen + one sort;
+    * the window's doc_id partitioning reuses docsParallel's exchange)
+    * instead of an interpreted array-lambda build — 5.7× faster at
+    * sf0.1 and once the slowest expression in the whole bench. */
+  private def fingerprintPipeline(
+      s: SparkSession, d: String,
+      docHashes: Column => Seq[Column],
+      shingleMin: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docsParallel(s, d).select(col("doc_id"), norm(col("text")).as("nrm"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -83,14 +101,14 @@ object TextOps {
       .where(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
       .groupBy("doc_id")
-      .agg(
-        count(col("sh")).cast("int").as("n_shingles"),
-        min(xxhash64(col("sh"))).as("fp_min_shingle_xx"))
-    base
-      .select(col("doc_id"), xxhash64(col("nrm")).as("fp_xx"))
-      .join(shAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("fp_xx"),
-        coalesce(col("n_shingles"), lit(0)).as("n_shingles"), col("fp_min_shingle_xx"))
+      .agg(count(col("sh")).cast("int").as("n_shingles"), shingleMin(col("sh")))
+    val minCol = shAgg.columns.last
+    val hashed = base.select(col("doc_id") +: docHashes(col("nrm")): _*)
+    val fpCols = hashed.columns.filter(_ != "doc_id").map(col)
+    hashed
+      .join(shAgg, Seq("doc_id"), "left") // short docs: 0 shingles, null fp
+      .select(col("doc_id") +: fpCols :+
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles") :+ col(minCol): _*)
       .orderBy("doc_id")
   }
 
@@ -203,31 +221,10 @@ object TextOps {
     * per shingle) instead of nested array lambdas, which are interpreted
     * and were the slowest expression in the whole bench (11 s → <1 s at
     * sf0.1). */
-  def e11Fingerprint(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docsParallel(s, d).select(col("doc_id"), norm(col("text")).as("nrm"))
-    // Shingles via posexplode + lead window (codegen + one sort) instead
-    // of an interpreted array-lambda build — 5.7× faster at sf0.1, and
-    // the window's doc_id partitioning reuses docsParallel's exchange.
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val shAgg = base
-      .select(col("doc_id"), posexplode(split(col("nrm"), " ")).as(Seq("pos", "w0")))
-      .withColumn("w1", lead("w0", 1).over(w))
-      .withColumn("w2", lead("w0", 2).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
-      .groupBy("doc_id")
-      .agg(
-        count(col("sh")).cast("int").as("n_shingles"),
-        min(md5(col("sh"))).as("fp_min_shingle"))
-    base
-      .select(col("doc_id"), md5(col("nrm")).as("fp_md5"),
-        sha2(col("nrm"), 256).as("fp_sha256"))
-      .join(shAgg, Seq("doc_id"), "left") // short docs: 0 shingles, null fp
-      .select(col("doc_id"), col("fp_md5"), col("fp_sha256"),
-        coalesce(col("n_shingles"), lit(0)).as("n_shingles"), col("fp_min_shingle"))
-      .orderBy("doc_id")
-  }
+  def e11Fingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintPipeline(s, d,
+      nrm => Seq(md5(nrm).as("fp_md5"), sha2(nrm, 256).as("fp_sha256")),
+      sh => min(md5(sh)).as("fp_min_shingle"))
 
   /** E14: deterministic hash-split sampling — the holdout-split
     * primitive of a training-data pipeline: bucket = first-16-bits of
