@@ -36,8 +36,12 @@ object Amplify {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def off(df: DataFrame, c: String): Long =
-      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
+    // one scan per table for ALL of its key-domain sizes
+    def offs(df: DataFrame, cols: String*): Seq[Long] = {
+      val row = df.agg(max(col(cols.head)).cast("long"),
+        cols.tail.map(c => max(col(c)).cast("long")): _*).head()
+      cols.indices.map(row.getLong(_) + 1)
+    }
 
     /** Union of `factor` copies; per copy, `keyOffsets` columns shift by
       * c × domain-size and `extra` applies any content rewrite. */
@@ -61,25 +65,27 @@ object Amplify {
       * file to the bare path. */
     def writeSingleFile(df: DataFrame, path: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.util.Using
       val tmp = path + ".dir"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      val part = Using.resource(Files.list(Paths.get(tmp))) { st =>
+        st.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      }
       Files.move(Paths.get(part), Paths.get(path),
         StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      Using.resource(Files.walk(Paths.get(tmp))) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
 
-    val oCust = off(read("customer"), "c_custkey")
-    val oOrd = off(read("orders"), "o_orderkey")
-    val oPart = off(read("part"), "p_partkey")
-    val oSupp = off(read("supplier"), "s_suppkey")
-    val oEvent = off(read("events"), "event_id")
-    val oUser = off(read("events"), "user_id")
-    val oDoc = off(read("documents"), "doc_id")
-    val oVec = off(read("embeddings"), "vec_id")
-    val oLbl = off(read("embeddings"), "label")
+    val Seq(oCust) = offs(read("customer"), "c_custkey")
+    val Seq(oOrd) = offs(read("orders"), "o_orderkey")
+    val Seq(oPart) = offs(read("part"), "p_partkey")
+    val Seq(oSupp) = offs(read("supplier"), "s_suppkey")
+    val Seq(oEvent, oUser) = offs(read("events"), "event_id", "user_id")
+    val Seq(oDoc) = offs(read("documents"), "doc_id")
+    val Seq(oVec, oLbl) = offs(read("embeddings"), "vec_id", "label")
 
     // bounded dimensions: identical at any scale
     Seq("region", "nation").foreach { t =>

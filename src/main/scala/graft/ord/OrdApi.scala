@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
 object OrdApi {
 
   /** One row per reaction, with positional metadata for range slicing.
-    * Dataset position follows the file's STORED key order (the
-    * reference's scrape-arrival catalog order, `ds_pos` in the model) —
-    * not an alphabetical re-sort, which would silently renumber the
-    * unsorted golden files. */
-  private def catalog(s: SparkSession): DataFrame = {
+    * Dataset position follows CATALOG order on both axes: files in
+    * their `OrdFixtures.files` declaration order (NOT an alphabetical
+    * re-sort of names, which would put `_single` before `_three`/`_two`
+    * and silently renumber everything) and, within a file, the stored
+    * key order (the reference's scrape-arrival order, `ds_pos` in the
+    * model). When a corpus scope is given, numbering is WITHIN that
+    * corpus — "dataset 2 of file X", which is what a range over a
+    * scoped catalog means. */
+  private def catalog(
+      s: SparkSession, corpus: Option[String] = None): DataFrame = {
     OrdFixtures.ensure(s)
     import org.apache.spark.sql.expressions.Window
-    val ds = s.read.parquet(OrdFixtures.nestedPath)
-      .withColumn("ds_pos", // global 1-based over (file order, stored order)
-        row_number().over(Window.orderBy(col("file"), col("ds_pos"))))
+    val fileIdx = element_at(
+      typedlit(OrdFixtures.files.zipWithIndex.toMap), col("file"))
+    val base = s.read.parquet(OrdFixtures.nestedPath)
+    val ds = corpus.fold(base)(f => base.where(col("file") === f))
+      .withColumn("ds_pos", // 1-based over (catalog file order, stored order)
+        row_number().over(Window.orderBy(fileIdx, col("ds_pos"))))
     ds.select(col("file"), col("dataset_id"), col("ds_pos"),
         explode(col("reactions")).as("rx"))
       .select(col("file"), col("dataset_id"), col("ds_pos"),
@@ -44,7 +52,7 @@ object OrdApi {
     * (the same dataset appears in e.g. `_three` and the v2 file), so
     * id-addressed modes take an optional corpus (file) scope. */
   private def scoped(s: SparkSession, corpus: Option[String]): DataFrame =
-    corpus.fold(catalog(s))(f => catalog(s).where(col("file") === f))
+    catalog(s, corpus)
 
   /** Mode 2: specific datasets by id (web_scrpaer_2.py:301-311). */
   def specificDatasets(
@@ -54,11 +62,12 @@ object OrdApi {
       .orderBy("ds_pos", "rx_pos1")
 
   /** Mode 3: uniform range — datasets [dsStart, dsEnd] and, within each,
-    * reactions [rxStart, rxEnd]; 1-based, end-inclusive, clamped. */
+    * reactions [rxStart, rxEnd]; 1-based, end-inclusive, clamped. With a
+    * corpus scope the dataset index counts within that corpus. */
   def uniformRange(
       s: SparkSession, dsStart: Int, dsEnd: Int,
-      rxStart: Int, rxEnd: Int): DataFrame =
-    catalog(s)
+      rxStart: Int, rxEnd: Int, corpus: Option[String] = None): DataFrame =
+    catalog(s, corpus)
       .where(col("ds_pos").between(math.max(dsStart, 1), dsEnd) &&
         col("rx_pos1").between(math.max(rxStart, 1), rxEnd))
       .orderBy("ds_pos", "rx_pos1")

@@ -81,7 +81,9 @@ object OrdFixtures {
   def rawPath: String = s"$fixtureDir/ord_raw.parquet"
 
   private val refDir = "/root/reference"
-  private val files = Seq(
+  // corpus catalog order — OrdApi's global dataset numbering follows
+  // this declaration order, not an alphabetical re-sort of file names
+  private[ord] val files = Seq(
     "ord_formatted_data.json", "ord_formatted_data_one.json",
     "ord_formatted_data_two.json", "ord_formatted_data_three.json",
     "ord_formatted_data_single.json")

@@ -100,8 +100,13 @@ object OrdJson {
       // integral double → int lexeme (see Scaladoc: matches every golden
       // file; the reference's source JSON types integers as ints).
       // -0.0 is NOT integral-rendered: Python prints it "-0.0".
+      // The bound is 2^53 (the exact-integer range of a double), not
+      // 1e16: an integral value in [1e16, 2^53) that came from a source
+      // int must render as the int lexeme, not pyFloatRepr's "1e+16".
+      // Residual ambiguity above 2^53 (and for a true source FLOAT with
+      // an integral value) is inherent to storing numbers as doubles.
       val negZero = v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L
-      if (!negZero && v == math.rint(v) && math.abs(v) < 1e16)
+      if (!negZero && v == math.rint(v) && math.abs(v) < 9007199254740992.0)
         sb.append(v.toLong.toString)
       else sb.append(pyFloatRepr(v))
     }

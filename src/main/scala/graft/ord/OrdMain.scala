@@ -54,7 +54,8 @@ object OrdMain {
         (a, b) match {
           case (None, None) => scopedAll(s, flags.get("corpus"))
           case _ => OrdApi.uniformRange(s, a.fold(1)(_.toInt),
-            b.fold(Int.MaxValue)(_.toInt), 1, Int.MaxValue)
+            b.fold(Int.MaxValue)(_.toInt), 1, Int.MaxValue,
+            flags.get("corpus"))
         }
       case "2" | "datasets" =>
         val ids = pos.lift(1).getOrElse(prompt(readLine,
@@ -67,7 +68,8 @@ object OrdMain {
             if (i % 2 == 1) 1 else Int.MaxValue)(_.toInt)
         OrdApi.uniformRange(s,
           arg(1, "Start dataset index: "), arg(2, "End dataset index: "),
-          arg(3, "Start reaction index: "), arg(4, "End reaction index: "))
+          arg(3, "Start reaction index: "), arg(4, "End reaction index: "),
+          flags.get("corpus"))
       case "4" | "custom" =>
         val spec = pos.lift(1).getOrElse(promptRanges(readLine))
         val ranges = spec.split(",").filter(_.nonEmpty).map { kv =>
@@ -81,7 +83,8 @@ object OrdMain {
           "Enter Dataset Index (e.g., 50): ")).toInt
         val r = pos.lift(2).orElse(ask(readLine,
           "Enter Reaction Index (e.g., 1): ")).fold(1)(_.toInt)
-        OrdApi.uniformRange(s, d, d, r, r) // the reference's degenerate range
+        // the reference's degenerate range
+        OrdApi.uniformRange(s, d, d, r, r, flags.get("corpus"))
       case other =>
         System.err.println(s"unknown mode '$other', defaulting to all")
         scopedAll(s, flags.get("corpus"))
@@ -118,6 +121,10 @@ object OrdMain {
       argv(i) match {
         case f if f.startsWith("--") && i + 1 < argv.length =>
           flags(f.drop(2)) = argv(i + 1); i += 2
+        case f if f.startsWith("--") =>
+          // a trailing flag must not leak into positional parsing, where
+          // it would surface as a confusing number-format error
+          throw new IllegalArgumentException(s"missing value for $f")
         case p => pos += p; i += 1
       }
     }

@@ -251,14 +251,15 @@ object OrdPipeline {
     * the raw fixture. Reactions nest in stored scrape order (rx_pos),
     * so the document is deterministic. */
   def ordS6bRawSink(s: SparkSession, d: String): DataFrame = {
-    val rx = nested(s)
+    val n = nested(s)
+    val rx = n
       .select(col("file"), col("dataset_id"), explode(col("reactions")).as("r"))
       .select(col("file"), col("dataset_id"),
         col("r.rx_pos").as("rx_pos"),
         col("r.reaction_id").as("reaction_id"), col("r.success").as("success"))
-    val raw = s.read.parquet(OrdFixtures.rawPath)
+    val rawPayloads = raw(s)
       .select(col("file"), col("dataset_id"), col("reaction_id"), col("raw"))
-    renderRawEnvelopes(nested(s).select(col("file"), col("dataset_id")), rx, raw)
+    renderRawEnvelopes(n.select(col("file"), col("dataset_id")), rx, rawPayloads)
   }
 
   /** The raw-envelope render core, separated so the failure branch
