@@ -70,17 +70,31 @@ object Bench {
     // used for targeted scale runs (e.g. the sf10a per-row-bound tail)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must not yield a partial run that still looks like a
+    // valid artifact: warn per unknown name, fail fast when nothing's left
+    only.foreach { req =>
+      val unknown = req.diff(SparkEntry.queries.keySet)
+      unknown.toSeq.sorted.foreach(n =>
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (ordered.isEmpty)
+      sys.error("SPARK_GRAFT_BENCH_ONLY matched no queries — nothing to bench")
     val names = ordered.map(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm pass
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(3)
     val repeats: Seq[Map[String, Double]] =
       (1 to passes).map { _ => ordered.map { case (n, f) => n -> run(n, f) }.toMap }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      if (ok.isEmpty) -1.0
+      // true median for even counts too: with PASSES=2 the upper-middle
+      // element alone would report the SLOWER repeat as the "median"
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val med = names.map(n => n -> median(repeats.map(_(n))))
     val total = med.map(_._2).filter(_ >= 0).sum

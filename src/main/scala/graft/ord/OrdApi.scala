@@ -104,6 +104,15 @@ object OrdApi {
     * result leaves the cluster — the reference's output files are ≤650 KB.
     * Bulk exports belong to the distributed sink
     * (OrdPipeline.ordS6Sink / DataFrameWriter). */
+  /** Driver-materialization guard for [[saveFormatted]]: max reaction
+    * rows it will `collect()`. Overridable via `-Dgraft.ord.saveMaxRows=N`
+    * for a host that KNOWS its driver heap; the default comfortably
+    * covers the golden corpus (~200 reactions) with 3 orders of margin. */
+  private[ord] def saveMaxRows: Long =
+    sys.props.get("graft.ord.saveMaxRows")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(200_000L)
+
   def saveFormatted(
       s: SparkSession, path: String,
       corpus: Option[String] = None, ids: Seq[String] = Nil): Unit = {
@@ -112,6 +121,18 @@ object OrdApi {
     var df = s.read.parquet(OrdFixtures.nestedPath)
     corpus.foreach(f => df = df.where(col("file") === f))
     if (ids.nonEmpty) df = df.where(col("dataset_id").isin(ids: _*))
+    // this sink collect()s to the driver by design (single pretty-printed
+    // golden file); pointing it at an amplified fixture must fail fast
+    // with a clear message, not OOM the driver
+    val rxRow = df.agg(sum(size(col("reactions")))).head()
+    val totalRx = if (rxRow.isNullAt(0)) 0L else rxRow.getLong(0)
+    if (totalRx > saveMaxRows)
+      throw new IllegalArgumentException(
+        s"saveFormatted: selection has $totalRx reactions, above the " +
+          s"driver-side cap of $saveMaxRows (this sink collects to the " +
+          "driver for a single formatted JSON file). Narrow the selection " +
+          "with corpus/ids, raise -Dgraft.ord.saveMaxRows if the driver " +
+          "heap allows, or use the distributed sink (OrdPipeline.ordS6Sink).")
     val datasets = df.orderBy("file", "ds_pos").as[OrdDataset].collect().toSeq
     // the output document is a map keyed by dataset_id — the same id from
     // two source files cannot be represented (renderFile would silently

@@ -123,8 +123,11 @@ object EventStreams {
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
       "stream-ckpt", name)
     // a fixed name implies a reused checkpoint path: a leftover from a
-    // killed previous drain would resume instead of recomputing — wipe
-    scala.util.Try(deleteTree(ckpt))
+    // killed previous drain would resume instead of recomputing — wipe,
+    // and fail LOUDLY if the wipe fails (resuming a stale checkpoint
+    // against a fresh memory sink silently under-reports rows, which is
+    // exactly the failure the wipe exists to prevent)
+    deleteTree(ckpt)
     val q = df.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
@@ -211,7 +214,12 @@ object EventStreams {
     synchronized {
       val marker = landing.resolve("_STAGED")
       val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
-      val stale = !Files.exists(marker) ||
+      // like eventsStream's !Files.exists(dst) clause: a surviving marker
+      // over deleted bucket files must not pass as fresh — require every
+      // expected events-*.parquet alongside the signature match
+      val bucketsPresent = (0 until nBuckets)
+        .forall(i => Files.exists(landing.resolve(f"events-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !bucketsPresent ||
         new String(Files.readAllBytes(marker), "UTF-8") != sig
       if (stale) {
         if (Files.exists(landing)) deleteTree(landing)

@@ -60,6 +60,22 @@ class OrdApiSpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("saveFormatted fails fast above the driver-side row cap") {
+    // force the cap below the golden corpus size: the guard must refuse
+    // BEFORE collect(), with a message that names the cap and the fix
+    System.setProperty("graft.ord.saveMaxRows", "10")
+    try {
+      val tmp = java.nio.file.Files.createTempFile("graft-cap", ".json")
+      val e = intercept[IllegalArgumentException] {
+        OrdApi.saveFormatted(spark, tmp.toString,
+          corpus = Some("ord_formatted_data_one.json"))
+      }
+      assert(e.getMessage.contains("driver-side cap"))
+      assert(e.getMessage.contains("saveMaxRows"))
+      java.nio.file.Files.delete(tmp)
+    } finally System.clearProperty("graft.ord.saveMaxRows")
+  }
+
   test("mode single_target returns exactly one reaction") {
     val first = OrdApi.allReactions(spark).limit(1).collect()(0)
     val out = OrdApi.singleTarget(spark,

@@ -11,6 +11,12 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // force Spark's external sorters onto their real spill path once a
+      // task holds >16k rows (core conf, fixed at context creation) — lets
+      // TopKOperatorSpec prove the sort-based final survives actual
+      // spilling; suite tasks are small enough that other specs rarely
+      // cross it, and a forced spill is correctness-neutral by contract
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "16384")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

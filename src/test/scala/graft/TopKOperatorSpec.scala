@@ -160,6 +160,31 @@ class TopKOperatorSpec extends AnyFunSuite {
     assert(viaWindow.exceptAll(viaOp).count() == 0)
   }
 
+  test("final-side SortExec takes its real spill path and the streaming final stays exact") {
+    // SparkTestSession pins spark.shuffle.spill.numElementsForceSpillThreshold
+    // to 16384; 100k distinct keys over 4 reduce partitions put ~25k rows
+    // through each final-side SortExec — past the threshold, so the
+    // external sorter genuinely spills (spillSize metric > 0) while the
+    // tiny flush valve keeps the map side bounded at the same time
+    val rows = (1 to 100000).map(i => (i.toLong, i * 13 % 99991, i))
+    val df = rows.toDF("key", "score", "tb").repartition(8)
+    val out = TopKPerKey.topKPerKey(df, 1, keys = Seq("key"),
+      orderBy = Seq(("score", false), ("tb", true)), flushHeldRows = 256)
+    // k=1 over all-distinct keys is the identity — exact iff nothing lost
+    assert(out.collect().length == 100000)
+    assert(out.exceptAll(df).count() == 0 && df.exceptAll(out).count() == 0)
+    val plan = out.queryExecution.executedPlan
+    val flushes = PlanWalk.allNodes(plan).collectFirst {
+      case t: TopKPerKeyExec if t.partial => t.metrics("numFlushes").value
+    }
+    assert(flushes.exists(_ > 0), s"expected map-side flushes, got $flushes")
+    val spills = PlanWalk.allNodes(plan).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.metrics("spillSize").value
+    }
+    assert(spills.nonEmpty && spills.sum > 0,
+      s"expected the final-side sort to spill under the forced threshold, got $spills")
+  }
+
   test("unknown column fails fast with a clear message") {
     val df = Seq((1L, 1)).toDF("key", "score")
     val e = intercept[IllegalArgumentException] {
