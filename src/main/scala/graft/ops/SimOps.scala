@@ -302,6 +302,27 @@ object SimOps {
       mh = (h, sh) => xxhash64(lit(h), sh),
       bandHash = (a, b) => xxhash64(a, b))
 
+  /** E6x DECLARED form: the hash-INDEPENDENT slice of the xxhash64
+    * pipeline — exact-duplicate pairs, i.e. identical shingle sets.
+    * Identical sets give identical MinHash signatures under ANY hash
+    * family, so the pair surfaces from the banded join regardless of
+    * which hash runs, with n_common = n1 = n2 (jaccard exactly 1);
+    * conversely jaccard 1 forces set equality. That makes this slice
+    * invariant across hash families and DuckDB-checkable without
+    * xxhash64 — while still driving the whole production-hash pipeline
+    * (xx MinHash values, 8-byte band keys, posting lists, verification)
+    * end-to-end under the driver's oracle gate. The full candidate set
+    * (hash-dependent by nature) stays covered by XxHashVariantSpec.
+    * Honesty note: sf0.01 contains no exact-duplicate documents, so the
+    * gate there is 0 = 0 (schema + emptiness both oracle-agreed); at
+    * sf0.1 the slice is 8 pairs and family-invariance is additionally
+    * spec-pinned (XxHashVariantSpec "e6x declared slice"). */
+  def e6xMinhashXxDups(s: SparkSession, d: String): DataFrame =
+    e6xMinhashLshXx(s, d)
+      .where(col("n_common") === col("n1") && col("n_common") === col("n2"))
+      .select(col("d1"), col("d2"), col("n_common").as("n_sh"))
+      .orderBy("d1", "d2")
+
   /** Shared MinHash+LSH pipeline, parametrized by the hash family:
     * shingle → 8 MinHash values → 4 bands of 2 → band hash → candidate
     * pairs via an equi-join on (band, band_hash) → verified Jaccard.

@@ -77,6 +77,23 @@ object TextOps {
       nrm => Seq(xxhash64(nrm).as("fp_xx")),
       sh => min(xxhash64(sh)).as("fp_min_shingle_xx"))
 
+  /** E11x DECLARED form: the hash-independent columns of the xxhash64
+    * fingerprint pipeline — per-doc shingle count plus the SIZE of the
+    * doc's whole-content fingerprint equality class. Absent 64-bit
+    * collisions (XxHashVariantSpec pins equality classes against md5's),
+    * docs share an fp_xx iff they share normalized text, so the class
+    * size is the same number under any hash family and DuckDB recomputes
+    * it by grouping on the normalized text itself. The min-shingle
+    * column stays spec-gated: WHICH shingle wins the min is genuinely
+    * hash-dependent, so it has no oracle-stable projection. */
+  def e11xFingerprintXxGroups(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e11xFingerprintXx(s, d)
+      .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("fp_xx")))
+      .select("doc_id", "n_shingles", "n_same_fp")
+      .orderBy("doc_id")
+  }
+
   /** Shared fingerprint pipeline for e11/e11x, parametrized by hash
     * family (the same pattern as SimOps' shared minhashLsh for e6/e6x):
     * `docHashes` maps the normalized text to the whole-document

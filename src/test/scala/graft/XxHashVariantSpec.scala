@@ -42,6 +42,22 @@ class XxHashVariantSpec extends AnyFunSuite {
         col("m.jaccard") =!= col("x.jaccard")).count() == 0)
   }
 
+  test("e6x declared slice: non-trivial at sf0.1 and equal to the md5 family's exact-dup slice") {
+    // the DECLARED e6x key is the identical-shingle-set pair slice; at
+    // sf0.01 (the driver's gate) the fixture genuinely has no exact dups
+    // (the oracle agrees: 0 = 0) — this pins that the slice is NON-empty
+    // one scale up and family-invariant there, so the key is a real gate
+    val d = "/root/testdata/sf0.1"
+    val declared = SimOps.e6xMinhashXxDups(spark, d)
+    val viaMd = SimOps.e6MinhashLsh(spark, d)
+      .where(col("n_common") === col("n1") && col("n_common") === col("n2"))
+      .select(col("d1"), col("d2"), col("n_common").as("n_sh"))
+    assert(declared.count() > 0)
+    assert(declared.exceptAll(viaMd).count() == 0)
+    assert(viaMd.exceptAll(declared).count() == 0)
+    spark.catalog.clearCache() // both pipelines persist shared subtrees
+  }
+
   test("e11x: shingle counts equal e11's; fingerprint equality classes match md5's") {
     val md = TextOps.e11Fingerprint(spark, sf).select(col("doc_id"),
       col("n_shingles"), col("fp_md5"))
