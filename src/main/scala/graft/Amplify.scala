@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-amplification generator: writes an N×-size copy of a testdata
-  * directory for scaling-slope measurement (`Amplify <src> <dst> [N]`).
+  * directory for scaling-slope measurement
+  * (`Amplify <src> <dst> [N] [--perturb] [--eps=0.03] [--tables=a,b]`).
   *
   * Each copy c offsets every key domain by c × (max_key + 1), applied
   * consistently across fact/dimension FKs (orders.o_custkey moves with
@@ -13,20 +14,46 @@ import org.apache.spark.sql.functions._
   * cross-copy edges. Content columns are made copy-DISJOINT where an
   * operator measures similarity: document tokens get a per-copy suffix
   * (so dedup/similarity candidate sets scale linearly instead of every
-  * doc gaining N−1 artificial near-duplicates) and embedding labels move
-  * to per-copy cells (more cells, constant cell size — the 100 TB IVF
-  * shape). region/nation stay fixed: they are bounded dimensions at any
-  * scale. Copy 0 is byte-identical content, so point lookups and
-  * literal-keyed queries still hit.
+  * doc gaining N−1 artificial near-duplicates). region/nation stay
+  * fixed: they are bounded dimensions at any scale. Copy 0 is
+  * byte-identical content, so point lookups and literal-keyed queries
+  * still hit.
+  *
+  * EMBEDDINGS have two modes:
+  *
+  *  - default: verbatim copies with per-copy `label` cells (more cells,
+  *    constant cell size). Honest for THROUGHPUT but circular for the
+  *    e2r QUALITY gate: a query's exact top-k is its verbatim copies,
+  *    which share its LSH bucket (recall_lsh pinned 1.0) yet sit in
+  *    per-copy IVF cells (recall_ivf pinned 0.0) — the measurement
+  *    reads the amplifier, not the index.
+  *  - `--perturb`: copies c>0 get EPSILON-NOISED vectors (deterministic
+  *    xxhash64-seeded uniform noise per (vec_id, copy, dim)), and ALL
+  *    rows — copy 0 included — get GEOMETRIC labels: nearest-centroid
+  *    assignment over 10×N base vectors taken as coarse centroids
+  *    (cells grow in number, not size — the IVF shape at any scale).
+  *    A query's exact top-k is now its near-identical neighbors, whose
+  *    cell/bucket membership flips exactly when the noise crosses a
+  *    Voronoi or hyperplane boundary — so e2r's recalls land strictly
+  *    inside (0,1) and measure quantizer stability, i.e. the index.
+  *    Only the label column of copy 0 changes; its vectors stay
+  *    byte-identical (vec_id-literal queries still hit).
   *
   * Deliberately a generator main, not a library op — interpreted lambda
-  * transforms are fine here. */
+  * transforms and a crossJoin against the (tiny, broadcast) centroid
+  * set are fine here. */
 object Amplify {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Amplify <srcDir> <dstDir> [factor]")
-    val (src, dst) = (args(0), args(1))
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: Amplify <srcDir> <dstDir> [factor] [--perturb] [--eps=E] [--tables=a,b]")
+    val factor = if (pos.length > 2) pos(2).toInt else 10
+    val perturb = flags.contains("--perturb")
+    val eps = flags.collectFirst { case f if f.startsWith("--eps=") =>
+      f.stripPrefix("--eps=").toDouble }.getOrElse(DefaultEps)
+    val only = flags.collectFirst { case f if f.startsWith("--tables=") =>
+      f.stripPrefix("--tables=").split(",").toSet }.getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,7 +61,25 @@ object Amplify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, pos(0), pos(1), factor, perturb, eps, only)
+    spark.stop()
+  }
 
+  /** Uniform noise half-width per dimension for --perturb. The vectors
+    * are unit-norm with per-dim σ≈1/8; 0.03 puts the noise-induced
+    * cosine jitter at the same order as the top-2 centroid margin and
+    * the LSH bit margins, so a measurable-but-minority fraction of
+    * near-duplicate copies cross a cell/bucket boundary (measured at
+    * sf0.01×10: recall_ivf ≈ 0.6-0.9, recall_lsh ≈ 0.6-0.95 — strictly
+    * inside (0,1), which is the point). */
+  val DefaultEps: Double = 0.03
+
+  /** Programmatic entry (AnnRecallSpec builds a perturbed fixture with
+    * it). `only` empty = all tables. */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      perturb: Boolean = false, eps: Double = DefaultEps,
+      only: Set[String] = Set.empty): Unit = {
+    def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // one scan per table for ALL of its key-domain sizes
     def offs(df: DataFrame, cols: String*): Seq[Long] = {
@@ -45,19 +90,24 @@ object Amplify {
 
     /** Union of `factor` copies; per copy, `keyOffsets` columns shift by
       * c × domain-size and `extra` applies any content rewrite. */
-    def amplify(t: String, keyOffsets: Map[String, Long],
-        extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+    def copiesOf(t: String, keyOffsets: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val base = read(t)
-      val copies = (0 until factor).map { c =>
+      (0 until factor).map { c =>
         val shifted = keyOffsets.foldLeft(base) { case (df, (k, o)) =>
           // preserve the source column type (a +long would widen ints)
           df.withColumn(k, (col(k) + lit(c * o)).cast(base.schema(k).dataType))
         }
         extra(shifted, c)
-      }
-      writeSingleFile(copies.reduce(_.unionByName(_)), s"$dst/$t.parquet")
-      println(s"[amplify] $t x$factor done")
+      }.reduce(_.unionByName(_))
     }
+
+    def amplify(t: String, keyOffsets: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit =
+      if (wanted(t)) {
+        writeSingleFile(copiesOf(t, keyOffsets, extra), s"$dst/$t.parquet")
+        println(s"[amplify] $t x$factor done")
+      }
 
     /** The driver's testdata ships each table as ONE parquet FILE (the
       * streaming staging copies `events.parquet` as a file), so the
@@ -71,6 +121,7 @@ object Amplify {
       val part = Using.resource(Files.list(Paths.get(tmp))) { st =>
         st.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
       }
+      Files.createDirectories(Paths.get(path).getParent)
       Files.move(Paths.get(part), Paths.get(path),
         StandardCopyOption.REPLACE_EXISTING)
       Using.resource(Files.walk(Paths.get(tmp))) { st =>
@@ -79,36 +130,86 @@ object Amplify {
       }
     }
 
-    val Seq(oCust) = offs(read("customer"), "c_custkey")
-    val Seq(oOrd) = offs(read("orders"), "o_orderkey")
-    val Seq(oPart) = offs(read("part"), "p_partkey")
-    val Seq(oSupp) = offs(read("supplier"), "s_suppkey")
-    val Seq(oEvent, oUser) = offs(read("events"), "event_id", "user_id")
-    val Seq(oDoc) = offs(read("documents"), "doc_id")
-    val Seq(oVec, oLbl) = offs(read("embeddings"), "vec_id", "label")
-
     // bounded dimensions: identical at any scale
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       writeSingleFile(read(t), s"$dst/$t.parquet")
       println(s"[amplify] $t copied")
     }
-    amplify("customer", Map("c_custkey" -> oCust))
-    amplify("supplier", Map("s_suppkey" -> oSupp))
-    amplify("part", Map("p_partkey" -> oPart))
-    amplify("orders", Map("o_orderkey" -> oOrd, "o_custkey" -> oCust))
-    amplify("lineitem", Map("l_orderkey" -> oOrd, "l_partkey" -> oPart,
-      "l_suppkey" -> oSupp))
-    amplify("events", Map("event_id" -> oEvent, "user_id" -> oUser))
+    if (wanted("customer"))
+      amplify("customer", Map("c_custkey" -> offs(read("customer"), "c_custkey").head))
+    if (wanted("supplier"))
+      amplify("supplier", Map("s_suppkey" -> offs(read("supplier"), "s_suppkey").head))
+    if (wanted("part"))
+      amplify("part", Map("p_partkey" -> offs(read("part"), "p_partkey").head))
+    if (wanted("orders")) {
+      val Seq(oOrd) = offs(read("orders"), "o_orderkey")
+      amplify("orders", Map("o_orderkey" -> oOrd,
+        "o_custkey" -> offs(read("customer"), "c_custkey").head))
+    }
+    if (wanted("lineitem"))
+      amplify("lineitem", Map(
+        "l_orderkey" -> offs(read("orders"), "o_orderkey").head,
+        "l_partkey" -> offs(read("part"), "p_partkey").head,
+        "l_suppkey" -> offs(read("supplier"), "s_suppkey").head))
+    if (wanted("events")) {
+      val Seq(oEvent, oUser) = offs(read("events"), "event_id", "user_id")
+      amplify("events", Map("event_id" -> oEvent, "user_id" -> oUser))
+    }
     // per-copy token suffix keeps copies dissimilar; copy 0 untouched
-    amplify("documents", Map("doc_id" -> oDoc), (df, c) =>
-      if (c == 0) df
+    if (wanted("documents"))
+      amplify("documents", Map("doc_id" -> offs(read("documents"), "doc_id").head),
+        (df, c) =>
+          if (c == 0) df
+          else {
+            val sfx = s"x$c"
+            df.withColumn("text", array_join(
+                transform(split(col("text"), " "), t => concat(t, lit(sfx))), " "))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+          })
+    if (wanted("embeddings")) {
+      val base = read("embeddings")
+      val Seq(oVec) = offs(base, "vec_id")
+      if (!perturb)
+        amplify("embeddings", Map("vec_id" -> oVec,
+          "label" -> offs(base, "label").head))
       else {
-        val sfx = s"x$c"
-        df.withColumn("text", array_join(
-            transform(split(col("text"), " "), t => concat(t, lit(sfx))), " "))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      })
-    amplify("embeddings", Map("vec_id" -> oVec, "label" -> oLbl))
-    spark.stop()
+        // copies c>0: deterministic uniform noise in [-eps, eps] per
+        // (vec_id, copy, dim) — xxhash64 as the seedless PRNG, so the
+        // fixture is reproducible and both engines read identical bytes
+        val noised = copiesOf("embeddings", Map("vec_id" -> oVec), (df, c) =>
+          if (c == 0) df
+          else df.withColumn("embedding",
+            transform(col("embedding"), (x, i) => (x +
+              lit(eps) * ((pmod(xxhash64(col("vec_id"), lit(c), i), lit(2001))
+                - lit(1000)) / lit(1000.0))).cast("float"))))
+        // geometric labels for EVERY row: nearest-centroid (argmax
+        // cosine, ties to the lowest centroid id) over 10×factor base
+        // vectors — cell count grows with scale, cell size stays
+        // constant. Centroid ids start at 8: vec_id < 8 are e2/e2r's
+        // query literals and a query that IS a centroid would have a
+        // degenerate margin. The centroid set is tiny and broadcast;
+        // N×C cosines is generator-budget work.
+        val nCent = math.min(10 * factor,
+          (base.count() - 8).toInt / 2).max(4)
+        val cents = base
+          .where(col("vec_id") >= 8 && col("vec_id") < 8 + nCent)
+          .select(col("vec_id").as("cid"),
+            col("embedding").cast("array<double>").as("cv"))
+        val labels = noised
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            graft.functions.GraftFunctions.cosine(col("v"), col("cv")).as("cos"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc") - 8).cast("int").as("label"))
+        writeSingleFile(
+          noised.drop("label").join(labels, "vec_id")
+            .select("vec_id", "embedding", "label"),
+          s"$dst/embeddings.parquet")
+        println(s"[amplify] embeddings x$factor done (perturb eps=$eps, " +
+          s"$nCent geometric cells)")
+      }
+    }
   }
 }

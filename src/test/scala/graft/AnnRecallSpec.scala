@@ -32,6 +32,29 @@ class AnnRecallSpec extends AnyFunSuite {
       s"multi-probe recall did not lift over single-bucket: $totMp vs $totLsh")
   }
 
+  test("e2r on a perturbed amplified fixture measures index recall, not the amplifier") {
+    // Default amplification pins recall_lsh 1.0 / recall_ivf 0.0 (verbatim
+    // copies share the bucket; per-copy cells) — it measures the amplifier.
+    // --perturb gives copies epsilon-noised vectors and every row a
+    // geometric nearest-centroid label, so a true neighbor leaves the
+    // probed cell/bucket exactly when noise crosses a boundary: the
+    // recalls must land STRICTLY inside (0,1) and the multi-probe
+    // superset guarantee must keep holding on geometric labels too.
+    val dst = java.nio.file.Files.createTempDirectory("graft-perturb").toString
+    Amplify.run(spark, sf, dst, 10, perturb = true, only = Set("embeddings"))
+    val rows = SimOps.e2rRecallAtK(spark, dst).collect()
+    assert(rows.nonEmpty)
+    def mean(c: String): Double =
+      rows.map(_.getAs[Double](c)).sum / rows.length
+    val (ri, rl, rm) = (mean("recall_ivf"), mean("recall_lsh"), mean("recall_mp"))
+    info(f"perturbed recalls: ivf=$ri%.3f lsh=$rl%.3f mp=$rm%.3f")
+    assert(ri > 0 && ri < 1, s"recall_ivf $ri should be strictly inside (0,1)")
+    assert(rl > 0 && rl < 1, s"recall_lsh $rl should be strictly inside (0,1)")
+    assert(rm >= rl && rm > 0, s"recall_mp $rm should dominate recall_lsh $rl")
+    rows.foreach(r => assert(r.getAs[Boolean]("mp_ge_lsh"),
+      s"q_id=${r.get(0)}: mp_ge_lsh violated on perturbed fixture"))
+  }
+
   test("e2p top-3 per query rank-wise dominates e2b top-3 (superset of candidates)") {
     // rank-wise, not min-vs-min: when an e2b bucket yields FEWER than k
     // candidates (the sparse-bucket case e2p exists to fix), e2p
