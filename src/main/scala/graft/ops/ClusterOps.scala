@@ -63,22 +63,25 @@ object ClusterOps {
     * ~log(diameter) instead of diameter (measured 8 → 4 rounds on the
     * sf0.1 graph; a diameter-9 chain converges in ≤5 rounds,
     * DedupClusterSpec). Each round is ONE driver-side action: the
-    * convergence count rides the checkpoint action as an `observe`
-    * metric, so there is no separate count job per round (the r3 loop
-    * paid checkpoint + count). Iterations are hard-capped at
-    * [[MaxCcIters]] with a loud failure. At 100 TB the same loop runs
-    * unchanged — state is two (node, label) columns, each step shuffles
-    * by node id, and per-iteration state is RELIABLY checkpointed (see
-    * [[ensureCheckpointDir]]) so executor loss mid-loop is survivable. */
+    * convergence count rides the round's action as an `observe` metric,
+    * so there is no separate count job per round (the r3 loop paid
+    * checkpoint + count). Iterations are hard-capped at [[MaxCcIters]]
+    * with a loud failure. At 100 TB the same loop runs unchanged —
+    * state is two (node, label) columns, each step shuffles by node id,
+    * and state is RELIABLY checkpointed every 3rd round (see
+    * [[ensureCheckpointDir]]; rounds in between persist to cache rooted
+    * at the last snapshot) so executor loss mid-loop replays at most two
+    * cached rounds — the per-round durable write was the dominant
+    * decade-2 cost, not the propagation itself. */
   def e16DedupClusters(s: SparkSession, d: String): DataFrame =
     e16WithStats(s, d)._1
 
-  /** e16 plus the number of propagation rounds it took to converge —
-    * the loop runs eagerly (each round materializes a reliable
-    * checkpoint), so the round count is known by the time the labeled
-    * DataFrame is returned. Exposed for DedupClusterSpec's round-count
-    * assertion. */
-  private[graft] def e16WithStats(s: SparkSession, d: String): (DataFrame, Int) = {
+  /** e16 plus the number of propagation rounds it took to converge and
+    * the number of DURABLE label snapshots written — the loop runs
+    * eagerly (each round materializes cache or checkpoint), so both are
+    * known by the time the labeled DataFrame is returned. Exposed for
+    * DedupClusterSpec's round-count and write-cadence assertions. */
+  private[graft] def e16WithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     var segT0 = System.nanoTime()
     def seg(tag: String): Unit = if (sys.env.contains("GRAFT_E16_DEBUG")) {
       System.err.println(
@@ -150,6 +153,20 @@ object ClusterOps {
       math.max(1L, math.min(prevParts.toLong, nEdges / 100000L)).toInt
     var edgesLoop: DataFrame = null
     var converged = false
+    // Durable-checkpoint CADENCE (the r5→r6 slope fix): writing every
+    // round's full label set to checkpoint files was the dominant
+    // decade-2 cost (e16 sf10a 39.8 s, worst scaler in the suite, and
+    // the writes grow with the graph). Rounds between checkpoints now
+    // persist their state in memory/disk cache instead — recompute on
+    // executor loss replays at most CkptEvery-1 cached rounds from the
+    // last durable snapshot, and the analyzer still sees a plan at most
+    // CkptEvery rounds deep. The convergence count keeps riding the
+    // round's single action either way (checkpoint, or a noop-sink
+    // write that materializes the cache).
+    val CkptEvery = 3
+    var heldCaches: List[DataFrame] = Nil // persisted rounds since last snapshot
+    var lastCkpt: Seq[String] = Seq.empty // current durable snapshot's files
+    var snapshots = 0 // durable label writes (the cadence the spec pins)
     try {
       conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       conf.set("spark.sql.adaptive.enabled", "false")
@@ -169,15 +186,19 @@ object ClusterOps {
       labels = edgesLoop.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
         .observe(obs0, count(lit(1)).as("changed")).checkpoint()
+      snapshots += 1
+      lastCkpt = checkpointFiles(labels)
       var frontier = labels
       changed = obsChanged(obs0)
-    // Each round's state goes through a RELIABLE checkpoint: durable
-    // files (executor loss recovers; the reason localCheckpoint was
-    // dropped) and a truncated logical plan (the analyzer sees a leaf
-    // scan, not an ever-deeper join tree). The changed-label count is an
-    // `observe` metric on the SAME action (Dataset.checkpoint runs under
-    // withAction, so the CollectMetrics listener fires — verified by
-    // DedupClusterSpec's job-count assertion): one driver-side action
+    // Round state: every CkptEvery-th round goes through a RELIABLE
+    // checkpoint (durable files — executor loss recovers, the reason
+    // localCheckpoint was dropped — and a truncated logical plan);
+    // rounds in between persist to memory/disk cache, materialized by a
+    // noop-sink write, their lineage rooted at the last snapshot. The
+    // changed-label count is an `observe` metric on the round's SINGLE
+    // action either way (Dataset.checkpoint and DataFrame.write both run
+    // under withAction, so the CollectMetrics listener fires — verified
+    // by DedupClusterSpec's job-count assertion): one driver-side action
     // per round, no separate convergence job. The ==0 convergence test
     // is robust even if the checkpoint's internal write re-runs the
     // plan and double-counts the accumulator (0 doubles to 0).
@@ -192,34 +213,44 @@ object ClusterOps {
         // component, so jumping to the label's current label (`lbl(lbl)`)
         // is a monotone shortcut that cuts convergence from O(diameter)
         // to ~O(log diameter) rounds — one extra equi-join per round
-        // against the (tiny, checkpointed) label map.
+        // against the (tiny, cached-or-checkpointed) label map.
         val jump = labels.select(col("node").as("jn"), col("lbl").as("jl"))
         val obs = new org.apache.spark.sql.Observation(
           s"e16_round${iter}_${System.nanoTime()}")
-        // persisted across the checkpoint: the checkpoint's internal
-        // write job re-reads the round's cache instead of re-running the
-        // three joins (checkpoint materializes its plan twice otherwise)
+        // persisted either way: on checkpoint rounds the checkpoint's
+        // internal write job re-reads the round's cache instead of
+        // re-running the three joins; on cache rounds this IS the state
         val nextCache = prop.join(jump, prop("lbl1") === col("jn"), "left")
           .select(col("node"), col("old"),
             least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val next = nextCache
-          .observe(obs,
-            sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-          .checkpoint()
-        frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
-        // reassign labels BEFORE anything in the round tail that can
-        // throw (obsChanged blocks on the listener bus): `next` is
-        // already durably checkpointed, so a mid-round failure must
-        // steer the finally's !converged cleanup at THIS snapshot, not
-        // the previous round's. The previous files back nothing once
-        // `next` is on disk (each checkpoint truncates lineage) — they
-        // are deleted immediately, whatever obsChanged later reports.
-        val prevFiles = checkpointFiles(labels)
-        labels = next.drop("old")
-        deleteFiles(s, prevFiles)
-        changed = obsChanged(obs) // reported by the checkpoint action above
-        nextCache.unpersist(blocking = false)
+        val observed = nextCache.observe(obs,
+          sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        if ((iter + 1) % CkptEvery == 0) {
+          val next = observed.checkpoint()
+          snapshots += 1
+          frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
+          // reassign labels BEFORE anything in the round tail that can
+          // throw (obsChanged blocks on the listener bus): `next` is
+          // already durably checkpointed, so a mid-round failure must
+          // steer the finally's !converged cleanup at THIS snapshot, not
+          // the previous one. The previous snapshot and the cached
+          // rounds since it back nothing once `next` is on disk.
+          val prevFiles = lastCkpt
+          lastCkpt = checkpointFiles(next)
+          labels = next.drop("old")
+          deleteFiles(s, prevFiles)
+          (nextCache :: heldCaches).foreach(_.unpersist(blocking = false))
+          heldCaches = Nil
+        } else {
+          // cache round: one noop-sink action materializes the persisted
+          // state and delivers the observe metric — no durable write
+          observed.write.format("noop").mode("overwrite").save()
+          frontier = nextCache.where(col("lbl") =!= col("old")).select("node", "lbl")
+          labels = nextCache.drop("old")
+          heldCaches = nextCache :: heldCaches
+        }
+        changed = obsChanged(obs) // reported by the round's action above
         iter += 1
         if (sys.env.contains("GRAFT_E16_DEBUG"))
           System.err.println(s"[e16] round $iter changed=$changed")
@@ -231,6 +262,20 @@ object ClusterOps {
         throw new IllegalStateException(
           s"e16 label propagation did not converge in $iter rounds " +
             s"($changed labels still changing) — raise the iteration cap")
+      // TERMINAL snapshot when convergence lands on a cache round: the
+      // returned plan must be leaf-backed so every intermediate cache is
+      // releasable now and the result survives executor loss after this
+      // call returns — one extra durable write per QUERY, not per round
+      if (heldCaches.nonEmpty) {
+        val fin = labels.checkpoint()
+        snapshots += 1
+        val prevFiles = lastCkpt
+        lastCkpt = checkpointFiles(fin)
+        labels = fin
+        deleteFiles(s, prevFiles)
+        heldCaches.foreach(_.unpersist(blocking = false))
+        heldCaches = Nil
+      }
       converged = true
     } finally {
       conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -239,10 +284,12 @@ object ClusterOps {
       // the loop is done with the edge snapshot on EVERY exit path; the
       // final labels checkpoint (which the returned plan reads) outlives
       // this call only on success — a failed run must not leak its
-      // in-flight state snapshot either (per-round cleanup only covers
-      // rounds that completed)
+      // in-flight state snapshot or its cached rounds either
       deleteFiles(s, checkpointFiles(edges))
-      if (!converged && labels != null) deleteFiles(s, checkpointFiles(labels))
+      if (!converged) {
+        heldCaches.foreach(_.unpersist(blocking = false))
+        deleteFiles(s, lastCkpt)
+      }
     }
     seg("loop")
     val sized = labels
@@ -252,7 +299,7 @@ object ClusterOps {
           .partitionBy(col("cluster_id"))))
 
     (sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id"), iter)
+      .orderBy("doc_id"), iter, snapshots)
   }
 
   /** Read the `changed` observe metric once its action (the round's

@@ -56,7 +56,7 @@ class DedupClusterSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val (df, rounds) = ClusterOps.e16WithStats(spark, fixtureDir)
+      val (df, rounds, snapshots) = ClusterOps.e16WithStats(spark, fixtureDir)
       df.write.format("noop").mode("overwrite").save()
       // listener events are queued; the job-start events of interest were
       // all posted synchronously before the eager loop returned — a short
@@ -65,14 +65,24 @@ class DedupClusterSpec extends AnyFunSuite {
       // pure propagation needs 10 rounds on a diameter-9 chain (9 hops
       // + 1 convergence confirmation); halving closes distance ~2^r
       assert(rounds <= 6, s"expected ≤6 halving rounds, got $rounds")
-      // budget: each round is 1 driver action = 2 Spark jobs (the
-      // checkpoint's materialize + write); the AQE-planned edge build
-      // outside the loop contributes ~28 more (one job per query stage).
-      // Measured 38 total at 5 rounds — the bound sits just above, so
+      // budget: a cache round is 1 driver action = 1 Spark job (the
+      // noop-sink write that materializes the persisted state); every
+      // 3rd round checkpoints instead (2 jobs: materialize + write), as
+      // does the terminal snapshot; the AQE-planned edge build outside
+      // the loop contributes ~28 more (one job per query stage).
+      // Measured 40 total at 5 rounds — the bound sits just above, so
       // reintroducing a per-round convergence job (+1 job/round, the r3
-      // loop shape) trips it.
-      val budget = 2 * rounds + 30
+      // loop shape) OR reverting to per-round checkpoints trips it.
+      val budget = rounds + rounds / 3 + 36
       assert(jobs <= budget, s"expected ≤$budget jobs for $rounds rounds, got $jobs")
+      // durable-write cadence (the r6 slope fix): label snapshots land
+      // every 3rd round plus init and the terminal one — NOT every round
+      // (the r5 shape, whose checkpoint I/O drove e16's worst-in-suite
+      // 5.8× decade-2 slope). rounds+1 writes means the cadence was
+      // silently reverted.
+      val maxSnaps = rounds / 3 + 3
+      assert(snapshots <= maxSnaps && snapshots < rounds + 1,
+        s"expected ≤$maxSnaps durable label writes for $rounds rounds, got $snapshots")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
