@@ -92,6 +92,7 @@ object SparkEntry {
     "e15_funnel"         -> (ClusterOps.e15Funnel _),
     "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
+    "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
     "e7_simhash"        -> (SimOps.e7Simhash _),
     "e7b_simhash_pairs" -> (SimOps.e7bSimhashPairs _),
@@ -149,6 +150,40 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (s6_json_sink) get the
     * driver's weaker rows-only check. */
+  /** Shared by e6 (batch) and e6s (streaming ingest): both declared
+    * forms must hash-match the SAME exact MinHash+LSH recomputation —
+    * batch/stream parity stated as one oracle. */
+  private val e6OracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+      |  ELSE [] END) AS sh FROM w),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
+      |bands AS (SELECT doc_id, hid // 2 AS band,
+      |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
+      |  JOIN sh s1 ON s1.doc_id = p.d1
+      |  JOIN sh s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+      |  GROUP BY 1, 2)
+      |SELECT p.d1, p.d2, p.n_bands, coalesce(c.n_common, 0) AS n_common,
+      |  c1.n_sh AS n1, c2.n_sh AS n2,
+      |  round(coalesce(c.n_common, 0) /
+      |    (c1.n_sh + c2.n_sh - coalesce(c.n_common, 0)), 6) AS jaccard
+      |FROM pairs p
+      |LEFT JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
+      |JOIN counts c1 ON c1.doc_id = p.d1
+      |JOIN counts c2 ON c2.doc_id = p.d2
+      |ORDER BY p.d1, p.d2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
@@ -518,36 +553,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY word ORDER BY word""".stripMargin,
-    "e6_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-        |  ELSE [] END) AS sh FROM w),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
-        |bands AS (SELECT doc_id, hid // 2 AS band,
-        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
-        |  JOIN sh s1 ON s1.doc_id = p.d1
-        |  JOIN sh s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
-        |  GROUP BY 1, 2)
-        |SELECT p.d1, p.d2, p.n_bands, coalesce(c.n_common, 0) AS n_common,
-        |  c1.n_sh AS n1, c2.n_sh AS n2,
-        |  round(coalesce(c.n_common, 0) /
-        |    (c1.n_sh + c2.n_sh - coalesce(c.n_common, 0)), 6) AS jaccard
-        |FROM pairs p
-        |LEFT JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
-        |JOIN counts c1 ON c1.doc_id = p.d1
-        |JOIN counts c2 ON c2.doc_id = p.d2
-        |ORDER BY p.d1, p.d2""".stripMargin,
+    "e6_minhash_lsh" -> e6OracleSql,
+    // streaming ingest parity: the drained stream-static probe must
+    // verify to EXACTLY the batch pipeline's rows — one SQL gates both
+    "e6s_minhash_stream" -> e6OracleSql,
     // hash-independent slice of the xx-hash pipeline: pairs with
     // IDENTICAL shingle sets (jaccard exactly 1) — DuckDB states set
     // equality directly (ordered string_agg signature; chr(10) cannot

@@ -323,22 +323,21 @@ object SimOps {
       .select(col("d1"), col("d2"), col("n_common").as("n_sh"))
       .orderBy("d1", "d2")
 
-  /** Shared MinHash+LSH pipeline, parametrized by the hash family:
-    * shingle → 8 MinHash values → 4 bands of 2 → band hash → candidate
-    * pairs via an equi-join on (band, band_hash) → verified Jaccard.
-    *
-    * 100 TB path: the only self-join is on the band hash, whose
-    * collision rate is J² per band — candidate volume stays proportional
-    * to true near-dups, not N². */
-  private def minhashLsh(
+  /** The persisted sub-relations every MinHash+LSH consumer shares:
+    * distinct (doc, shingle) rows, per-doc signatures (mh0..mh7 + n_sh),
+    * and the band rows (doc_id, band, bh) — the corpus "index". Built
+    * once per pipeline; `sh` and `sigs` are persisted because they feed
+    * the signature aggregation AND both sides of the Jaccard
+    * verification (tokenize→window→distinct was 26% of total bench time
+    * when re-executed). */
+  private[graft] case class MinhashRelations(
+      sh: DataFrame, sigs: DataFrame, bands: DataFrame)
+
+  private[graft] def minhashRelations(
       s: SparkSession, d: String,
       mh: (Int, Column) => Column,
-      bandHash: (Column, Column) => Column): DataFrame = {
+      bandHash: (Column, Column) => Column): MinhashRelations = {
     import org.apache.spark.storage.StorageLevel
-    // The shingle relation feeds the signature aggregation AND both sides
-    // of the Jaccard verification — persist it so tokenize→window→distinct
-    // runs once, not 3-4× (it was 26% of total bench time re-executed).
-    // MEMORY_AND_DISK: spills instead of recomputing under pressure.
     val sh = shingleRows(s, d).select("doc_id", "sh")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // all 8 MinHash values AND the per-doc shingle count in ONE
@@ -356,30 +355,25 @@ object SimOps {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandPairs: _*)).as("bp"))
       .select(col("doc_id"), col("bp.band").as("band"), col("bp.bh").as("bh"))
-    // candidate pairs via posting lists (same shape as e8's r4 rewrite):
-    // ONE exchange by (band, band-hash) into collect_list, singleton
-    // buckets dropped before any pair exists, then a partition-local
-    // double-explode — replaces a self-join that shuffled band rows
-    // twice and re-sorted both sides. n_bands = how many bands the pair
-    // collides in (hash-independent once the hash family is fixed).
-    val pairs = listPairs(
-      bands.groupBy("band", "bh")
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .where(size(col("ds")) > 1), "ds")
-      .select(least(col("a"), col("b")).as("d1"),
-        greatest(col("a"), col("b")).as("d2"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("n_bands"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused: candDocs + verify + final
-    val counts = sigs.select(col("doc_id"), col("n_sh"))
-    // Verification only needs shingles of docs that appear in a candidate
-    // pair — semi-join-reduce BEFORE shuffling shingle rows by (doc, sh).
-    // At 100 TB candidates are a vanishing fraction of the corpus, so this
-    // turns the verification shuffle from O(all shingles) into
-    // O(candidate-doc shingles).
+    MinhashRelations(sh, sigs, bands)
+  }
+
+  /** The verification tail shared by the batch pipeline and the
+    * streaming ingest (e6s): candidate pairs (d1 < d2, n_bands) →
+    * exact-Jaccard verification against the persisted shingle sets.
+    * Verification only needs shingles of docs that appear in a candidate
+    * pair — semi-join-reduce BEFORE shuffling shingle rows by (doc, sh).
+    * At 100 TB candidates are a vanishing fraction of the corpus, so this
+    * turns the verification shuffle from O(all shingles) into
+    * O(candidate-doc shingles). */
+  private[graft] def minhashVerify(
+      rel: MinhashRelations, rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs // caller-persisted when reused; probed 3× below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rel.sigs.select(col("doc_id"), col("n_sh"))
     val candDocs = pairs.select(col("d1").as("doc_id"))
       .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
-    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val shC = rel.sh.join(candDocs, Seq("doc_id"), "left_semi")
     val common = pairs
       .join(shC.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
       .join(shC.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
@@ -395,6 +389,69 @@ object SimOps {
           (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6)
           .as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** PER-ROW band signatures — the streaming form of the corpus index
+    * build: tokens → 3-gram shingle set → 8 MinHash values → 4 band
+    * hashes computed entirely with higher-order array functions (no
+    * window, no aggregation), so the same expressions run inside a
+    * streaming micro-batch where partitionBy-windows are unsupported.
+    * Semantics are IDENTICAL to the batch side (StreamSimilaritySpec
+    * pins per-row == aggregated band rows at the test SF): lowercased
+    * whitespace split, empties dropped BEFORE 3-gramming, distinct
+    * shingles, lexicographic min over md5 — `array_min` on strings and
+    * `min()` aggregate share the same binary ordering. A doc with <3
+    * tokens has no shingles → null band hash → never joins (the batch
+    * side simply has no rows for it). */
+  private[graft] def perRowBands(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks",
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+      .withColumn("shs", when(size(col("toks")) >= 3,
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
+        .otherwise(array().cast("array<string>")))
+    val withMh = (0 until 8).foldLeft(base) { (df, h) =>
+      df.withColumn(s"mh$h",
+        array_min(transform(col("shs"), x => md5(concat(lit(s"$h:"), x)))))
+    }
+    val bandPairs = (0 until 4).map(b => struct(
+      lit(b.toLong).as("band"),
+      md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bh")))
+    withMh
+      .select(col("doc_id"), explode(array(bandPairs: _*)).as("bp"))
+      .select(col("doc_id"), col("bp.band").as("band"), col("bp.bh").as("bh"))
+  }
+
+  /** Shared MinHash+LSH pipeline, parametrized by the hash family:
+    * shingle → 8 MinHash values → 4 bands of 2 → band hash → candidate
+    * pairs via an equi-join on (band, band_hash) → verified Jaccard.
+    *
+    * 100 TB path: the only self-join is on the band hash, whose
+    * collision rate is J² per band — candidate volume stays proportional
+    * to true near-dups, not N². */
+  private def minhashLsh(
+      s: SparkSession, d: String,
+      mh: (Int, Column) => Column,
+      bandHash: (Column, Column) => Column): DataFrame = {
+    val rel = minhashRelations(s, d, mh, bandHash)
+    // candidate pairs via posting lists (same shape as e8's r4 rewrite):
+    // ONE exchange by (band, band-hash) into collect_list, singleton
+    // buckets dropped before any pair exists, then a partition-local
+    // double-explode — replaces a self-join that shuffled band rows
+    // twice and re-sorted both sides. n_bands = how many bands the pair
+    // collides in (hash-independent once the hash family is fixed).
+    val pairs = listPairs(
+      rel.bands.groupBy("band", "bh")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .where(size(col("ds")) > 1), "ds")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_bands"))
+    minhashVerify(rel, pairs)
   }
 
   /** E7: SimHash fingerprint — 16-bit simhash over token frequencies,
