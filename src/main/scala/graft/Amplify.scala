@@ -66,13 +66,16 @@ object Amplify {
   }
 
   /** Uniform noise half-width per dimension for --perturb. The vectors
-    * are unit-norm with per-dim σ≈1/8; 0.03 puts the noise-induced
-    * cosine jitter at the same order as the top-2 centroid margin and
-    * the LSH bit margins, so a measurable-but-minority fraction of
-    * near-duplicate copies cross a cell/bucket boundary (measured at
-    * sf0.01×10: recall_ivf ≈ 0.6-0.9, recall_lsh ≈ 0.6-0.95 — strictly
-    * inside (0,1), which is the point). */
-  val DefaultEps: Double = 0.03
+    * are unit-norm with per-dim σ≈1/8; 0.12 puts the noise-induced
+    * cosine jitter above the top-2 centroid margin and the LSH bit
+    * margins often enough that a measurable-but-minority fraction of
+    * near-duplicate copies crosses a cell/bucket boundary — including
+    * the occasional ≥2-bit flip that escapes multi-probe, so ALL THREE
+    * recalls land strictly inside (0,1) (measured: sf0.1×10 ivf 0.29 /
+    * lsh 0.67 / mp 0.92; sf0.01×10 ivf 0.38 / lsh 0.50 / mp 0.96).
+    * Smaller eps (0.03-0.10) pins recall_mp at exactly 1.0 — a valid
+    * measurement, but an endpoint says nothing about mp's own loss. */
+  val DefaultEps: Double = 0.12
 
   /** Programmatic entry (AnnRecallSpec builds a perturbed fixture with
     * it). `only` empty = all tables. */
@@ -189,8 +192,15 @@ object Amplify {
         // query literals and a query that IS a centroid would have a
         // degenerate margin. The centroid set is tiny and broadcast;
         // N×C cosines is generator-budget work.
-        val nCent = math.min(10 * factor,
-          (base.count() - 8).toInt / 2).max(4)
+        // constant CELL SIZE (~200 vectors), not constant cell count:
+        // nCent tracks the amplified row count, so re-amplifying
+        // sfx1 → sfx10 grows cells 10× in NUMBER, not size — the IVF
+        // shape whose per-cell work stays bounded at any scale (a fixed
+        // cell count re-amplified once made e13's per-cell quadratic
+        // work 10× heavier: measured 3 s → 28 s at sf10a).
+        val baseCount = base.count()
+        val nCent = math.min(baseCount * factor / 200L, baseCount - 8)
+          .toInt.max(4)
         val cents = base
           .where(col("vec_id") >= 8 && col("vec_id") < 8 + nCent)
           .select(col("vec_id").as("cid"),

@@ -251,27 +251,32 @@ object SimOps {
       .orderBy("label", "id1", "id2")
   }
 
-  /** Tokens with position, empties dropped, parallel regardless of input
-    * split count (repartition by doc_id; the downstream n-gram windows
-    * and aggregations reuse this exchange). */
-  private def tokenRows(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w0")))
-      .where(length(col("w0")) > 0)
+  /** Per-doc token array: lowercased whitespace split, empties dropped —
+    * the single tokenizer definition shared by the shingle and bigram
+    * builders and the stream-side per-row bands. */
+  private def tokensArr: Column =
+    filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
-  /** Distinct word-3-gram shingles per document — built with lead()
-    * windows (codegen'd) rather than interpreted array lambdas. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tokenRows(s, d)
-      .withColumn("w1", lead("w0", 1).over(w))
-      .withColumn("w2", lead("w0", 2).over(w))
-      .where(col("w2").isNotNull)
+  /** Distinct word-3-gram shingles per document — built PER ROW with
+    * higher-order array functions, deduped inside the array BEFORE the
+    * explode. The former form exploded every token to its own row, ran
+    * a lead() window (which SORTS all token rows by (doc, pos)) and
+    * deduped after — at 500k docs that is a 50M-row sort and an extra
+    * wide dedup; the per-row form never materializes token rows at all
+    * (measured 71 → 23 s on the e16 edge build at sf10a). The one
+    * repartition parallelizes the per-row work past the single-file
+    * input split AND pre-clusters by doc_id for the consumers'
+    * aggregations. Row set is identical (the e6/e8 oracles recompute
+    * from scratch; StreamSimilaritySpec pins the band derivation). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
+      .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
-      .distinct()
-  }
+        explode(when(size(col("toks")) >= 3,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
 
   /** E6: MinHash + LSH near-dup detection — shingle → 8 MinHash values
     * (md5-keyed so the oracle reproduces them) → 4 bands of 2 → band
@@ -405,8 +410,7 @@ object SimOps {
     * side simply has no rows for it). */
   private[graft] def perRowBands(docs: DataFrame): DataFrame = {
     val base = docs
-      .withColumn("toks",
-        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+      .withColumn("toks", tokensArr)
       .withColumn("shs", when(size(col("toks")) >= 3,
         array_distinct(transform(
           sequence(lit(0), size(col("toks")) - 3),
@@ -538,6 +542,47 @@ object SimOps {
       .orderBy("d1", "d2")
   }
 
+  /** Distinct word-bigram ids per document, (doc_id, source, h) — the
+    * inverted-index input shared by e8 and the e8h volume gate. Bigram
+    * ids are built PER ROW (array_distinct over the token array, then
+    * explode), so the pipeline never materializes per-token rows, never
+    * window-sorts them, and needs no dedup exchange — the exploded
+    * output is already the distinct set (same per-row shape as
+    * shingleRows; the oracles recompute it independently from text). */
+  private def bigramRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
+      .withColumn("toks", tokensArr)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("toks")) >= 2,
+          array_distinct(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => xxhash64(element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+
+  /** E8h: POSTING-LENGTH HISTOGRAM — e8's candidate-volume gate as a
+    * first-class oracle-checked key. e8's 100 TB claim is that pair
+    * volume tracks TRUE duplicates, not N²: the only pair generator is
+    * the per-(source, bigram) posting list, and each list of length L
+    * contributes L·(L−1)/2 candidates. This key states that volume
+    * in-plan — posting lists bucketed by ⌊log2 L⌋ (computed as
+    * `length(bin(L)) − 1`: exact integer path in both engines, where
+    * float log2 drifts on exact powers) with count and pair volume per
+    * bucket — so a skew regression (one runaway posting) or a
+    * superlinear candidate trend is a HASH MISMATCH, not a silent
+    * slowdown. Measured across decades (SCALE.md): total volume is
+    * exactly linear in corpus size — sf0.1 1.82M, sf1a 18.2M (10.0×),
+    * sf10a 182M (100.0×) — with the max bucket stable at 2^5. */
+  def e8hPostingHistogram(s: SparkSession, d: String): DataFrame =
+    bigramRows(s, d)
+      .groupBy("source", "h").agg(count(lit(1)).as("len"))
+      .where(col("len") > 1)
+      .select((length(bin(col("len"))) - 1).cast("long").as("len_bucket"),
+        col("len"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_postings"),
+        expr("CAST(sum(len * (len - 1) div 2) AS BIGINT)").as("pair_volume"))
+      .orderBy("len_bucket")
+
   /** E8: n-gram Jaccard near-dup pairs — exact set Jaccard over word
     * bigrams, candidate pairs generated ONLY through the shared-bigram
     * inverted index within a `source` bucket (the scalable
@@ -571,19 +616,10 @@ object SimOps {
   private[ops] def e8NgramJaccardWithCaches(
       s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
-    val win = Window.partitionBy("doc_id").orderBy("pos")
     // persisted: feeds the per-doc set sizes AND the posting-list
-    // aggregation — without the cache the tokenize→window→dedup subtree
-    // executes twice. The dropDuplicates is partition-LOCAL: the rows are
-    // already hash-partitioned by doc_id (tokenRows), which satisfies the
-    // (doc_id, source, h) clustering, so no extra exchange.
-    val bg = tokenRows(s, d)
-      .withColumn("w1", lead("w0", 1).over(win))
-      .where(col("w1").isNotNull)
-      .select(col("doc_id"), col("source"),
-        xxhash64(col("w0"), col("w1")).as("h"))
-      .dropDuplicates("doc_id", "source", "h")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // aggregation — without the cache the tokenize subtree executes
+    // twice.
+    val bg = bigramRows(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val counts = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
     // inverted index: posting list of docs per (source, bigram); a
     // singleton posting can never generate a pair — dropped here (the
