@@ -97,6 +97,7 @@ object SparkEntry {
     "e7_simhash"        -> (SimOps.e7Simhash _),
     "e7b_simhash_pairs" -> (SimOps.e7bSimhashPairs _),
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
+    "e8h_posting_histogram" -> (SimOps.e8hPostingHistogram _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -618,6 +619,25 @@ object SparkEntry {
         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    // candidate-volume gate: posting lengths bucketed by floor(log2) via
+    // the integer bin-string path (float log2 drifts on exact powers);
+    // DuckDB groups by the bigram STRING where Spark groups by its
+    // xxhash64 — identical lengths absent a 64-bit collision (same
+    // argument as e8's declared output)
+    "e8h_posting_histogram" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM w),
+        |bg AS (SELECT DISTINCT doc_id, source, bg FROM bg0),
+        |p AS (SELECT source, bg, count(*) AS len FROM bg GROUP BY 1, 2
+        |  HAVING count(*) > 1)
+        |SELECT CAST(length(bin(len)) - 1 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_postings,
+        |  CAST(sum(len * (len - 1) // 2) AS BIGINT) AS pair_volume
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "e8_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
