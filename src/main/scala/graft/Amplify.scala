@@ -54,6 +54,13 @@ object Amplify {
       f.stripPrefix("--eps=").toDouble }.getOrElse(DefaultEps)
     val only = flags.collectFirst { case f if f.startsWith("--tables=") =>
       f.stripPrefix("--tables=").split(",").toSet }.getOrElse(Set.empty[String])
+    // a typo'd flag (--pertrub) must not silently run a different mode
+    // and hand downstream a fixture with the circular 1.0/0.0 recalls
+    val unknown = flags.filterNot(f =>
+      f == "--perturb" || f.startsWith("--eps=") || f.startsWith("--tables="))
+    require(unknown.isEmpty,
+      s"unknown flag(s) ${unknown.mkString(", ")} — " +
+        "usage: Amplify <srcDir> <dstDir> [factor] [--perturb] [--eps=E] [--tables=a,b]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -209,6 +216,11 @@ object Amplify {
         // cell count re-amplified once made e13's per-cell quadratic
         // work 10× heavier: measured 3 s → 28 s at sf10a).
         val baseCount = base.count()
+        // the centroid window is [8, 8+nCent): with <=8 source rows it is
+        // EMPTY, the labels inner join drops every row, and an empty
+        // embeddings.parquet would be written silently
+        require(baseCount > 8,
+          s"--perturb needs >8 embedding rows for centroids (got $baseCount)")
         val nCent = math.min(baseCount * factor / 200L, baseCount - 8)
           .toInt.max(4)
         val cents = base

@@ -224,6 +224,11 @@ object ClusterOps {
           .select(col("node"), col("old"),
             least(col("lbl1"), coalesce(col("jl"), col("lbl1"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // registered BEFORE the round's materializing action: if the
+        // checkpoint or noop-sink write throws, the finally's !converged
+        // path must see this round's cache in heldCaches or it leaks for
+        // the session
+        heldCaches = nextCache :: heldCaches
         val observed = nextCache.observe(obs,
           sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
         if ((iter + 1) % CkptEvery == 0) {
@@ -240,15 +245,14 @@ object ClusterOps {
           lastCkpt = checkpointFiles(next)
           labels = next.drop("old")
           deleteFiles(s, prevFiles)
-          (nextCache :: heldCaches).foreach(_.unpersist(blocking = false))
+          heldCaches.foreach(_.unpersist(blocking = false)) // incl. nextCache
           heldCaches = Nil
         } else {
           // cache round: one noop-sink action materializes the persisted
           // state and delivers the observe metric — no durable write
           observed.write.format("noop").mode("overwrite").save()
           frontier = nextCache.where(col("lbl") =!= col("old")).select("node", "lbl")
-          labels = nextCache.drop("old")
-          heldCaches = nextCache :: heldCaches
+          labels = nextCache.drop("old") // nextCache already in heldCaches
         }
         changed = obsChanged(obs) // reported by the round's action above
         iter += 1

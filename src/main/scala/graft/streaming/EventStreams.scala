@@ -134,6 +134,7 @@ object EventStreams {
       .start()
     try {
       q.processAllAvailable()
+      StreamBusy.addQuery(q) // busy-vs-wall split for the bench
     } finally {
       q.stop()
       // best-effort: the checkpoint has no further use
@@ -315,6 +316,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamBusy.addQuery(q)
     batches
   }
 

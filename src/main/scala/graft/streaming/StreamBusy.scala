@@ -1,0 +1,28 @@
+package graft.streaming
+
+/** Per-invocation accumulator for streaming BUSY time — the sum of
+  * micro-batch `batchDuration`s off the StreamingQuery progress, i.e.
+  * the compute the drain actually did, as opposed to WALL time, which
+  * for a file-replay stream is dominated by micro-batch scheduling
+  * cadence (r6 verdict: e1sb's 14.3 s median was replay cadence over
+  * ~2 s of work, and those keys absorbed all ambient noise in the
+  * bench). Drain helpers add their query's total here; Bench resets
+  * before each run and reads after — a nonzero value identifies a
+  * streaming key and is the number the bench reports for it (wall is
+  * kept alongside in the artifact). */
+object StreamBusy {
+  private val accMs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def reset(): Unit = accMs.set(0L)
+
+  /** Add one drained query's total micro-batch duration (ms). */
+  def add(ms: Long): Unit = accMs.addAndGet(ms)
+
+  /** Add everything `q` reported. `recentProgress` retains the last
+    * spark.sql.streaming.numRecentProgressUpdates (default 100)
+    * entries — far above any drain here (≤ ~10 micro-batches). */
+  def addQuery(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    add(q.recentProgress.map(_.batchDuration).sum)
+
+  def busySecs: Double = accMs.get() / 1e3
+}
