@@ -91,6 +91,7 @@ object SparkEntry {
     "e13_embed_neardup" -> (SimOps.e13EmbedNeardup _),
     "e15_funnel"         -> (ClusterOps.e15Funnel _),
     "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
+    "e19_dedup_pipeline" -> (ClusterOps.e19DedupPipeline _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -542,6 +543,52 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // end-to-end dedup: e6 candidates (jaccard >= 0.5) -> recursive-CTE
+    // connected components -> min-id keeper per cluster -> survivor
+    // stats. The keeper test is doc_id = cluster_id because min-reach
+    // labels with the component minimum (D1 first-seen semantics).
+    "e19_dedup_pipeline" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM w),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
+        |bands AS (SELECT doc_id, hid // 2 AS band,
+        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
+        |  JOIN sh s1 ON s1.doc_id = p.d1
+        |  JOIN sh s2 ON s2.doc_id = p.d2 AND s2.sh = s1.sh
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT p.d1, p.d2 FROM pairs p
+        |  JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
+        |  JOIN counts c1 ON c1.doc_id = p.d1
+        |  JOIN counts c2 ON c2.doc_id = p.d2
+        |  WHERE round(c.n_common / (c1.n_sh + c2.n_sh - c.n_common), 6) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION SELECT d2 AS a, d1 AS b FROM cand),
+        |verts AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b),
+        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM lab WHERE node != cluster_id)
+        |SELECT d.source, count(*) AS n_total,
+        |  count(*) FILTER (WHERE dr.node IS NULL) AS n_kept,
+        |  count(dr.node) AS n_dropped,
+        |  CAST(sum(d.n_chars) FILTER (WHERE dr.node IS NULL) AS BIGINT) AS chars_kept
+        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "e3b_token_regex" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS tok
@@ -850,15 +897,45 @@ object SparkEntry {
         |  CAST((octet_length(CAST(text AS BLOB)) % 48) * 16 + 32 AS INTEGER) AS height,
         |  CAST(octet_length(CAST(text AS BLOB)) % 7 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL byte-format decode (r6 ask #6): both engines synthesize the
+    // SAME valid binary PPM per doc (md5-block pixel stream), and this
+    // SQL re-PARSES the bytes in the hex domain — "P6\n" = 50360A,
+    // ASCII-digit runs for dimensions, ('0x'||..)::INT pixel decode —
+    // rather than re-deriving metadata from a length formula
     "m2_frame_sample" ->
-      """WITH m AS (SELECT doc_id,
-        |    octet_length(CAST(text AS BLOB)) AS n FROM documents),
-        |f AS (SELECT doc_id, n, n % 7 + 1 AS nf FROM m),
-        |g AS (SELECT doc_id, n, nf, unnest(range(0, nf)) AS u FROM f)
-        |SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
-        |  CAST(u * (n // nf) AS BIGINT) AS frame_off,
-        |  CAST((n * 31 + u * 17) % 256 AS INTEGER) AS frame_sig
-        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 13 + 4 AS INT) AS w, CAST(doc_id % 11 + 3 AS INT) AS h
+        |  FROM documents),
+        |pp AS (SELECT doc_id,
+        |  'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr,
+        |  substring(array_to_string(list_transform(range(0, w*h*3//16 + 1),
+        |    k -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR))), ''),
+        |    1, w*h*3*2) AS pixhex
+        |  FROM p),
+        |pay AS (SELECT doc_id, hdr::BLOB || unhex(pixhex) AS payload FROM pp),
+        |hx AS (SELECT doc_id, hex(payload) AS hx FROM pay),
+        |hdr AS (SELECT doc_id, hx,
+        |  regexp_extract(hx, '^(50360A(?:3[0-9])+20(?:3[0-9])+0A3235350A)', 1) AS hdr_hex,
+        |  CAST(regexp_replace(regexp_extract(hx,
+        |    '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 1),
+        |    '3([0-9])', '\1', 'g') AS INT) AS width,
+        |  CAST(regexp_replace(regexp_extract(hx,
+        |    '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 2),
+        |    '3([0-9])', '\1', 'g') AS INT) AS height
+        |  FROM hx WHERE hdr_hex <> ''),
+        |base AS (SELECT doc_id, hx, width, height,
+        |  length(hdr_hex) // 2 AS hdr_len, least(height, 4) AS n_frames FROM hdr),
+        |fr AS (SELECT doc_id, hx, width, height, hdr_len, n_frames,
+        |  unnest(range(0, n_frames)) AS f FROM base),
+        |rw AS (SELECT doc_id, width, height, CAST(f AS BIGINT) AS frame_idx,
+        |  hdr_len + (f * height // n_frames) * width * 3 AS frame_off,
+        |  substring(hx, CAST(2 * (hdr_len + (f * height // n_frames) * width * 3) + 1 AS INT),
+        |    width * 6) AS row_hex
+        |  FROM fr)
+        |SELECT doc_id, width, height, frame_idx, frame_off,
+        |  ('0x' || substring(row_hex, 1, 2))::INT AS px0,
+        |  md5(row_hex) AS frame_sig
+        |FROM rw ORDER BY doc_id, frame_idx""".stripMargin,
     "ord_envelope_check" ->
       s"""SELECT file, dataset_id, total_reactions_scraped,
          |  CAST(len(reactions) AS INTEGER) AS n_rx,

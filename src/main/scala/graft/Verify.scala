@@ -15,7 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the dump to named queries
+    // (iteration aid, same contract as the bench's BENCH_ONLY; the
+    // driver's full gate never sets it)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { req =>
+      val unknown = req.diff(SparkEntry.queries.keySet)
+      unknown.toSeq.sorted.foreach(n =>
+        System.err.println(s"[verify] SPARK_GRAFT_VERIFY_ONLY: unknown query '$n'"))
+    }
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (picked.isEmpty)
+      sys.error("SPARK_GRAFT_VERIFY_ONLY matched no queries — nothing to verify")
+    val status = picked.map { case (name, fn) =>
       try {
         // queries that persist() shared sub-relations register them in the
         // session cache for the query's lifetime — release between queries

@@ -82,13 +82,6 @@ object ClusterOps {
     * known by the time the labeled DataFrame is returned. Exposed for
     * DedupClusterSpec's round-count and write-cadence assertions. */
   private[graft] def e16WithStats(s: SparkSession, d: String): (DataFrame, Int, Int) = {
-    var segT0 = System.nanoTime()
-    def seg(tag: String): Unit = if (sys.env.contains("GRAFT_E16_DEBUG")) {
-      System.err.println(
-        f"[e16] seg $tag ${(System.nanoTime() - segT0) / 1e9}%.2f s")
-      segT0 = System.nanoTime()
-    }
-    ensureCheckpointDir(s)
     // exact-duplicate pairs: same normalized content hash (the one
     // definition shared with e1TextDedup), as a posting-list aggregation
     // + partition-local double-explode — one scan of documents, no
@@ -103,6 +96,28 @@ object ClusterOps {
     val (nearPairsFull, e8Caches) = SimOps.e8NgramJaccardWithCaches(s, d)
     val nearPairs = nearPairsFull.select("d1", "d2")
     val undirected = exactPairs.unionByName(nearPairs).distinct()
+    val (labeled, iter, snapshots) = componentsWithStats(s, undirected, e8Caches)
+    (labeled.orderBy("doc_id"), iter, snapshots)
+  }
+
+  /** Connected components over an undirected pair set (d1, d2) — the
+    * frontier/path-halving loop extracted from e16 so the end-to-end
+    * dedup pipeline (e19) can run it over e6's verified candidates.
+    * Returns (unsorted (doc_id, cluster_id, cluster_size) for every
+    * node that appears in a pair, rounds to converge, durable label
+    * snapshots written). `relCaches` are the caller's persisted
+    * sub-relations backing `undirected`; they are released as soon as
+    * the edge set is durably checkpointed. */
+  private[graft] def componentsWithStats(
+      s: SparkSession, undirected: DataFrame,
+      relCaches: Seq[DataFrame]): (DataFrame, Int, Int) = {
+    var segT0 = System.nanoTime()
+    def seg(tag: String): Unit = if (sys.env.contains("GRAFT_E16_DEBUG")) {
+      System.err.println(
+        f"[e16] seg $tag ${(System.nanoTime() - segT0) / 1e9}%.2f s")
+      segT0 = System.nanoTime()
+    }
+    ensureCheckpointDir(s)
     // The edge set is probed by every iteration: reliable checkpoint —
     // durable files AND a truncated logical plan, so each round's analysis
     // sees a leaf scan instead of re-optimizing the embedded e8 pipeline
@@ -124,7 +139,7 @@ object ClusterOps {
     val edges = edgesCache
       .observe(obsE, count(lit(1)).as("changed"))
       .checkpoint() // eager — caches are releasable once this is on disk
-    e8Caches.foreach(_.unpersist(blocking = false))
+    relCaches.foreach(_.unpersist(blocking = false))
     edgesCache.unpersist(blocking = false)
     val nEdges = obsChanged(obsE)
     seg("edges")
@@ -302,8 +317,44 @@ object ClusterOps {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))))
 
-    (sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id"), iter, snapshots)
+    (sized.select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size")),
+      iter, snapshots)
+  }
+
+  /** E19: the END-TO-END dedup pipeline — the composition an LLM
+    * training-data pipeline actually runs, declared as one oracle-gated
+    * dataflow (r6 verdict ask #7):
+    *
+    *   e6 verified candidates (jaccard ≥ 0.5, the near-dup bar)
+    *   → connected components (the e16 loop over those edges)
+    *   → first-seen keeper per cluster — D1 semantics: the min-label
+    *     CC labels every node with its component's MINIMUM doc_id, so
+    *     the keeper test is simply doc_id = cluster_id (rank-1 of the
+    *     doc_id-ordered window, without running a window)
+    *   → surviving-corpus stats per source.
+    *
+    * Stage boundaries add no exchanges beyond the component plans: the
+    * labels come back as a checkpointed leaf (the loop's own terminal
+    * state), the non-keeper set is a broadcast-able projection of it,
+    * and the stats are one partial-agg groupBy over the documents scan
+    * with that anti-style left join applied map-side. */
+  def e19DedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val cand = SimOps.e6VerifiedUnsorted(s, d)
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+    val (labels, _, _) = componentsWithStats(s, cand, Nil)
+    // non-keepers: clustered docs that are not their cluster's min id
+    val dropped = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("is_dropped"))
+    documents(s, d)
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("is_dropped").isNull, 1)).as("n_kept"),
+        count(col("is_dropped")).as("n_dropped"),
+        sum(when(col("is_dropped").isNull, col("n_chars"))).as("chars_kept"))
+      .orderBy("source")
   }
 
   /** Read the `changed` observe metric once its action (the round's

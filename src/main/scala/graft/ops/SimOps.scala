@@ -372,6 +372,13 @@ object SimOps {
     * turns the verification shuffle from O(all shingles) into
     * O(candidate-doc shingles). */
   private[graft] def minhashVerify(
+      rel: MinhashRelations, rawPairs: DataFrame): DataFrame =
+    minhashVerifyCore(rel, rawPairs).orderBy("d1", "d2")
+
+  /** [[minhashVerify]] without the presentation sort — for composition
+    * (e19 feeds the verified pairs into the connected-components loop,
+    * where an ordering exchange would be pure waste). */
+  private[graft] def minhashVerifyCore(
       rel: MinhashRelations, rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs // caller-persisted when reused; probed 3× below
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -393,7 +400,6 @@ object SimOps {
         round(coalesce(col("n_common"), lit(0L)) /
           (col("n1") + col("n2") - coalesce(col("n_common"), lit(0L))), 6)
           .as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** PER-ROW band signatures — the streaming form of the corpus index
@@ -441,13 +447,17 @@ object SimOps {
       mh: (Int, Column) => Column,
       bandHash: (Column, Column) => Column): DataFrame = {
     val rel = minhashRelations(s, d, mh, bandHash)
-    // candidate pairs via posting lists (same shape as e8's r4 rewrite):
-    // ONE exchange by (band, band-hash) into collect_list, singleton
-    // buckets dropped before any pair exists, then a partition-local
-    // double-explode — replaces a self-join that shuffled band rows
-    // twice and re-sorted both sides. n_bands = how many bands the pair
-    // collides in (hash-independent once the hash family is fixed).
-    val pairs = listPairs(
+    minhashVerify(rel, lshPairs(rel))
+  }
+
+  /** Candidate pairs via posting lists (same shape as e8's r4 rewrite):
+    * ONE exchange by (band, band-hash) into collect_list, singleton
+    * buckets dropped before any pair exists, then a partition-local
+    * double-explode — replaces a self-join that shuffled band rows
+    * twice and re-sorted both sides. n_bands = how many bands the pair
+    * collides in (hash-independent once the hash family is fixed). */
+  private def lshPairs(rel: MinhashRelations): DataFrame =
+    listPairs(
       rel.bands.groupBy("band", "bh")
         .agg(collect_list(col("doc_id")).as("ds"))
         .where(size(col("ds")) > 1), "ds")
@@ -455,7 +465,15 @@ object SimOps {
         greatest(col("a"), col("b")).as("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_bands"))
-    minhashVerify(rel, pairs)
+
+  /** The oracle-stable (md5) e6 pipeline WITHOUT the presentation sort —
+    * stage 1 of the end-to-end dedup pipeline (e19), which consumes the
+    * verified pairs as graph edges. */
+  private[graft] def e6VerifiedUnsorted(s: SparkSession, d: String): DataFrame = {
+    val rel = minhashRelations(s, d,
+      mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),
+      bandHash = (a, b) => md5(concat(a, b)))
+    minhashVerifyCore(rel, lshPairs(rel))
   }
 
   /** E7: SimHash fingerprint — 16-bit simhash over token frequencies,

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.SimOps
 import graft.streaming.DocStreams
@@ -10,15 +9,12 @@ import java.nio.file.Files
 
 /** The streaming similarity ingest (e6s): per-row signatures must equal
   * the batch aggregation's, the drained stream must verify to exactly
-  * the batch e6 rows, and the probe must survive a stop/restart without
-  * losing or duplicating collisions. */
+  * the batch e6 rows FROM AN EMPTY INITIAL INDEX (the index grows per
+  * micro-batch — r6 verdict ask #2), and the probe must survive a
+  * stop/restart without losing or duplicating collisions. */
 class StreamSimilaritySpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
-
-  private def md5Rel() = SimOps.minhashRelations(spark, sf,
-    mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),
-    bandHash = (a, b) => md5(concat(a, b)))
 
   test("per-row band signatures equal the batch aggregation's band rows") {
     // the stream side computes shingles/minhashes with higher-order
@@ -26,7 +22,9 @@ class StreamSimilaritySpec extends AnyFunSuite {
     // two formulations must agree row-for-row or stream/batch parity is
     // built on sand. Docs with <3 tokens surface as null band hashes on
     // the per-row side and as absent rows on the batch side.
-    val batch = md5Rel().bands
+    val batch = SimOps.minhashRelations(spark, sf,
+      mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),
+      bandHash = (a, b) => md5(concat(a, b))).bands
     val perRow = SimOps.perRowBands(Tables.documents(spark, sf))
       .where(col("bh").isNotNull)
     assert(perRow.exceptAll(batch).count() == 0,
@@ -45,15 +43,14 @@ class StreamSimilaritySpec extends AnyFunSuite {
     assert(batch.count() > 0, "parity is vacuous on an empty pair set")
   }
 
-  test("match stream survives stop/restart: no collision lost or duplicated") {
+  test("incremental index: restart-safe, exactly-once, and cross-micro-batch pairing") {
     val base = Files.createTempDirectory("graft-e6s-recov")
     val landing = base.resolve("landing")
-    val ckpt = base.resolve("ckpt").toString
-    val sink = base.resolve("sink").toString
+    val work = base.resolve("work")
     Files.createDirectories(landing)
 
     // the staged bucket files (created once by the declared pipeline's
-    // staging) arrive in two phases
+    // staging) arrive in two phases with a STOP between them
     DocStreams.docsStreamBucketed(spark, sf, 4) // ensure staging exists
     val staged = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
@@ -63,30 +60,12 @@ class StreamSimilaritySpec extends AnyFunSuite {
       .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
     assert(parts.length == 4)
 
-    val rel = md5Rel()
-    val index = rel.bands
-      .select(col("doc_id").as("d_idx"), col("band"), col("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def runOnce(): Unit = {
-      val matches = SimOps.perRowBands(
-          spark.readStream.schema(DocStreams.docsSchema)
-            .option("maxFilesPerTrigger", 1).parquet(landing.toString))
-        .select(col("doc_id").as("d_new"), col("band"), col("bh"))
-        .join(index, Seq("band", "bh"))
-        .where(col("d_new") =!= col("d_idx"))
-        .select(least(col("d_new"), col("d_idx")).as("d1"),
-          greatest(col("d_new"), col("d_idx")).as("d2"), col("band"))
-      val q = matches.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          df.write.mode("overwrite").parquet(s"$sink/batch=$id")
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    def runOnce(): Unit = DocStreams.e6sIncrementalDrain(spark,
+      spark.readStream.schema(DocStreams.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+      work)
 
-    // phase A: half the corpus arrives, probe runs, STOPS
+    // phase A: half the corpus arrives (buckets 0-1), probe runs, STOPS
     parts.take(2).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
     runOnce()
     // phase B: the rest arrives; restart from the SAME checkpoint —
@@ -94,23 +73,38 @@ class StreamSimilaritySpec extends AnyFunSuite {
     parts.drop(2).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
     runOnce()
 
-    val drained = spark.read.parquet(s"$sink/batch=*")
-      .select("d1", "d2", "band")
-    // exactly-once at the collision level: a (pair, band) collision is
-    // emitted once per arriving direction and never a third time — so
-    // after collapsing directions the stream equals the batch collision
-    // set, and no (d_new-direction, band) row appears twice
+    val drained = DocStreams.drainedMatches(spark, work)
+    // EXACTLY-ONCE at the collision level, stronger than the static-
+    // index form's once-per-direction: a (pair, band) collision is
+    // emitted by exactly one batch — the later doc's (cross-batch) or
+    // the shared one (within-batch, d_new < d_idx) — so ANY repeat is a
+    // replay bug
     val dupEmits = drained
       .groupBy("d1", "d2", "band").agg(count(lit(1)).as("n"))
-      .where(col("n") > 2)
+      .where(col("n") > 1)
     assert(dupEmits.count() == 0,
-      "a band collision was emitted more than once per direction — replay")
+      "a band collision was emitted more than once — replay or double-probe")
     val streamPairs = drained.distinct()
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
     val batchPairs = SimOps.e6MinhashLsh(spark, sf)
       .select("d1", "d2", "n_bands")
     assert(streamPairs.exceptAll(batchPairs).count() == 0)
     assert(batchPairs.exceptAll(streamPairs).count() == 0)
-    index.unpersist(blocking = false)
+
+    // THE r6 ASK: docs absent from the initial index (it starts EMPTY)
+    // arriving in DIFFERENT micro-batches must pair. Recompute each
+    // doc's bucket (the staging's contiguous-range formula) and require
+    // a surfaced pair spanning two distinct PHASE-B buckets — a pair a
+    // frozen pre-built index would still find via replay parity, but an
+    // empty-start incremental index only finds by growing mid-stream.
+    val b = Tables.documents(spark, sf)
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    def bucket(c: org.apache.spark.sql.Column) = (c - lo) * 4 / span
+    val crossLate = streamPairs
+      .where(bucket(col("d1")) =!= bucket(col("d2")) &&
+        bucket(col("d1")) >= 2 && bucket(col("d2")) >= 2)
+    assert(crossLate.count() > 0,
+      "no pair spanning two distinct phase-B micro-batches — the index is not growing")
   }
 }

@@ -46,10 +46,19 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"[noora] {name}: no oracle (rows-only check), status={status.get(name)}")
             report[name] = {"rows_only": True, "status": status.get(name)}
             continue
+        def rollback():
+            # a failed statement aborts the implicit transaction; without a
+            # rollback every LATER query fails too and one missing dump
+            # cascades into a whole-run failure
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
         try:
             spark_df = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
+            rollback()
             print(f"[FAIL ] {name}: no spark result ({str(e).splitlines()[0]})")
             report[name] = {"match": False, "problems": ["no spark result"]}
             n_fail += 1
@@ -57,6 +66,7 @@ def main(sf_dir, out_dir, json_out=None):
         try:
             duck_df = con.sql(oracle[name]).df()
         except Exception as e:
+            rollback()
             print(f"[FAIL ] {name}: oracle SQL error: {str(e).splitlines()[0]}")
             report[name] = {"match": False,
                             "problems": [f"oracle SQL error: {str(e).splitlines()[0]}"]}
