@@ -110,6 +110,7 @@ object SparkEntry {
     "e18_distinct_sketch" -> (EventOps.e18DistinctSketch _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     "m2_frame_sample"    -> (TextOps.m2FrameSample _),
+    "m3_wav_meta"        -> (TextOps.m3WavMeta _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
@@ -936,6 +937,68 @@ object SparkEntry {
         |  ('0x' || substring(row_hex, 1, 2))::INT AS px0,
         |  md5(row_hex) AS frame_sig
         |FROM rw ORDER BY doc_id, frame_idx""".stripMargin,
+    "m3_wav_meta" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |  [8000,11025,16000,22050][CAST(doc_id % 4 AS INT) + 1] AS rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+        |  CAST(doc_id % 40 + 10 AS INT) AS nsamp
+        |  FROM documents),
+        |q AS (SELECT doc_id, ch, rate, bits, nsamp,
+        |  ch * bits // 8 AS ba FROM p),
+        |r AS (SELECT doc_id, ch, rate, bits, ba,
+        |  nsamp * ba AS dsz, rate * ba AS brate FROM q),
+        |le AS (SELECT *,
+        |  substr(printf('%08X', dsz + 36), 7, 2) || substr(printf('%08X', dsz + 36), 5, 2) ||
+        |    substr(printf('%08X', dsz + 36), 3, 2) || substr(printf('%08X', dsz + 36), 1, 2) AS riff_le,
+        |  substr(printf('%08X', rate), 7, 2) || substr(printf('%08X', rate), 5, 2) ||
+        |    substr(printf('%08X', rate), 3, 2) || substr(printf('%08X', rate), 1, 2) AS rate_le,
+        |  substr(printf('%08X', brate), 7, 2) || substr(printf('%08X', brate), 5, 2) ||
+        |    substr(printf('%08X', brate), 3, 2) || substr(printf('%08X', brate), 1, 2) AS brate_le,
+        |  substr(printf('%08X', dsz), 7, 2) || substr(printf('%08X', dsz), 5, 2) ||
+        |    substr(printf('%08X', dsz), 3, 2) || substr(printf('%08X', dsz), 1, 2) AS dsz_le,
+        |  substr(printf('%04X', ch), 3, 2) || substr(printf('%04X', ch), 1, 2) AS ch_le,
+        |  substr(printf('%04X', ba), 3, 2) || substr(printf('%04X', ba), 1, 2) AS ba_le,
+        |  substr(printf('%04X', bits), 3, 2) || substr(printf('%04X', bits), 1, 2) AS bits_le,
+        |  substring(array_to_string(list_transform(range(0, dsz//16 + 1),
+        |    k -> md5(CAST(doc_id AS VARCHAR) || ':wav:' || CAST(k AS VARCHAR))), ''),
+        |    1, dsz*2) AS datahex
+        |  FROM r),
+        |pay AS (SELECT doc_id, unhex(upper(
+        |  '52494646' || riff_le || '57415645' || '666D7420' || '10000000' ||
+        |  '0100' || ch_le || rate_le || brate_le || ba_le || bits_le ||
+        |  '64617461' || dsz_le || datahex)) AS payload FROM le),
+        |hx AS (SELECT doc_id, hex(payload) AS hx FROM pay),
+        |hdr AS (SELECT doc_id, hx,
+        |  ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2) || substr(hx, 11, 2) || substr(hx, 9, 2))::BIGINT AS riff_size,
+        |  ('0x' || substr(hx, 39, 2) || substr(hx, 37, 2) || substr(hx, 35, 2) || substr(hx, 33, 2))::BIGINT AS fmt_size,
+        |  ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2))::BIGINT AS audio_format,
+        |  ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INT AS channels,
+        |  ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT AS sample_rate,
+        |  ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::INT AS block_align,
+        |  ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INT AS bits_per_sample
+        |  FROM hx),
+        |dat AS (SELECT *, 20 + fmt_size AS data_off FROM hdr),
+        |dsz AS (SELECT *,
+        |  ('0x' || substr(hx, CAST((data_off+7)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+6)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+5)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+4)*2+1 AS INT), 2))::BIGINT AS data_size
+        |  FROM dat
+        |  WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+        |    AND substr(hx, 25, 8) = '666D7420' AND audio_format = 1
+        |    AND substr(hx, CAST(data_off*2+1 AS INT), 8) = '64617461'
+        |    AND block_align > 0 AND sample_rate > 0),
+        |ok AS (SELECT *, data_size // block_align AS n_samples,
+        |  substr(hx, CAST(data_off*2+17 AS INT), CAST(data_size*2 AS INT)) AS data_hex
+        |  FROM dsz
+        |  WHERE length(hx) = (data_off + 8 + data_size) * 2
+        |    AND riff_size = data_off + data_size)
+        |SELECT doc_id, channels, sample_rate, bits_per_sample, block_align,
+        |  data_size, n_samples, n_samples * 1000000 // sample_rate AS duration_us,
+        |  ('0x' || substr(data_hex, 1, 2))::INT AS s0,
+        |  md5(data_hex) AS data_sig
+        |FROM ok ORDER BY doc_id""".stripMargin,
     "ord_envelope_check" ->
       s"""SELECT file, dataset_id, total_reactions_scraped,
          |  CAST(len(reactions) AS INTEGER) AS n_rx,

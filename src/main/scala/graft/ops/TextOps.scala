@@ -405,6 +405,120 @@ object TextOps {
       .select(col("doc_id"), ppmPayload.as("payload")))
       .orderBy("doc_id", "frame_idx")
 
+  /** Deterministic REAL-FORMAT audio payloads: each doc gets a valid
+    * RIFF/WAVE (PCM) file — `RIFF<size>WAVE fmt <16> <hdr fields>
+    * data<size><samples>` with all multi-byte fields LITTLE-ENDIAN per
+    * the format — whose parameters (channels, sample rate, bit depth,
+    * sample count) and sample bytes are pure functions of doc_id, so
+    * both engines synthesize byte-identical files and the oracle
+    * re-parses the bytes. Sample data comes from the same md5-chain
+    * construction as [[ppmPayload]]. */
+  private[graft] def wavPayload: Column = {
+    val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val rate = element_at(
+      array(lit(8000), lit(11025), lit(16000), lit(22050)),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val bits = when(pmod(col("doc_id"), lit(3)) === 0, lit(16)).otherwise(lit(8))
+    val nSamp = (pmod(col("doc_id"), lit(40)) + 10).cast("int")
+    // Spark's `/` yields double; these header fields must stay integral
+    val blockAlign = (ch * bits / lit(8)).cast("int")
+    val dataSize = (nSamp * blockAlign).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    // little-endian hex images of 32/16-bit values: format big-endian,
+    // then swap the byte pairs
+    def le32(v: Column): Column = {
+      val h = format_string("%08X", v)
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    def le16(v: Column): Column = {
+      val h = format_string("%04X", v)
+      concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    val dataHex = array_join(
+      transform(sequence(lit(0), floor(dataSize / lit(16)).cast("int")),
+        k => md5(concat(col("doc_id").cast("string"), lit(":wav:"),
+          k.cast("string")).cast("binary"))), "")
+      .substr(lit(1), dataSize * 2)
+    unhex(upper(concat(
+      lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF….WAVE
+      lit("666D7420"), le32(lit(16)),                        // "fmt " + size
+      le16(lit(1)), le16(ch), le32(rate), le32(byteRate),    // PCM header
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize),                       // "data" + size
+      dataHex)))
+  }
+
+  /** The WAV header decoder — a real byte-format parse in pure
+    * codegen'd expressions over the hex image of the payload, like
+    * [[decodePpmFrames]] but for a little-endian chunked format: every
+    * multi-byte field is decoded by swapping its byte pairs back to
+    * big-endian and `conv`-ing, and the data chunk's offset is COMPUTED
+    * from the parsed fmt-chunk size (not assumed), so a non-canonical
+    * fmt chunk still parses and a structurally invalid payload (bad
+    * magic, non-PCM format tag, truncated data) is DROPPED, not faked.
+    *
+    * Input: (doc_id, payload binary); output one metadata row per valid
+    * payload with the decoded header fields, the derived sample count
+    * and duration, the first sample byte, and a checksum of the sample
+    * bytes. */
+  private[graft] def decodeWavMeta(payloads: DataFrame): DataFrame = {
+    // LE integer at byte offset `off` (0-based), `n` bytes wide: hex
+    // chars are 1-based, byte k sits at chars (2k+1, 2k+2)
+    def leNum(off: Column, n: Int): Column = {
+      val pairs = (n - 1) to 0 by -1 map { k =>
+        col("hx").substr((off + lit(k)) * 2 + 1, lit(2))
+      }
+      conv(concat(pairs: _*), 16, 10).cast("long")
+    }
+    payloads
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("riff_size", leNum(lit(4), 4))
+      .withColumn("fmt_size", leNum(lit(16), 4))
+      .withColumn("audio_format", leNum(lit(20), 2))
+      .withColumn("channels", leNum(lit(22), 2).cast("int"))
+      .withColumn("sample_rate", leNum(lit(24), 4))
+      .withColumn("byte_rate", leNum(lit(28), 4))
+      .withColumn("block_align", leNum(lit(32), 2).cast("int"))
+      .withColumn("bits_per_sample", leNum(lit(34), 2).cast("int"))
+      // data chunk location follows the PARSED fmt size
+      .withColumn("data_off", lit(20) + col("fmt_size"))
+      .withColumn("data_size", leNum(col("data_off") + 4, 4))
+      .where(
+        col("hx").substr(1, 8) === "52494646" &&           // "RIFF"
+        col("hx").substr(17, 8) === "57415645" &&          // "WAVE"
+        col("hx").substr(25, 8) === "666D7420" &&          // "fmt "
+        col("audio_format") === 1 &&                       // PCM only
+        col("hx").substr((col("data_off") * 2 + 1).cast("int"), lit(8))
+          === "64617461" &&                                // "data"
+        col("block_align") > 0 && col("sample_rate") > 0 &&
+        // declared sizes must match the actual byte count
+        length(col("hx")) === (col("data_off") + 8 + col("data_size")) * 2 &&
+        col("riff_size") === col("data_off") + col("data_size"))
+      .withColumn("n_samples", (col("data_size") / col("block_align")).cast("long"))
+      .withColumn("data_hex", col("hx").substr(
+        (col("data_off") * 2 + 17).cast("int"), (col("data_size") * 2).cast("int")))
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("bits_per_sample"), col("block_align"), col("data_size"),
+        col("n_samples"),
+        // integer microseconds: float division would hash-diverge
+        floor(col("n_samples") * 1000000L / col("sample_rate")).as("duration_us"),
+        conv(col("data_hex").substr(1, 2), 16, 10).cast("int").as("s0"),
+        md5(col("data_hex").cast("binary")).as("data_sig"))
+  }
+
+  /** M3: multimodal AUDIO metadata decode — the header-parse +
+    * feature-extract shape of audio ingest (m1 = image metadata
+    * plumbing, m2 = video frame sampling, m3 = audio), backed by a real
+    * little-endian chunked-format decode: synthesize a valid PCM WAV
+    * per document ([[wavPayload]] — both engines build identical
+    * bytes), then parse it back with [[decodeWavMeta]]. Nothing in the
+    * output can be produced without reading the byte structure; the
+    * DuckDB oracle performs the same parse over the same bytes. */
+  def m3WavMeta(s: SparkSession, d: String): DataFrame =
+    decodeWavMeta(documents(s, d)
+      .select(col("doc_id"), wavPayload.as("payload")))
+      .orderBy("doc_id")
+
   /** M1: multimodal column plumbing — text bytes stand in for an opaque
     * media payload (`binary` column + typed metadata), run through a
     * partition-batched decode STUB.
