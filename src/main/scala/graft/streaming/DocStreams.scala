@@ -117,18 +117,89 @@ object DocStreams {
       }
   }
 
-  /** Index directories of batches STRICTLY BEFORE `id` — a batch
-    * replayed after a restart must not probe its own earlier (possibly
-    * partial) index write, or within-batch pairs would double. */
-  private def priorBatchDirs(root: java.nio.file.Path, id: Long): Seq[String] = {
+  /** Number of uncompacted per-batch index dirs that triggers a merge
+    * into a single `compact=<c>` dir. Small enough that the declared
+    * 4-bucket ingest exercises the compaction path. */
+  private[graft] val CompactEvery = 3
+
+  private def listIndexDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
-      st.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("batch=") &&
-          scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ < id)
-      }.map(_.toString).toList
+      st.iterator().asScala.toList
     }
+  }
+
+  private def dirId(p: java.nio.file.Path, prefix: String): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.startsWith(prefix))
+      scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+    else None
+  }
+
+  /** Highest `compact=<c>` id under the index root, if any. A compact
+    * dir covers ALL batches ≤ c. */
+  private def latestCompact(root: java.nio.file.Path): Option[Long] = {
+    val ids = listIndexDirs(root).flatMap(dirId(_, "compact="))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Index directories a probe of batch `id` must read: the latest
+    * compact dir (strictly prior batches only — compaction always
+    * closes at some c ≤ id−1) plus the per-batch dirs in (c, id). A
+    * batch replayed after a restart must not probe its own earlier
+    * (possibly partial) index write, or within-batch pairs would
+    * double; batch dirs ≤ c are EXCLUDED even when their deletion
+    * hasn't happened yet (crash between rename and cleanup), so a
+    * half-finished compaction can never double-count. */
+  private def priorIndexDirs(root: java.nio.file.Path, id: Long): Seq[String] = {
+    val c = latestCompact(root).getOrElse(-1L)
+    val compacted =
+      if (c < 0) Nil else Seq(root.resolve(s"compact=$c").toString)
+    compacted ++ listIndexDirs(root)
+      .filter(p => dirId(p, "batch=").exists(b => b > c && b < id))
+      .map(_.toString)
+  }
+
+  /** Merge the uncompacted per-batch dirs STRICTLY BEFORE `id` into one
+    * `compact=<id-1>` dir when at least [[CompactEvery]] are pending —
+    * keeps per-batch probe listings O(CompactEvery) instead of
+    * O(batches), which is the difference between a day-long ingest and
+    * one that grinds to a halt listing its own index. Crash-safe by
+    * construction:
+    *
+    *  - the merged table is written to a `_tmp` dir and RENAMED into
+    *    place (atomic on a posix fs; the 100 TB analogue is a metadata
+    *    commit), so a probe never reads a partially-written compact dir;
+    *  - covered `batch=`/older `compact=` dirs are deleted only AFTER
+    *    the rename; if the crash lands between, [[priorIndexDirs]]'s
+    *    `> c` filter already excludes them, and the next compaction
+    *    pass re-attempts the cleanup;
+    *  - a replayed batch re-entering finds nothing pending (all ≤ c)
+    *    and skips — idempotent. */
+  private def maybeCompact(
+      s: SparkSession, root: java.nio.file.Path, id: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val c0 = latestCompact(root).getOrElse(-1L)
+    val pending = listIndexDirs(root)
+      .filter(p => dirId(p, "batch=").exists(b => b > c0 && b < id))
+    // leftover dirs a crashed earlier cleanup abandoned (all covered by
+    // the current compact) — safe to remove on any pass
+    def cleanupCovered(c: Long): Unit = listIndexDirs(root)
+      .filter(p => dirId(p, "batch=").exists(_ <= c) ||
+        dirId(p, "compact=").exists(_ < c))
+      .foreach(deleteTree)
+    if (pending.size >= CompactEvery) {
+      val sources = (if (c0 < 0) Nil else Seq(root.resolve(s"compact=$c0")))
+        .++(pending).map(_.toString)
+      val tmp = root.resolve("_tmp-compact")
+      deleteTree(tmp)
+      s.read.schema(bandSchema).parquet(sources: _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val dst = root.resolve(s"compact=${id - 1}")
+      deleteTree(dst)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      cleanupCovered(id - 1)
+    } else latestCompact(root).foreach(cleanupCovered)
   }
 
   /** The INCREMENTAL ingest drain (r6 verdict ask #2): per micro-batch,
@@ -144,10 +215,12 @@ object DocStreams {
     * where the later doc arrives (cross-batch, index probe) or by the
     * shared batch (within-batch, d_new < d_idx once).
     *
-    * Scale note: this local form re-lists prior batch directories per
-    * probe (O(batches²) file listings over a drain); the 100 TB form
-    * is the same dataflow over a compacted index table bucketed by
-    * (band, band_hash) — the probe join and the append are unchanged. */
+    * Scale note: accumulated per-batch dirs are periodically folded
+    * into a single `compact=<c>` dir ([[maybeCompact]] — atomic rename,
+    * crash-safe), so per-probe listings stay O([[CompactEvery]]) instead
+    * of O(batches); the 100 TB form is the same dataflow with the
+    * compact dir as an index table bucketed by (band, band_hash) — the
+    * probe join, the append, and the compaction commit are unchanged. */
   private[graft] def e6sIncrementalDrain(
       s: SparkSession, docsStream: DataFrame, work: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -162,6 +235,10 @@ object DocStreams {
         // cache for the batch's scope only
         val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // fold accumulated per-batch index dirs into one compact dir
+          // BEFORE probing — compaction only ever covers batches ≤ id-1,
+          // so a replayed batch still never sees its own rows
+          maybeCompact(s, indexRoot, id)
           val newSide = batch
             .select(col("doc_id").as("d_new"), col("band"), col("bh"))
           // within-batch collisions once per (pair, band): d_new < d_idx
@@ -169,7 +246,7 @@ object DocStreams {
               batch.select(col("doc_id").as("d_idx"), col("band"), col("bh")),
               Seq("band", "bh"))
             .where(col("d_new") < col("d_idx"))
-          val prior = priorBatchDirs(indexRoot, id)
+          val prior = priorIndexDirs(indexRoot, id)
           val matches = (if (prior.isEmpty) within
           else {
             val idx = s.read.schema(bandSchema).parquet(prior: _*)

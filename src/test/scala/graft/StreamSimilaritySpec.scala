@@ -107,4 +107,56 @@ class StreamSimilaritySpec extends AnyFunSuite {
     assert(crossLate.count() > 0,
       "no pair spanning two distinct phase-B micro-batches — the index is not growing")
   }
+
+  test("index compaction: O(CompactEvery) probe listings, parity and exactly-once intact across restart") {
+    val base = Files.createTempDirectory("graft-e6s-compact")
+    val landing = base.resolve("landing")
+    val work = base.resolve("work")
+    Files.createDirectories(landing)
+
+    // 7 buckets → with CompactEvery=3 the drain compacts twice (at
+    // batches 3 and 6), including once on each side of the restart
+    DocStreams.docsStreamBucketed(spark, sf, 7)
+    val staged = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-docs-bucketed", graft.util.PathKeys.keyedName(sf) + "-7")
+    val parts = Files.list(staged)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(parts.length == 7)
+
+    def runOnce(): Unit = DocStreams.e6sIncrementalDrain(spark,
+      spark.readStream.schema(DocStreams.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+      work)
+    parts.take(4).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
+    runOnce() // batches 0-3; compaction fires at batch 3
+    parts.drop(4).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
+    runOnce() // batches 4-6 resume over the compacted index
+
+    // layout: compaction actually happened, and the un-compacted tail
+    // stays bounded by CompactEvery (listings per probe are O(K), not
+    // O(batches) — the property that keeps a long-lived ingest viable)
+    import scala.jdk.CollectionConverters._
+    val dirs = scala.util.Using.resource(Files.list(work.resolve("index"))) {
+      st => st.iterator().asScala.map(_.getFileName.toString).toList }
+    assert(dirs.exists(_.startsWith("compact=")),
+      s"no compact dir materialized: $dirs")
+    assert(dirs.count(_.startsWith("batch=")) <= DocStreams.CompactEvery,
+      s"uncompacted batch dirs exceed CompactEvery: $dirs")
+
+    // semantics unchanged: exactly-once at the collision level, full
+    // pair parity with batch e6
+    val drained = DocStreams.drainedMatches(spark, work)
+    assert(drained.groupBy("d1", "d2", "band")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count() == 0,
+      "a band collision was emitted more than once after compaction")
+    val streamPairs = drained.distinct()
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
+    val batchPairs = SimOps.e6MinhashLsh(spark, sf)
+      .select("d1", "d2", "n_bands")
+    assert(streamPairs.exceptAll(batchPairs).count() == 0)
+    assert(batchPairs.exceptAll(streamPairs).count() == 0)
+    DocStreams.deleteTree(base)
+  }
 }
