@@ -113,6 +113,14 @@ object SparkEntry {
     "m3_wav_meta"        -> (TextOps.m3WavMeta _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
+    // §2.10 LLM-pipeline: curation stages (r7)
+    "s7_csv_roundtrip"      -> (SourceSink.s7CsvRoundtrip _),
+    "e20_decontaminate"     -> (CurationOps.e20Decontaminate _),
+    "e10b_gopher_repetition" -> (CurationOps.e10bGopherRepetition _),
+    "e21_pii_scrub"         -> (CurationOps.e21PiiScrub _),
+    "e22_seq_pack"          -> (CurationOps.e22SeqPack _),
+    "e14b_stratified_sample" -> (CurationOps.e14bStratifiedSample _),
+    "e23_ngram_stats"       -> (CurationOps.e23NgramStats _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -204,6 +212,81 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_valid FROM events
         |WHERE value IS NOT NULL AND value >= 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s7_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // r7 curation stages: decontamination / repetition rules / scrub /
+    // packing / stratified sample / n-gram stats
+    "e20_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM t),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 7)
+        |SELECT doc_id, count(*) AS n_overlap, count(*) >= 4 AS is_contaminated
+        |FROM sh JOIN bench USING (sh) WHERE doc_id % 23 <> 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e10b_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, w, len(w) AS n_tokens,
+        |  list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, y -> y = x)))) AS top_n,
+        |  CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [] END AS bg
+        |  FROM t WHERE len(w) > 0),
+        |f AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  round(top_n / n_tokens, 6) AS top_word_frac,
+        |  round(1 - len(list_distinct(w)) / n_tokens, 6) AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0
+        |    THEN round(1 - len(list_distinct(bg)) / len(bg), 6) END AS dup_bigram_frac
+        |  FROM m)
+        |SELECT doc_id, n_tokens, top_word_frac, dup_word_frac, dup_bigram_frac,
+        |  (top_word_frac <= 0.14 AND coalesce(dup_bigram_frac, 0) <= 0.12)
+        |    AS passes_repetition
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "e21_pii_scrub" ->
+      """WITH p AS (SELECT event_id,
+        |  props || ' uid=' || CAST(user_id AS VARCHAR) || ' ev=' || event_type AS payload
+        |  FROM events)
+        |SELECT event_id,
+        |  regexp_replace(payload, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(payload, '[0-9]+')) AS INTEGER) AS n_redacted
+        |FROM p ORDER BY event_id""".stripMargin,
+    "e22_seq_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT source, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS window_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
+    "e14b_stratified_sample" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |  md5(text || '|' || CAST(doc_id AS VARCHAR)) AS sample_key FROM documents),
+        |r AS (SELECT lang, doc_id, sample_key,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)
+        |    AS INTEGER) AS rank_in_stratum FROM k)
+        |SELECT lang, rank_in_stratum, doc_id, sample_key FROM r
+        |WHERE rank_in_stratum <= 20 ORDER BY lang, rank_in_stratum""".stripMargin,
+    "e23_ngram_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM t)
+        |SELECT bg, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+        |FROM bg GROUP BY bg ORDER BY n_occur DESC, bg LIMIT 50""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data curation operators — the pipeline stages that sit
+  * BETWEEN the similarity/dedup family (SimOps, ClusterOps) and a
+  * training run: benchmark decontamination, repetition-based quality
+  * rules, PII-style span redaction, context-window sequence packing,
+  * stratified sampling, and corpus n-gram statistics.
+  *
+  * Reference analogue: the scraper's post-extraction hygiene steps —
+  * reject-and-log validation (web_scraper.py:216-220) and the
+  * seen-set it maintains to avoid re-emitting a record
+  * (web_scrpaer_2.py:246-281) — generalized to the corpus-hygiene
+  * operations an LLM data pipeline runs at 100 TB.
+  *
+  * Scale notes: every op here is either pure per-row work (e10b, e21),
+  * one broadcast join + one partial-aggregated shuffle (e20), one
+  * stratum-partitioned window (e22), the bounded-heap top-k operator
+  * (e14b), or a map-side-combined count with a TakeOrdered tail (e23).
+  * Nothing materializes an unbounded intermediate.
+  */
+object CurationOps {
+
+  /** Same tokenizer as the similarity family (single definition,
+    * SimOps.tokensArr): lowercased whitespace split, empties dropped. */
+  private def toks = SimOps.tokensArr
+
+  /** Per-row word-bigram array (NOT deduped — e23 wants occurrence
+    * counts; e10b dedups inside the row where it needs to). */
+  private def bigramsArr = when(size(col("w")) >= 2,
+    transform(sequence(lit(0), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+    .otherwise(array().cast("array<string>"))
+
+  /** E20: benchmark decontamination — flag corpus documents that share
+    * too many word-3-gram shingles with a held-out benchmark set (here:
+    * `doc_id % 23 = 7` stands in for the eval-suite membership list a
+    * real pipeline would load). The shingle rows are the SAME builder
+    * the MinHash/Jaccard family uses (SimOps.shingleRows: per-row HOF
+    * build, deduped in-row, exploded once).
+    *
+    * 100 TB path: the benchmark side is small by construction (an eval
+    * suite, not a corpus) → `broadcast` it; the corpus side streams
+    * through the hash join with NO shuffle, and the only exchange is
+    * the partial-aggregated count by doc_id, whose row count is bounded
+    * by docs-with-at-least-one-hit. The inner join means clean docs
+    * never leave the map side. */
+  def e20Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = SimOps.shingleRows(s, d)
+    val bench = sh.where(col("doc_id") % 23 === 7).select("sh").distinct()
+    sh.where(col("doc_id") % 23 =!= 7)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("is_contaminated", col("n_overlap") >= 4)
+      .orderBy("doc_id")
+  }
+
+  /** E10b: repetition-based quality rules (the Gopher-style complement
+    * to e10's length/ratio scores) — per document: the most-common-word
+    * mass fraction, the duplicate-word fraction, and the duplicate-
+    * bigram fraction, plus a pass/fail against fixed thresholds.
+    *
+    * All three metrics are computed INSIDE the row with higher-order
+    * array functions (the per-row counting is O(distinct·n) on ~100-word
+    * docs), so the op is a pure projection: no shuffle, no window, no
+    * state — it scales with scan bandwidth alone. */
+  def e10bGopherRepetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
+      .withColumn("w", toks)
+      .where(size(col("w")) > 0)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("top_n", array_max(transform(array_distinct(col("w")),
+        x => size(filter(col("w"), y => y === x)))))
+      .withColumn("bg", bigramsArr)
+      .withColumn("top_word_frac", round(col("top_n") / col("n_tokens"), 6))
+      .withColumn("dup_word_frac",
+        round(lit(1) - size(array_distinct(col("w"))) / col("n_tokens"), 6))
+      .withColumn("dup_bigram_frac", when(size(col("bg")) > 0,
+        round(lit(1) - size(array_distinct(col("bg"))) / size(col("bg")), 6)))
+      .withColumn("passes_repetition",
+        col("top_word_frac") <= 0.14 && coalesce(col("dup_bigram_frac"), lit(0.0)) <= 0.12)
+      .select("doc_id", "n_tokens", "top_word_frac", "dup_word_frac",
+        "dup_bigram_frac", "passes_repetition")
+      .orderBy("doc_id")
+
+  /** E21: PII-style span redaction — mask every numeric span in a
+    * composite event payload (props JSON + ids; the digit runs stand in
+    * for the phone/SSN/account patterns a production scrubber targets)
+    * and count the redacted spans per row.
+    *
+    * Pure per-row codegen'd regex (RegExpReplace / RegExpExtractAll are
+    * native Catalyst expressions): no shuffle, no UDF — the op runs at
+    * scan bandwidth; the orderBy exists only for the deterministic
+    * oracle and would be dropped in a pipeline deployment. */
+  def e21PiiScrub(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        concat_ws(" ", col("props"),
+          concat(lit("uid="), col("user_id")),
+          concat(lit("ev="), col("event_type"))).as("payload"))
+      .select(col("event_id"),
+        regexp_replace(col("payload"), "[0-9]+", "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("payload"), lit("[0-9]+"), lit(0))).as("n_redacted"))
+      .orderBy("event_id")
+
+  /** E22: sequence packing — assign documents to fixed-capacity context
+    * windows (256 tokens) in deterministic doc_id order WITHIN each
+    * source shard: concat-and-chunk semantics, where a doc's window is
+    * decided by the running token offset before it. Emits per-window
+    * occupancy stats (the packing manifest a trainer would consume).
+    *
+    * 100 TB path: the running sum is windowed BY SOURCE SHARD — the
+    * unit a real corpus is already partitioned by — so no global sort
+    * ever exists; each shard's prefix sum is independent and the final
+    * stats aggregate is partial-agg'd on (source, window). */
+  def e22SeqPack(s: SparkSession, d: String): DataFrame = {
+    val cum = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tok"))
+      .withColumn("window_id",
+        floor((sum(col("n_tok")).over(cum) - col("n_tok")) / 256))
+      .groupBy("source", "window_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "window_id")
+  }
+
+  /** E14b: stratified sampling — k=20 documents per language stratum,
+    * chosen by a deterministic content hash (md5 over text + doc_id) so
+    * the sample is reproducible across runs and engines, with the
+    * in-stratum rank exposed.
+    *
+    * The per-stratum top-k runs on the custom TopKPerKey operator
+    * (bounded map-side heaps + merge; plans/TopKPerKey.scala) rather
+    * than a row_number window: a window would sort every stratum in
+    * full — at 100 TB with a handful of language strata that is a
+    * near-global sort for 20 rows each — while the heap form shuffles
+    * at most k rows per stratum per map partition. The rank column is
+    * then a window over ≤ k·|strata| surviving rows, which is
+    * negligible at any scale. */
+  def e14bStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val keyed = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws("|", col("text"), col("doc_id"))).as("sample_key"))
+    val topk = graft.plans.TopKPerKey.topKPerKey(keyed, 20,
+      keys = Seq("lang"), orderBy = Seq(("sample_key", true), ("doc_id", true)))
+    topk
+      .withColumn("rank_in_stratum", row_number().over(
+        Window.partitionBy("lang").orderBy("sample_key", "doc_id")))
+      .select("lang", "rank_in_stratum", "doc_id", "sample_key")
+      .orderBy("lang", "rank_in_stratum")
+  }
+
+  /** E23: corpus n-gram statistics — the top-50 word bigrams by
+    * occurrence count with their document frequency (the raw material
+    * of an n-gram LM / corpus drift report).
+    *
+    * 100 TB path: bigrams build per row (no token-row materialization),
+    * the occurrence count is map-side combined, the document frequency
+    * rides the same shuffle as a distinct-within-group, and the top-50
+    * is TakeOrderedAndProject — per-partition bounded heaps + a
+    * driver-side merge of 50-row lists, never a global sort. */
+  def e23NgramStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(col("doc_id"))
+      .withColumn("w", toks)
+      .select(col("doc_id"), explode(bigramsArr).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occur").desc, col("bg"))
+      .limit(50)
+}

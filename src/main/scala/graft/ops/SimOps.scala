@@ -254,7 +254,7 @@ object SimOps {
   /** Per-doc token array: lowercased whitespace split, empties dropped —
     * the single tokenizer definition shared by the shingle and bigram
     * builders and the stream-side per-row bands. */
-  private def tokensArr: Column =
+  private[ops] def tokensArr: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
   /** Distinct word-3-gram shingles per document — built PER ROW with
@@ -268,7 +268,7 @@ object SimOps {
     * input split AND pre-clusters by doc_id for the consumers'
     * aggregations. Row set is identical (the e6/e8 oracles recompute
     * from scratch; StreamSimilaritySpec pins the band derivation). */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(col("doc_id"))
       .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),

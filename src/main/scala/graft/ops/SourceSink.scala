@@ -38,6 +38,29 @@ object SourceSink {
       .agg(count(lit(1)).as("n_valid"))
       .orderBy("event_type")
 
+  /** S7: CSV encode/decode round-trip — `to_csv` a projected struct and
+    * `from_csv` it back with an explicit schema (the reference's tabular
+    * interchange analogue of S4's JSON decode; its export surface is
+    * line-oriented text, web_scraper.py:579-581). Both directions are
+    * native Catalyst expressions (StructsToCsv / CsvToStructs), so the
+    * whole op codegens and runs at scan bandwidth; the declared output
+    * re-projects the decoded fields so the oracle checks the round trip
+    * is lossless. Only exactly-representable types ride the CSV lane
+    * (ints + strings) — floating-point interchange belongs to the
+    * parquet sinks. */
+  def s7CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val csvSchema = "l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, l_linestatus STRING"
+    lineitem(s, d)
+      .where(col("l_orderkey") < 100)
+      .select(to_csv(struct(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))).as("line"))
+      .select(from_csv(col("line"), StructType.fromDDL(csvSchema), Map.empty[String, String]).as("r"))
+      .select(col("r.l_orderkey"), col("r.l_linenumber"),
+        col("r.l_returnflag"), col("r.l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** S6: nested JSON sink (web_scraper.py:579-581) — re-nest detail rows
     * under their parent and render one JSON document per parent with
     * `to_json`. Declared without an oracle (file-format op); the driver
