@@ -121,6 +121,8 @@ object SparkEntry {
     "e22_seq_pack"          -> (CurationOps.e22SeqPack _),
     "e14b_stratified_sample" -> (CurationOps.e14bStratifiedSample _),
     "e23_ngram_stats"       -> (CurationOps.e23NgramStats _),
+    "e24_mixture_weights"   -> (CurationOps.e24MixtureWeights _),
+    "e10s_quality_stream"   -> (graft.streaming.DocStreams.e10sQualityStream _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -278,6 +280,43 @@ object SparkEntry {
         |    AS INTEGER) AS rank_in_stratum FROM k)
         |SELECT lang, rank_in_stratum, doc_id, sample_key FROM r
         |WHERE rank_in_stratum <= 20 ORDER BY lang, rank_in_stratum""".stripMargin,
+    // stream/batch parity: the drained quality-gate manifest must equal
+    // the batch rule SQL — same thresholds as e10b, aggregated by source
+    "e10s_quality_stream" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, len(w) AS n_tokens,
+        |  list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, y -> y = x)))) AS top_n,
+        |  CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |    ELSE [] END AS bg
+        |  FROM t),
+        |f AS (SELECT source, CASE WHEN n_tokens = 0 THEN FALSE ELSE
+        |  (round(top_n / n_tokens, 6) <= 0.14
+        |   AND coalesce(CASE WHEN len(bg) > 0
+        |     THEN round(1 - len(list_distinct(bg)) / len(bg), 6) END, 0) <= 0.12)
+        |  END AS p FROM m)
+        |SELECT source, CAST(count(*) FILTER (p) AS BIGINT) AS n_admitted,
+        |  CAST(count(*) FILTER (NOT p) AS BIGINT) AS n_rejected
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "e24_mixture_weights" ->
+      """WITH dim(source, w) AS (VALUES
+        |  ('src0', 3.0), ('src1', 3.0), ('src2', 3.0), ('src3', 3.0), ('src4', 3.0)),
+        |t AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+        |  CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS u
+        |  FROM documents),
+        |j AS (SELECT t.*, CAST(least(1.0, coalesce(dim.w, 1.0) * 0.25) AS DOUBLE) AS rate
+        |  FROM t LEFT JOIN dim USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (u < rate) AS n_sampled,
+        |  max(rate) AS target_rate,
+        |  round((count(*) FILTER (u < rate)) / count(*), 6) AS realized_rate,
+        |  CAST(sum(CASE WHEN u < rate THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_sampled
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "e23_ngram_stats" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w

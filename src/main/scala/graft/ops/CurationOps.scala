@@ -70,9 +70,20 @@ object CurationOps {
     * docs), so the op is a pure projection: no shuffle, no window, no
     * state — it scales with scan bandwidth alone. */
   def e10bGopherRepetition(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
-      .withColumn("w", toks)
+    repetitionMetrics(documents(s, d).repartition(col("doc_id")))
       .where(size(col("w")) > 0)
+      .select("doc_id", "n_tokens", "top_word_frac", "dup_word_frac",
+        "dup_bigram_frac", "passes_repetition")
+      .orderBy("doc_id")
+
+  /** The e10b rule set over any documents-shaped frame (batch or a
+    * streaming micro-batch — every expression is per-row stateless).
+    * `passes_repetition` is total: token-less docs fail rather than
+    * vanish, so the streaming gate routes EVERY arriving doc to exactly
+    * one of admitted/dead-letter. */
+  private[graft] def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")))
       .withColumn("top_n", array_max(transform(array_distinct(col("w")),
         x => size(filter(col("w"), y => y === x)))))
@@ -83,10 +94,9 @@ object CurationOps {
       .withColumn("dup_bigram_frac", when(size(col("bg")) > 0,
         round(lit(1) - size(array_distinct(col("bg"))) / size(col("bg")), 6)))
       .withColumn("passes_repetition",
-        col("top_word_frac") <= 0.14 && coalesce(col("dup_bigram_frac"), lit(0.0)) <= 0.12)
-      .select("doc_id", "n_tokens", "top_word_frac", "dup_word_frac",
-        "dup_bigram_frac", "passes_repetition")
-      .orderBy("doc_id")
+        col("n_tokens") > 0 &&
+          col("top_word_frac") <= 0.14 &&
+          coalesce(col("dup_bigram_frac"), lit(0.0)) <= 0.12)
 
   /** E21: PII-style span redaction — mask every numeric span in a
     * composite event payload (props JSON + ids; the digit runs stand in
@@ -155,6 +165,42 @@ object CurationOps {
         Window.partitionBy("lang").orderBy("sample_key", "doc_id")))
       .select("lang", "rank_in_stratum", "doc_id", "sample_key")
       .orderBy("lang", "rank_in_stratum")
+  }
+
+  /** E24: domain-mixture resampling — rebalance the corpus toward a
+    * target per-source weight table (the DoReMi-style mixture step
+    * between curation and training): each doc draws a deterministic
+    * uniform from an md5 hash (same engine-stable idiom as e14's
+    * train/val/test split) and survives when it lands under its
+    * source's target rate. Emits the realized-vs-target manifest per
+    * source in both doc and token space.
+    *
+    * 100 TB path: the weight table is a broadcast dim (a mixture config
+    * is a handful of rows at any corpus size); the accept test is
+    * per-row codegen'd arithmetic — the uniform is hashint/2^32, exact
+    * in binary, so the comparison is bit-deterministic across engines —
+    * and the only exchange is the partial-agg'd per-source rollup. */
+  def e24MixtureWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = broadcast(Seq(
+      ("src0", 3.0), ("src1", 3.0), ("src2", 3.0), ("src3", 3.0), ("src4", 3.0))
+      .toDF("source", "w"))
+    documents(s, d)
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+      .withColumn("n_tok", size(toks))
+      .join(weights, Seq("source"), "left")
+      .withColumn("rate", least(lit(1.0), coalesce(col("w"), lit(1.0)) * 0.25))
+      .withColumn("sampled", col("u") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        max(col("rate")).as("target_rate"),
+        sum(when(col("sampled"), col("n_tok")).otherwise(0)).as("n_tokens_sampled"))
+      .withColumn("realized_rate", round(col("n_sampled") / col("n_docs"), 6))
+      .select("source", "n_docs", "n_sampled", "target_rate", "realized_rate",
+        "n_tokens_sampled")
+      .orderBy("source")
   }
 
   /** E23: corpus n-gram statistics — the top-50 word bigrams by

@@ -296,6 +296,76 @@ object DocStreams {
     * catalog.clearCache between bench runs) — the r6-flagged
     * session-persisted index is gone entirely, the index now lives on
     * disk under the per-invocation work dir. */
+  /** E10s: streaming QUALITY GATE at ingest — the e10b repetition rules
+    * applied to each arriving micro-batch with a dead-letter split (the
+    * c5 pattern moved onto the curation path): passing docs land in the
+    * admitted table, failing docs in the dead-letter table, both as
+    * idempotent per-batch overwrite dirs (a replay rewrites its own
+    * output instead of duplicating). The declared result aggregates the
+    * drained tables into per-source admitted/rejected counts and is
+    * gated by the same threshold SQL as the batch rules — stream/batch
+    * parity as one oracle, the e4b/e5b/e6s convention.
+    *
+    * Scale: the rules are per-row stateless expressions — no state
+    * store, no watermark, no shuffle inside the micro-batch; the gate
+    * runs at ingest bandwidth and the only aggregation happens once
+    * over the drained (bounded, per-source) manifest. */
+  private val gateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("passes_repetition", BooleanType)))
+
+  /** Drain one quality-gate pass over `docsStream` into `work`:
+    * admitted and dead-letter rows as idempotent per-batch overwrite
+    * dirs (a replayed batch rewrites its own output). Factored from
+    * [[e10sQualityStream]] so the restart spec can run phased drains
+    * over one work dir. */
+  private[graft] def e10sGateDrain(
+      s: SparkSession, docsStream: DataFrame, work: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val admitted = work.resolve("admitted")
+    val dead = work.resolve("dead")
+    Files.createDirectories(admitted)
+    Files.createDirectories(dead)
+    val flagged = graft.ops.CurationOps.repetitionMetrics(docsStream)
+      .select(col("doc_id"), col("source"), col("passes_repetition"))
+    val q = flagged.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val b = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.where(col("passes_repetition"))
+            .write.mode("overwrite").parquet(admitted.resolve(s"batch=$id").toString)
+          b.where(!col("passes_repetition"))
+            .write.mode("overwrite").parquet(dead.resolve(s"batch=$id").toString)
+        } finally b.unpersist(blocking = false)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** All rows a gate drain routed, with their verdict — admitted and
+    * dead-letter unioned back for aggregation or audit. */
+  private[graft] def drainedGate(s: SparkSession, work: java.nio.file.Path): DataFrame =
+    s.read.schema(gateSchema).parquet(work.resolve("admitted").toString + "/batch=*")
+      .unionByName(
+        s.read.schema(gateSchema).parquet(work.resolve("dead").toString + "/batch=*"))
+
+  def e10sQualityStream(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e10s", graft.util.PathKeys.keyedName(dir) + "-4")
+    deleteTree(work)
+    e10sGateDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    drainedGate(s, work)
+      .groupBy("source")
+      .agg(sum(when(col("passes_repetition"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("passes_repetition"), 0L).otherwise(1L)).as("n_rejected"))
+      .orderBy("source")
+  }
+
   def e6sMinhashStream(s: SparkSession, dir: String): DataFrame = {
     val rel = SimOps.minhashRelations(s, dir,
       mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),

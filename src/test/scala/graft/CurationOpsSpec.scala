@@ -145,6 +145,73 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("e24: weight dim is broadcast; realized rates track targets; boosted sources sample more") {
+    val df = CurationOps.e24MixtureWeights(spark, sf)
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "a mixture config is a handful of rows — it must broadcast")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == graft.Tables.documents(spark, sf).count())
+    for (r <- rows) {
+      val (nDocs, nSampled, target, realized) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nSampled <= nDocs)
+      assert(Set(0.75, 0.25).contains(target))
+      // a deterministic-hash Bernoulli at these stratum sizes stays
+      // within a wide band of its rate (binomial tail, not flakiness:
+      // the draw is a pure function of doc_id)
+      assert(math.abs(realized - target) < 0.35, s"${r.getString(0)}: $realized vs $target")
+    }
+    val boosted = rows.filter(_.getDouble(3) == 0.75).map(_.getDouble(4))
+    val base = rows.filter(_.getDouble(3) == 0.25).map(_.getDouble(4))
+    assert(boosted.min > base.max,
+      "every boosted source must realize a higher rate than every base source")
+  }
+
+  test("e10s: streaming gate routes every doc exactly once, verdicts equal batch rules") {
+    val manifest = graft.streaming.DocStreams.e10sQualityStream(spark, sf).collect()
+    val total = manifest.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == graft.Tables.documents(spark, sf).count(),
+      "admitted + rejected must partition the corpus")
+    // verdict parity: the drained per-doc flags equal the batch rule set
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e10s", graft.util.PathKeys.keyedName(sf) + "-4")
+    val drained = graft.streaming.DocStreams.drainedGate(spark, work)
+      .select("doc_id", "passes_repetition")
+    val batch = CurationOps.repetitionMetrics(graft.Tables.documents(spark, sf))
+      .select("doc_id", "passes_repetition")
+    assert(drained.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(drained).count() == 0)
+  }
+
+  test("e10s: gate survives a stop/restart without dropping or double-routing docs") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-e10s-recov")
+    val landing = base.resolve("landing")
+    val work = base.resolve("work")
+    Files.createDirectories(landing)
+    graft.streaming.DocStreams.docsStreamBucketed(spark, sf, 4) // ensure staging
+    val staged = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-docs-bucketed", graft.util.PathKeys.keyedName(sf) + "-4")
+    val parts = Files.list(staged)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+    def runOnce(): Unit = graft.streaming.DocStreams.e10sGateDrain(spark,
+      spark.readStream.schema(graft.streaming.DocStreams.docsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landing.toString),
+      work)
+    parts.take(2).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
+    runOnce()
+    parts.drop(2).foreach(p => Files.copy(p, landing.resolve(p.getFileName)))
+    runOnce()
+    val drained = graft.streaming.DocStreams.drainedGate(spark, work)
+    assert(drained.groupBy("doc_id").count().where(col("count") > 1).count() == 0,
+      "a doc routed twice — replayed batch did not overwrite its own output")
+    assert(drained.count() == graft.Tables.documents(spark, sf).count(),
+      "a doc was lost across the restart")
+  }
+
   test("s7: the CSV round-trip is lossless against the direct projection") {
     val round = SourceSink.s7CsvRoundtrip(spark, sf)
     val direct = graft.Tables.lineitem(spark, sf)
