@@ -269,7 +269,14 @@ object SimOps {
     * aggregations. Row set is identical (the e6/e8 oracles recompute
     * from scratch; StreamSimilaritySpec pins the band derivation). */
   private[ops] def shingleRows(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
+    shingleRowsOf(documents(s, d))
+
+  /** [[shingleRows]] over any documents-shaped frame — callers that
+    * shingle a SUBSET (e20's bounded benchmark side) filter the doc
+    * scan first so the parquet reader prunes on doc_id instead of
+    * shingling the whole corpus twice. */
+  private[ops] def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
       .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),
         explode(when(size(col("toks")) >= 3,

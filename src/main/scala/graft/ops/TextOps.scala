@@ -525,9 +525,12 @@ object TextOps {
     * made m3 the second-slowest key in the suite (measured at sf0.1:
     * 6.3 s inlined → 2.3 s materialized). */
   def m3WavMeta(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint, not persist: same materialization barrier, but the
+    // blocks are context-cleaned when the frame is GC'd — a persist here
+    // leaked a cacheManager entry per invocation in a long-lived session
     val payloads = documents(s, d)
       .select(col("doc_id"), wavPayload.as("payload"))
-      .persist()
+      .localCheckpoint()
     decodeWavMeta(payloads).orderBy("doc_id")
   }
 

@@ -348,10 +348,23 @@ object DocStreams {
 
   /** All rows a gate drain routed, with their verdict — admitted and
     * dead-letter unioned back for aggregation or audit. */
-  private[graft] def drainedGate(s: SparkSession, work: java.nio.file.Path): DataFrame =
-    s.read.schema(gateSchema).parquet(work.resolve("admitted").toString + "/batch=*")
-      .unionByName(
-        s.read.schema(gateSchema).parquet(work.resolve("dead").toString + "/batch=*"))
+  private[graft] def drainedGate(s: SparkSession, work: java.nio.file.Path): DataFrame = {
+    import java.nio.file.Files
+    // a drain that processed zero micro-batches leaves no batch= dirs;
+    // reading the glob would throw AnalysisException, so guard on the
+    // directory contents and fall back to an empty gate-shaped frame
+    def side(name: String): DataFrame = {
+      val root = work.resolve(name)
+      val hasBatches = Files.isDirectory(root) && {
+        val ds = Files.newDirectoryStream(root, "batch=*")
+        try ds.iterator().hasNext finally ds.close()
+      }
+      if (hasBatches) s.read.schema(gateSchema).parquet(root.toString + "/batch=*")
+      else s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), gateSchema)
+    }
+    side("admitted").unionByName(side("dead"))
+  }
 
   def e10sQualityStream(s: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Paths.get(
