@@ -123,6 +123,11 @@ object SparkEntry {
     "e23_ngram_stats"       -> (CurationOps.e23NgramStats _),
     "e24_mixture_weights"   -> (CurationOps.e24MixtureWeights _),
     "e10s_quality_stream"   -> (graft.streaming.DocStreams.e10sQualityStream _),
+    // §2.10 LLM-pipeline: curation stages (r8)
+    "e25_asof_join"         -> (EventOps.e25AsofJoin _),
+    "e26_shard_manifest"    -> (CurationOps.e26ShardManifest _),
+    "e27_tfidf_topk"        -> (CurationOps.e27TfidfTopk _),
+    "e28_passage_dedup"     -> (CurationOps.e28PassageDedup _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -328,6 +333,60 @@ object SparkEntry {
         |  ELSE [] END) AS bg FROM t)
         |SELECT bg, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM bg GROUP BY bg ORDER BY n_occur DESC, bg LIMIT 50""".stripMargin,
+    // r8 curation stages: DuckDB's native ASOF JOIN oracles the Spark
+    // union-and-carry as-of idiom; shard/tfidf/passage recompute exactly
+    "e25_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us,
+        |  p.purchase_value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "e26_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    "e27_tfidf_topk" ->
+      """WITH tf AS (SELECT doc_id, u.term AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |    FROM documents), UNNEST(w) AS u(term)
+        |  GROUP BY doc_id, u.term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, tfidf
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "e28_passage_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pidx,
+        |  array_to_string(w[(u.i*16+1):((u.i+1)*16)], ' ') AS passage
+        |  FROM t, UNNEST(range(CAST(ceil(len(w)/16.0) AS BIGINT))) AS u(i)),
+        |r AS (SELECT doc_id, pidx, row_number() OVER (
+        |    PARTITION BY passage ORDER BY doc_id, pidx) AS rn FROM p),
+        |kept AS (SELECT doc_id, count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(ceil(len(w)/16.0) AS INTEGER) AS n_passages,
+        |  CAST(coalesce(kept.n_kept, 0) AS INTEGER) AS n_kept,
+        |  CASE WHEN len(w) > 0
+        |    THEN round(1.0 - coalesce(kept.n_kept, 0) / ceil(len(w)/16.0), 6)
+        |  END AS dup_frac
+        |FROM t LEFT JOIN kept USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

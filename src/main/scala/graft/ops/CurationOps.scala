@@ -55,10 +55,15 @@ object CurationOps {
     * count is bounded by docs-with-at-least-one-hit. The inner join
     * means clean docs never leave the map side. */
   def e20Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = SimOps.shingleRows(s, d)
     val benchMember = col("doc_id") % 23 === 7 && col("doc_id") < 100000L
-    val bench = sh.where(benchMember).select("sh").distinct()
-    sh.where(!benchMember)
+    // filter the DOC scan on each side before shingling: the benchmark
+    // side's doc_id < 100000 bound reaches the parquet reader (row-group
+    // pruning), so the bench build is a bounded scan at any corpus size
+    // instead of a second full-corpus shingle pass
+    val docs = documents(s, d)
+    val bench = SimOps.shingleRowsOf(docs.where(benchMember))
+      .select("sh").distinct()
+    SimOps.shingleRowsOf(docs.where(!benchMember))
       .join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
@@ -114,15 +119,24 @@ object CurationOps {
     * scan bandwidth; the orderBy exists only for the deterministic
     * oracle and would be dropped in a pipeline deployment. */
   def e21PiiScrub(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    scrubPayloads(events(s, d)
+      // concat, not concat_ws: the payload must NULL-PROPAGATE like the
+      // oracle's '||' — concat_ws silently drops null parts, so a null
+      // props would diverge between engine and oracle
       .select(col("event_id"),
-        concat_ws(" ", col("props"),
-          concat(lit("uid="), col("user_id")),
-          concat(lit("ev="), col("event_type"))).as("payload"))
-      .select(col("event_id"),
-        regexp_replace(col("payload"), "[0-9]+", "<NUM>").as("scrubbed"),
-        size(regexp_extract_all(col("payload"), lit("[0-9]+"), lit(0))).as("n_redacted"))
+        concat(col("props"), lit(" uid="), col("user_id").cast("string"),
+          lit(" ev="), col("event_type")).as("payload")))
       .orderBy("event_id")
+
+  /** The scrub projection over any (event_id, payload) frame. Total on
+    * null payloads: scrubbed and n_redacted are both null (matching SQL
+    * '||'/regexp null propagation), never a silent 0 or -1. */
+  private[graft] def scrubPayloads(df: DataFrame): DataFrame =
+    df.select(col("event_id"),
+      regexp_replace(col("payload"), "[0-9]+", "<NUM>").as("scrubbed"),
+      when(col("payload").isNull, lit(null).cast("int"))
+        .otherwise(size(regexp_extract_all(col("payload"), lit("[0-9]+"), lit(0))))
+        .as("n_redacted"))
 
   /** E22: sequence packing — assign documents to fixed-capacity context
     * windows (256 tokens) in deterministic doc_id order WITHIN each
@@ -162,8 +176,10 @@ object CurationOps {
     * negligible at any scale. */
   def e14bStratifiedSample(s: SparkSession, d: String): DataFrame = {
     val keyed = documents(s, d)
+      // concat (null-propagating) to match the oracle's '||' semantics
       .select(col("doc_id"), col("lang"),
-        md5(concat_ws("|", col("text"), col("doc_id"))).as("sample_key"))
+        md5(concat(col("text"), lit("|"), col("doc_id").cast("string")))
+          .as("sample_key"))
     val topk = graft.plans.TopKPerKey.topKPerKey(keyed, 20,
       keys = Seq("lang"), orderBy = Seq(("sample_key", true), ("doc_id", true)))
     topk
@@ -226,4 +242,104 @@ object CurationOps {
       .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occur").desc, col("bg"))
       .limit(50)
+
+  /** E26: training-shard manifest — assign every document to one of 64
+    * output shards by a content-independent deterministic hash of its
+    * id (first 8 hex digits of md5, an idiom both engines compute
+    * identically), and emit the per-shard manifest a training loader
+    * consumes: doc count, token count, byte count, id range. Reference
+    * analogue: the scraper's per-dataset output files
+    * (web_scraper.py:376-385) — its "shards" are datasets; a training
+    * pipeline needs size-balanced hash shards instead.
+    *
+    * 100 TB path: one corpus scan, per-row hash arithmetic, and a
+    * partial-aggregated shuffle to exactly 64 groups — the manifest is
+    * KB-sized at any corpus size. The real shard WRITE would be
+    * `.write.partitionBy("shard")` over the same expression; the
+    * manifest is the oracle-checkable half of that operation. */
+  def e26ShardManifest(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), size(toks).as("n_tok"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 64).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_bytes"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** E27: TF-IDF top terms — the per-document top-5 terms by
+    * tf·ln((N+1)/(df+1)), the keyword-extraction primitive quality
+    * filters and topic mixers build on. Document frequency and the
+    * corpus size N are computed in-plan (no driver-side constants), so
+    * the same dataflow runs at any scale.
+    *
+    * 100 TB path: term counts partial-aggregate before their shuffle;
+    * the document-frequency side is VOCABULARY-sized — sublinear in the
+    * corpus (unigram vocab saturates in the millions) — so it
+    * broadcasts, as does the 1-row corpus count; if a tokenizer ever
+    * made the vocab outgrow the driver, dropping the broadcast hint
+    * falls back to one equi-join exchange on term. The top-5 is the
+    * bounded-heap TopKPerKey operator, not a row_number window — no
+    * per-document sort of the full posting set. Ordering ties break on
+    * the ROUNDED score then term, so engine and oracle agree exactly. */
+  def e27TfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+    graft.plans.TopKPerKey.topKPerKey(scored, 5,
+        keys = Seq("doc_id"), orderBy = Seq(("tfidf", false), ("term", true)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** E28: passage-level exact dedup — chunk each document into 16-token
+    * passages and drop every passage whose exact text already appeared
+    * earlier in the corpus (first owner by (doc_id, pidx) keeps it).
+    * This is the sub-document third of the dedup ladder: whole-doc (e1)
+    * → near-dup (e6/e7/e8) → repeated-passage (boilerplate, quoted
+    * spans) — per-doc survival stats are what a curation pipeline
+    * thresholds on.
+    *
+    * 100 TB path: passages build per row (HOF transform over the token
+    * array, exploded once), the keeper election is a partial-aggregated
+    * groupBy(passage) with `min(struct(doc_id, pidx))` — NOT a
+    * row_number window, which would sort every passage group — and the
+    * per-doc keep count is a second, doc-count-bounded shuffle. The
+    * per-doc passage totals come from a separate pruned (doc_id, text)
+    * scan rather than persisting the corpus-sized token frame. */
+  def e28PassageDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"),
+        ceil(size(toks) / lit(16.0)).cast("int").as("n_passages"))
+    val passages = documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) > 0,
+          transform(sequence(lit(0), (ceil(size(col("w")) / lit(16.0)) - 1).cast("int")),
+            i => concat_ws(" ", slice(col("w"), i * 16 + 1, lit(16)))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnsRenamed(Map("pos" -> "pidx", "col" -> "passage"))
+    val kept = passages.groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("pidx"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        when(col("n_passages") > 0,
+          round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_passages"), 6))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -62,4 +62,48 @@ object EventOps {
           greatest(col("exact_users") * (5 * rsd), lit(10.0))).as("hll_ok"))
       .orderBy("event_type")
   }
+
+  /** E25: as-of (point-in-time) join — for every click, the most recent
+    * purchase at or before it by the same user. Reference analogue: the
+    * v2 pipeline pairing each scraped record with the newest dataset
+    * snapshot it was seen under as paging state advances
+    * (web_scrpaer_2.py:246-281).
+    *
+    * Spark has no ASOF JOIN operator. The scalable form is the
+    * union-and-carry idiom: tag both sides, union them, and let one
+    * running `last(..., ignoreNulls)` window carry the latest purchase
+    * forward onto each click row. Cost is a single hash exchange on
+    * user_id plus one in-partition sort — no range-join row explosion
+    * (a naive t2 <= t1 join is quadratic per user), no per-key loop,
+    * and skew bounded by one user's own event count. The purchase side
+    * is pre-aggregated to one row per (user, ts) so the pick is
+    * deterministic under timestamp ties; purchases sort BEFORE clicks
+    * at equal ts (side 0 < 1), giving ASOF's `>=` semantics. DuckDB's
+    * native ASOF LEFT JOIN is the oracle. */
+  def e25AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("double").as("purchase_value"))
+      .unionByName(purchases.select(col("user_id"), col("ts"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        col("purchase_value")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m", last(when(col("side") === 0,
+          struct(col("ts").as("pts"), col("purchase_value").as("pv"))),
+        ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("m.pts")).as("asof_ts_us"),
+        col("m.pv").as("asof_value"))
+      .orderBy("event_id")
+  }
 }

@@ -76,29 +76,51 @@ class CurationOpsSpec extends AnyFunSuite {
       "a digit surviving the scrub is a redaction failure")
     val re = "[0-9]+".r
     val payloads = graft.Tables.events(spark, sf)
-      .select(col("event_id"), concat_ws(" ", col("props"),
-        concat(lit("uid="), col("user_id")),
-        concat(lit("ev="), col("event_type"))).as("p"))
+      .select(col("event_id"), concat(col("props"),
+        lit(" uid="), col("user_id").cast("string"),
+        lit(" ev="), col("event_type")).as("p"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     for (r <- rows.take(100))
       assert(r.getInt(2) == re.findAllIn(payloads(r.getLong(0))).size)
   }
 
-  test("e22: packing is exhaustive, contiguous per shard, and offset-consistent") {
+  test("e21: null payloads propagate to null scrubbed/n_redacted (oracle '||' semantics)") {
+    import spark.implicits._
+    val got = CurationOps.scrubPayloads(
+      Seq((1L, "a1 b22"), (2L, null.asInstanceOf[String]))
+        .toDF("event_id", "payload")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "a<NUM> b<NUM>" && got(1L).getInt(2) == 2)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2),
+      "a null payload must yield null outputs, not 0 or -1")
+  }
+
+  test("e22: packing is exhaustive and matches a re-derived running-offset assignment") {
     val rows = CurationOps.e22SeqPack(spark, sf).collect()
     val totalDocs = rows.map(_.getLong(2)).sum
     assert(totalDocs == graft.Tables.documents(spark, sf).count())
-    rows.groupBy(_.getString(0)).foreach { case (src, ws) =>
-      val ids = ws.map(_.getLong(1)).sorted
-      assert(ids.head == 0 && ids.toSeq == (0L until ids.size),
-        s"source $src windows must be contiguous from 0")
-      // doc ranges of consecutive windows must not interleave
-      val byWin = ws.sortBy(_.getLong(1))
-      byWin.sliding(2).foreach {
-        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
-          s"source $src: window ${a.getLong(1)} overlaps ${b.getLong(1)}")
-        case _ =>
+    // re-derive window_id = floor(prior_cum / 256) per source directly —
+    // no contiguity assumption (a doc longer than the 256-token window
+    // legitimately skips window ids)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val w = cum / 256; cum += n; ((src, w), (id, n))
       }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2._2).sum,
+        xs.map(_._2._1).min, xs.map(_._2._1).max))
+    }
+    assert(rows.length == expected.size, "window set must match the re-derivation")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert(expected(k) == ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"window $k stats diverge from the running-offset re-derivation")
     }
   }
 
@@ -118,7 +140,8 @@ class CurationOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val viaWindow = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
-        md5(concat_ws("|", col("text"), col("doc_id"))).as("sample_key"))
+        md5(concat(col("text"), lit("|"), col("doc_id").cast("string")))
+          .as("sample_key"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy("sample_key", "doc_id")))
       .where(col("rn") <= 20)
@@ -220,5 +243,118 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     assert(round.count() == direct.count())
     assert(round.exceptAll(direct).isEmpty && direct.exceptAll(round).isEmpty)
+  }
+
+  // ---- r8 curation stages ----
+
+  test("e25: as-of values match a brute-force latest-purchase-at-or-before scan") {
+    val rows = EventOps.e25AsofJoin(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")),
+        col("value"), col("event_id")).collect()
+    val purchases = ev.filter(_.getString(0) == "purchase")
+      .groupBy(r => (r.getLong(1), r.getLong(2)))       // (user, ts_us)
+      .map { case ((u, t), rs) => (u, t, rs.map(_.getDouble(3)).max) }
+      .toSeq
+    val clicks = ev.filter(_.getString(0) == "click")
+    assert(rows.length == clicks.length, "every click must emit exactly one row")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    for (c <- clicks) {
+      val got = byId(c.getLong(4))
+      val best = purchases.filter(p => p._1 == c.getLong(1) && p._2 <= c.getLong(2))
+        .sortBy(_._2).lastOption
+      best match {
+        case Some((_, pts, pv)) =>
+          assert(got.getLong(3) == pts && got.getDouble(4) == pv,
+            s"click ${c.getLong(4)}: expected ($pts,$pv), got " +
+              s"(${got.getLong(3)},${got.getDouble(4)})")
+        case None =>
+          assert(got.isNullAt(3) && got.isNullAt(4),
+            s"click ${c.getLong(4)} has no prior purchase but got a match")
+      }
+    }
+  }
+
+  test("e25: one hash exchange on user_id carries the whole as-of; no range join") {
+    val p = plan(EventOps.e25AsofJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the as-of must be the union-and-carry window, not a range product")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges >= 1, "window must partition by user_id")
+  }
+
+  test("e26: shard assignment matches an independent md5 recompute; manifest is exhaustive") {
+    val rows = CurationOps.e26ShardManifest(spark, sf).collect()
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val expected = docs.groupBy(shardOf).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getLong(1)).sum == docs.length, "every doc lands in a shard")
+    rows.foreach { r =>
+      assert(expected(r.getLong(0)) == r.getLong(1),
+        s"shard ${r.getLong(0)}: doc count diverges from the Scala md5 recompute")
+    }
+  }
+
+  test("e27: ranks are 1..5 per doc, scores non-increasing, spot-checked against Scala") {
+    val rows = CurationOps.e27TfidfTopk(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to rs.length), s"doc $d ranks must be contiguous from 1")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $d tfidf must be non-increasing in rank")
+    }
+    // independent recompute for one document
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1))).toMap
+    val n = docs.size
+    val dfreq = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val d0 = docs.keys.min
+    val exp = docs(d0).groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case (t, tf) =>
+        val s = BigDecimal(tf * math.log((n + 1.0) / (dfreq(t) + 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, tf.toLong, dfreq(t).toLong, s)
+      }
+      .sortBy { case (t, _, _, s) => (-s, t) }.take(5)
+    val got = byDoc(d0).sortBy(_.getInt(1))
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == exp, s"doc $d0: engine top-5 $got != Scala recompute $exp")
+  }
+
+  test("e28: per-doc keep counts match a global first-owner recompute") {
+    val rows = CurationOps.e28PassageDedup(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1))).sortBy(_._1)
+    val owners = scala.collection.mutable.Map[String, (Long, Int)]()
+    val expKept = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    val expTotal = scala.collection.mutable.Map[Long, Int]()
+    for ((id, w) <- docs) {
+      val ps = w.grouped(16).map(_.mkString(" ")).toSeq
+      expTotal(id) = ps.length
+      for ((p, i) <- ps.zipWithIndex)
+        // first owner by (doc_id, pidx): docs iterate in id order, chunks in order
+        if (!owners.contains(p)) { owners(p) = (id, i); expKept(id) += 1 }
+    }
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == expTotal(id) && r.getInt(2) == expKept(id),
+        s"doc $id: (n_passages,n_kept)=(${r.getInt(1)},${r.getInt(2)}) " +
+          s"!= recompute (${expTotal(id)},${expKept(id)})")
+    }
+    // the election is an aggregation, not a window sort over every passage
+    val p = plan(CurationOps.e28PassageDedup(spark, sf))
+    assert(!p.contains("Window"), "keeper election must be min(struct), not row_number")
   }
 }
