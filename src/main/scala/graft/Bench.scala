@@ -58,6 +58,27 @@ object BenchStats {
   }
 
   def needsRerun(xs: Seq[Double]): Boolean = spread(xs) > SpreadLimit
+
+  /** The subset of per-query medians whose rendered JSON map fits in
+    * `budget` bytes, preferring the SLOWEST queries (the ones a perf
+    * reader needs), returned in name order.
+    *
+    * Why a budget: the driver keeps only the last ~2000 bytes of bench
+    * stdout, and with 100+ queries the full one-line map is ~3.4 KB —
+    * every BENCH_r4..r7 artifact had its head truncated to an
+    * unparseable fragment (`"parsed": null`). The stdout line now
+    * carries total + the slowest keys and always parses; the COMPLETE
+    * map still lands in the file artifact (BENCH_LAST.json). */
+  def fitSlowest(med: Seq[(String, Double)], fmt: Double => String,
+      budget: Int): Seq[(String, Double)] = {
+    var used = 2 // the map's braces
+    val keep = Seq.newBuilder[(String, Double)]
+    for ((k, v) <- med.sortBy { case (n, v) => (-v, n) }) {
+      val cost = k.length + fmt(v).length + 4 // quotes, colon, comma
+      if (used + cost <= budget) { keep += ((k, v)); used += cost }
+    }
+    keep.result().sortBy(_._1)
+  }
 }
 
 /** Benchmark main: runs every SparkEntry query against
@@ -201,8 +222,10 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale must not break the JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def renderMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val qs = renderMap(med)
     val passTotals = passRepeats
       .map(r => fmt(names.map(n => contributed(n, r(n))).filter(_ >= 0).sum))
       .mkString("[", ",", "]")
@@ -212,6 +235,21 @@ object Bench {
       s""""load_end":${fmt(loadEnd)},"checkpoint_dir":"$ckptDir""""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$proto}"""
+    // The STDOUT line must survive the driver's ~2000-byte tail capture
+    // AND the trailing sbt "[success] ..." line — cap it at 1800 bytes by
+    // shrinking only the queries map to the slowest keys that fit
+    // (BenchStats.fitSlowest); the full map is in the file artifact.
+    val stdoutLine = {
+      val lineBudget = 1800
+      val fixed = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":,"queries_shown":000,"n_queries":${med.size},""" +
+        s""""full_artifact":"BENCH_LAST.json","sf":"$sfDir",$proto}"""
+      val kept = BenchStats.fitSlowest(med, fmt, lineBudget - fixed.length)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${renderMap(kept)},"queries_shown":${kept.size},""" +
+        s""""n_queries":${med.size},"full_artifact":"BENCH_LAST.json",""" +
+        s""""sf":"$sfDir",$proto}"""
+    }
     // Full artifact (adds per-repeat raw values, per-query spreads and
     // rerun counts, and the wall-vs-busy split for streaming keys) —
     // beside the working dir by default; a failed write must not fail a
@@ -245,6 +283,6 @@ object Bench {
       }
     }
     scala.util.Try(spark.stop())
-    println(line)
+    println(stdoutLine)
   }
 }

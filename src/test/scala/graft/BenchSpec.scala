@@ -53,4 +53,32 @@ class BenchSpec extends AnyFunSuite {
     val xs = Seq(1.0, 50.0, 120.0, 200.0, 310.0, 400.0)
     assert(tightestWindow(xs, 3)._2 > SpreadLimit)
   }
+
+  private val fmt3 = (v: Double) =>
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  test("fitSlowest keeps the slowest queries within the byte budget, name-ordered") {
+    val med = Seq("q_fast" -> 0.1, "q_slow" -> 9.0, "q_mid" -> 2.0, "q_slower" -> 12.0)
+    // each entry costs len(name)+len("N.NNN")+4; budget for ~2 entries
+    val kept = fitSlowest(med, fmt3, 2 + 2 * (8 + 6 + 4))
+    assert(kept.map(_._1) == Seq("q_slow", "q_slower"), // name order, slowest pair
+      s"got $kept")
+    // rendered size must actually fit the budget it was given
+    val rendered = kept.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    assert(rendered.length <= 2 + 2 * (8 + 6 + 4))
+  }
+
+  test("fitSlowest: whole set fits a generous budget; zero budget keeps nothing") {
+    val med = (1 to 120).map(i => f"q$i%03d" -> i.toDouble)
+    assert(fitSlowest(med, fmt3, 1 << 20).size == 120)
+    assert(fitSlowest(med, fmt3, 0).isEmpty)
+    // the r7 regression shape: 100+ queries, ~1500-byte map budget — the
+    // kept set must render under budget and contain the slowest key
+    val kept = fitSlowest(med, fmt3, 1500)
+    val rendered = kept.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    assert(rendered.length <= 1500 && kept.nonEmpty)
+    assert(kept.exists(_._1 == "q120"), "the slowest query must survive the cut")
+  }
 }
