@@ -21,14 +21,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read it as nanos-since-epoch longs and convert to a proper
-    * TimestampType (µs). The data is µs-precision, so truncation is
-    * lossless. */
+  /** The events fixture has shipped `ts` three ways across driver
+    * generations: TIMESTAMP(NANOS) (Spark 4 rejects it unless read as
+    * nanos-since-epoch longs via `nanosAsLong`), BIGINT nanos (our
+    * amplified copies), and plain µs TIMESTAMP / TIMESTAMP_NTZ. All
+    * queries see one canonical TimestampType (µs); the session timezone
+    * is pinned to UTC everywhere, so the NTZ→TZ cast is value-preserving. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Rewrite `ts` to TimestampType (µs) whatever the stored type was.
+    * Long = nanos-since-epoch (µs-precision data, so the truncation is
+    * lossless); NTZ casts 1:1 under the UTC session timezone. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
+
+  /** Schema the events parquet at `path` actually carries, with
+    * `nanosAsLong` pre-set so a TIMESTAMP(NANOS) column surfaces as
+    * LongType — the schema a file-source stream must declare. */
+  def eventsRawSchema(s: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(path).schema
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

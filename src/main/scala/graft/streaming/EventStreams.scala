@@ -25,12 +25,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw schema of the events parquet (ts stored as nanos-since-epoch;
-    * see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File-source stream over a staged events landing directory with `ts`
+    * normalized to TimestampType whatever the staged files actually store
+    * (nanos longs, µs timestamp, or NTZ — see Tables.normalizeEventTs).
+    * A file stream must declare its schema up front, so it is sniffed
+    * from the staged files' parquet footers — never assumed. */
+  private[graft] def streamOver(s: SparkSession, landing: String): DataFrame =
+    graft.Tables.normalizeEventTs(
+      s.readStream
+        .schema(graft.Tables.eventsRawSchema(s, landing))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing))
 
   /** File-source stream over an events landing directory, throttled to
     * one file per micro-batch (C3). The testdata ships events as a single
@@ -61,12 +66,7 @@ object EventStreams {
         Files.write(marker, sig.getBytes("UTF-8"))
       }
     }
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    streamOver(s, landing.toString)
   }
 
   /** E4 streaming: watermarked tumbling-window aggregation. Late data
@@ -214,7 +214,12 @@ object EventStreams {
       graft.util.PathKeys.keyedName(dir) + s"-$nBuckets")
     synchronized {
       val marker = landing.resolve("_STAGED")
-      val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      // the "v2:" prefix versions the STAGING TRANSFORM itself (buckets
+      // now always land with a µs TimestampType ts): a source-only
+      // signature would keep buckets staged by an older code version
+      // whose column semantics differ — e.g. micros stored as raw longs,
+      // which the nanos branch of normalizeEventTs would then misread
+      val sig = s"v2:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
       // like eventsStream's !Files.exists(dst) clause: a surviving marker
       // over deleted bucket files must not pass as fresh — require every
       // expected events-*.parquet alongside the signature match
@@ -226,15 +231,19 @@ object EventStreams {
         if (Files.exists(landing)) deleteTree(landing)
         Files.createDirectories(landing)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.schema(rawSchema).parquet(src.toString)
-        val bounds = raw.agg(min(col("ts")), max(col("ts"))).head()
+        // normalize ts at staging time: buckets always land with a µs
+        // TimestampType column, so the stream side needs no per-fixture
+        // branching and old/new driver fixtures stage identically
+        val raw = graft.Tables.normalizeEventTs(s.read.parquet(src.toString))
+          .withColumn("_ts_us", expr("unix_micros(ts)"))
+        val bounds = raw.agg(min(col("_ts_us")), max(col("_ts_us"))).head()
         val (tsMin, tsMax) = (bounds.getLong(0), bounds.getLong(1))
         val span = math.max(1L, tsMax - tsMin + 1)
         val tmp = landing.resolve("_tmp")
         (0 until nBuckets).foreach { i =>
           val lo = tsMin + span * i / nBuckets
           val hi = tsMin + span * (i + 1) / nBuckets
-          raw.where(col("ts") >= lo && col("ts") < hi)
+          raw.where(col("_ts_us") >= lo && col("_ts_us") < hi).drop("_ts_us")
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val part = Using.resource(Files.list(tmp)) { st =>
             st.iterator().asScala
@@ -251,12 +260,7 @@ object EventStreams {
         Files.write(marker, sig.getBytes("UTF-8"))
       }
     }
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    streamOver(s, landing.toString)
   }
 
   /** The bounded-state streaming dedup pipeline (shared by the declared

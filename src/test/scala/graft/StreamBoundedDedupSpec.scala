@@ -74,9 +74,9 @@ class StreamBoundedDedupSpec extends AnyFunSuite {
     val ckpt = base.resolve("ckpt").toString
     val sink = base.resolve("sink").toString
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(EventStreams.rawSchema)
+      val q = spark.readStream.schema(Tables.eventsRawSchema(spark, landing.toString))
         .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeEventTs)
         .withColumn("day", to_date(col("ts")))
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
