@@ -128,6 +128,8 @@ object SparkEntry {
     "e26_shard_manifest"    -> (CurationOps.e26ShardManifest _),
     "e27_tfidf_topk"        -> (CurationOps.e27TfidfTopk _),
     "e28_passage_dedup"     -> (CurationOps.e28PassageDedup _),
+    "e20b_bloom_decon"      -> (CurationOps.e20bBloomDecon _),
+    "e29_stream_join"       -> (graft.streaming.EventStreams.e29StreamToTable _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -387,6 +389,31 @@ object SparkEntry {
         |    THEN round(1.0 - coalesce(kept.n_kept, 0) / ceil(len(w)/16.0), 6)
         |  END AS dup_frac
         |FROM t LEFT JOIN kept USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // e20b is the bloom-prefiltered form of e20 and must produce its
+    // exact result, so the oracle IS e20's oracle — the gate proves the
+    // sketch path changes the plan, not the answer
+    "e20b_bloom_decon" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM t),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM sh
+        |  WHERE doc_id % 23 = 7 AND doc_id < 100000)
+        |SELECT doc_id, count(*) AS n_overlap, count(*) >= 4 AS is_contaminated
+        |FROM sh JOIN bench USING (sh)
+        |WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e29_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

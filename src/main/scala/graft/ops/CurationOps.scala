@@ -71,6 +71,57 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** E20b: decontamination through a Bloom-filter prefilter — the form
+    * of e20 that survives a benchmark set too large to broadcast as
+    * strings. e20 ships every distinct benchmark shingle to every
+    * executor; at a production eval-suite size that broadcast is
+    * hundreds of MB. Here the benchmark side is compacted into a Spark
+    * `BloomFilter` sketch (built by the same `BloomFilterAggregate` the
+    * optimizer's runtime-filter injection uses, fetched to the driver
+    * as ONE aggregated row — the `df.stat.bloomFilter` pattern — and
+    * embedded as a binary literal), the corpus shingle stream is
+    * prefiltered by a codegen'd `BloomFilterMightContain` probe that
+    * drops ~all clean shingles before any exchange, and the surviving
+    * bloom-positives flow into an exact join that removes the false
+    * positives. The result is bit-identical to e20 — same oracle — so
+    * the gate proves the scale path is semantics-preserving.
+    *
+    * 100 TB path: the corpus side's exchange carries only bloom
+    * positives (true overlaps + the fpp tail of a ~16-bits/item
+    * sketch), so the exact-confirm join is small on BOTH sides at any
+    * corpus size; the sketch itself is KBs per 1k benchmark shingles
+    * and is sized from a bounded benchmark-side count, never from the
+    * corpus. */
+  def e20bBloomDecon(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val benchMember = col("doc_id") % 23 === 7 && col("doc_id") < 100000L
+    val docs = documents(s, d)
+    val bench = SimOps.shingleRowsOf(docs.where(benchMember))
+      .select("sh").distinct()
+    // size the sketch from the (bounded) benchmark side: count is a
+    // cheap scan of the id-pruned slice, never of the corpus
+    val nBench = math.max(1L, bench.count())
+    val shHash = new XxHash64(Seq(Bridge.expression(col("sh"))))
+    val bloomBytes = bench
+      .select(Bridge.column(new BloomFilterAggregate(shHash,
+        Literal(nBench), Literal(nBench * 16L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = SimOps.shingleRowsOf(docs.where(!benchMember))
+    val prefiltered =
+      if (bloomBytes == null) corpus.where(lit(false)) // empty benchmark set
+      else corpus.where(Bridge.column(new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(Literal(bloomBytes, BinaryType), shHash)))
+    prefiltered
+      .join(bench, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("is_contaminated", col("n_overlap") >= 4)
+      .orderBy("doc_id")
+  }
+
   /** E10b: repetition-based quality rules (the Gopher-style complement
     * to e10's length/ratio scores) — per document: the most-common-word
     * mass fraction, the duplicate-word fraction, and the duplicate-

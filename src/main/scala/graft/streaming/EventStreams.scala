@@ -95,6 +95,49 @@ object EventStreams {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n"))
 
+  /** E29: stream-stream interval join — every click paired with the same
+    * user's purchases in the following 6 hours, with BOTH sides arriving
+    * as throttled file streams over the time-bucketed landing (the one
+    * streaming join family e6s's stream-static probe does not cover).
+    *
+    * Scale/state story: the watermarks on both sides plus the event-time
+    * range condition let Spark bound the join state — click state is
+    * droppable once the purchase-side watermark passes click_ts + 6h,
+    * purchase state once the click-side watermark passes purchase_ts —
+    * so at any scale the state held is one interval's worth of events
+    * per side, not the stream's history. The bucketed landing replays
+    * time-ordered disjoint ranges, so no input is ever behind the
+    * watermark and the drained result is exactly the batch join
+    * (oracle-checked). Reference analogue: v2's range-scrape mode
+    * correlating two incremental cursors (web_scrpaer_2.py:291-354). */
+  def e29StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStreamBucketed(s, dir, 6)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStreamBucketed(s, dir, 6)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
+  /** Declared-query form of the E29 stream-stream join (see
+    * e4StreamToTable for the drain protocol). */
+  def e29StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    val name = drainToTable(s, e29StreamJoin(s, dir),
+      "e29_stream_table", "append")
+    s.table(name).orderBy("click_id", "purchase_id")
+  }
+
   /** Recursive delete; Files.walk streams hold a directory descriptor
     * until closed, hence Using.resource. */
   private def deleteTree(root: java.nio.file.Path): Unit = {

@@ -39,6 +39,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("e20b: bloom-prefiltered decontamination equals e20 exactly") {
+    val exact = CurationOps.e20Decontaminate(spark, sf)
+    val bloom = CurationOps.e20bBloomDecon(spark, sf)
+    assert(bloom.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(bloom).count() == 0,
+      "the sketch path must change the plan, not the answer")
+    assert(bloom.count() > 0)
+  }
+
+  test("e20b: the probe is a bloom literal filter, not a broadcast of strings") {
+    val p = plan(CurationOps.e20bBloomDecon(spark, sf))
+    assert(p.contains("might_contain"),
+      "corpus shingles must be prefiltered by the bloom probe before the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("e10b: repetition fractions match an independent Scala recomputation") {
     val got = CurationOps.e10bGopherRepetition(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -72,6 +72,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("E29 stream-stream interval join equals the batch join") {
+    val name = "e29s_parity"
+    val q = EventStreams.e29StreamJoin(spark, sf).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft-ckpt-$name-${System.nanoTime()}")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+    val ev = graft.Tables.events(spark, sf)
+    val batch = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .join(ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0, "fixture must produce at least one join pair")
+  }
+
   test("C4 incremental dedup: streaming dropDuplicates equals batch distinct") {
     // the reference's seen-set (web_scrpaer_2.py:262-263) as checkpointed
     // streaming state: watermarked dropDuplicates over the event stream
