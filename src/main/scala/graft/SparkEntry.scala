@@ -130,6 +130,9 @@ object SparkEntry {
     "e28_passage_dedup"     -> (CurationOps.e28PassageDedup _),
     "e20b_bloom_decon"      -> (CurationOps.e20bBloomDecon _),
     "e29_stream_join"       -> (graft.streaming.EventStreams.e29StreamToTable _),
+    "e30_sparse_cosine"     -> (SimOps.e30SparseCosine _),
+    "e31_quant_ann"         -> (SimOps.e31QuantAnn _),
+    "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -414,6 +417,65 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "e30_sparse_cosine" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[(u.i+1):(u.i+3)], ' ') AS term
+        |  FROM t, UNNEST(range(len(w)-2)) AS u(i) WHERE len(w) >= 3),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |d0 AS (SELECT term, count(*) AS df FROM sh GROUP BY term
+        |  HAVING count(*) <= 64),
+        |dfw AS (SELECT term, df,
+        |    ln((n.n_docs + 1.0)/(df + 1.0)) * ln((n.n_docs + 1.0)/(df + 1.0)) AS idf2
+        |  FROM d0 CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(idf2)) AS nrm
+        |  FROM sh JOIN dfw USING (term) GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared, sum(f.idf2) AS dp
+        |  FROM sh a JOIN sh b USING (term) JOIN dfw f USING (term)
+        |  WHERE a.doc_id < b.doc_id AND f.df >= 2
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  round(dp/(na.nrm*nb.nrm), 6) AS cos_sim
+        |FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+        |  JOIN nrm nb ON nb.doc_id = dots.doc_b
+        |WHERE round(dp/(na.nrm*nb.nrm), 6) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "e31_quant_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |qz AS (SELECT vec_id, v,
+        |    list_transform(v, x -> floor(x * (127.0 / mx) + 0.5)) AS qv
+        |  FROM m WHERE mx > 0),
+        |q AS (SELECT vec_id AS q_id, qv AS qa, v AS va FROM qz WHERE vec_id < 3),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qa, c.qv) /
+        |      (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(c.qv, c.qv))), 6)
+        |      AS q_cos,
+        |    round(list_dot_product(va, c.v) /
+        |      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(c.v, c.v))), 6)
+        |      AS exact_cos
+        |  FROM q CROSS JOIN qz c WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY q_cos DESC, cand_id) AS INTEGER) AS "rank"
+        |  FROM j)
+        |SELECT q_id, "rank", cand_id, q_cos, exact_cos FROM r WHERE "rank" <= 5
+        |ORDER BY q_id, "rank"""".stripMargin,
+    "e32_centroid_agg" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER)+1] AS x
+        |  FROM e, UNNEST(range(len(v))) AS u(i)),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT c.label, any_value(n.n_vecs) AS n_vecs,
+        |  list(c.m ORDER BY c.pos) AS centroid
+        |FROM c JOIN n ON n.label = c.label
+        |GROUP BY c.label
+        |ORDER BY c.label""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

@@ -668,4 +668,112 @@ object SimOps {
       .orderBy("d1", "d2")
     (result, Seq(bg))
   }
+
+  /** E30: pairwise document cosine over SPARSE idf-weighted shingle
+    * vectors via an inverted index — the sparse-vector complement to
+    * the dense-embedding family (e2/e12/e13): each doc is the set of
+    * its distinct word-3-gram shingles (same builder as e6/e8/e16),
+    * weighted idf(t) = ln((N+1)/(df(t)+1)); cos(a,b) =
+    * Σ_{t∈a∩b} idf²  /  (‖a‖·‖b‖).
+    *
+    * 100 TB path: never materializes a vector — the posting list per
+    * term IS the index. One shuffle builds (term → docs, df); terms
+    * with df > 64 are OUT OF THE MEASURE by declaration (the cap is the
+    * scalability contract, the idf analogue of a stop-word list: it
+    * bounds every posting list, so candidate-pair volume is ≤ 2016 ×
+    * vocab — linear in corpus size, the same contract e8h proves for
+    * the Jaccard family). Within the capped vocabulary the pruning
+    * below is LOSSLESS: df=1 terms are dropped only from the pair join
+    * (a term in one doc can never contribute to a dot product) while
+    * still counting toward norms; pairs explode partition-local from
+    * each posting (listPairs), dots partial-aggregate on (doc_a,doc_b)
+    * — volume bounded by true candidate pairs, not N². The final norm
+    * joins are doc-count-bounded equi-joins. */
+  def e30SparseCosine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // persisted: feeds the norm build AND the pair join (e8's cache
+    // pattern; sessions reclaim via catalog.clearCache()).
+    val posting = shingleRows(s, d).select(col("doc_id"), col("sh").as("term"))
+      .groupBy("term").agg(collect_list(col("doc_id")).as("ds"))
+      .withColumn("df", size(col("ds")))
+      .where(col("df") <= 64)
+      .crossJoin(broadcast(nDocs))
+      // idf*idf (not pow): both engines square by multiplication, so
+      // the doubles are bit-identical before the final 6 dp round
+      .withColumn("idf", log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("idf2", col("idf") * col("idf"))
+      .select("term", "ds", "df", "idf2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val norms = posting.select(explode(col("ds")).as("doc_id"), col("idf2"))
+      .groupBy("doc_id").agg(sum(col("idf2")).as("sq"))
+      .select(col("doc_id"), sqrt(col("sq")).as("nrm"))
+    val dots = listPairs(posting.where(col("df") >= 2).select("ds", "idf2"), "ds")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("idf2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("idf2")).as("dp"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .withColumn("cos_sim", round(col("dp") / (col("na") * col("nb")), 6))
+      .where(col("cos_sim") >= 0.1)
+      .select("doc_a", "doc_b", "n_shared", "cos_sim")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E31: ANN over int8 SCALAR-QUANTIZED embeddings — the memory-side
+    * scale lever the dense family was missing: per-vector symmetric
+    * quantization q_i = floor(v_i·(127/max|v|) + 0.5) shrinks the
+    * resident index 4× (int8 vs float32) while cosine is INVARIANT to
+    * the per-vector scale (it cancels in dot/(‖a‖·‖b‖)), so ranking on
+    * quantized cosine is exactly ranking on the reconstructed vectors.
+    * Both the quantized score and the full-precision rescore are
+    * reported per hit, so the quantization error is measured IN-PLAN
+    * (the e2r stance: never assume an approximation, gate it) — and the
+    * oracle recomputes both, so a drift in either is a hash mismatch.
+    * floor(x+0.5) rather than round(): identical halfway semantics in
+    * Spark and DuckDB, bit-deterministic in both.
+    *
+    * 100 TB path: e12's exact plan shape — tiny query side broadcast,
+    * ONE scan of the vector table, no shuffle. Zero vectors (max|v|=0)
+    * are excluded by declaration: they have no direction to match. */
+  def e31QuantAnn(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d))
+      .withColumn("mx", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .where(col("mx") > 0)
+      // Spark's floor yields LONG; cast back so the codegen cosine
+      // (array<double> input) applies — the values are exact either way
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("double")))
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("v").as("va"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(col("qa"), col("qv")).as("q_cos"),
+        cosine(col("va"), col("v")).as("exact_cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("q_cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("q_cos"), col("exact_cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E32: per-label embedding centroids through the typed
+    * [[graft.functions.VectorCentroid]] `Aggregator` — the custom-UDAF
+    * surface (SURVEY §2.11) exercised as a declared, oracle-gated key
+    * rather than an escape hatch held in reserve. The physical win is
+    * the partial aggregation: each partition ships one (sums, n) buffer
+    * per label — `labels × dim × 8` bytes of shuffle regardless of row
+    * count — which is the centroid step of an IVF/k-means index build
+    * at corpus scale. */
+  def e32CentroidAgg(s: SparkSession, d: String): DataFrame = {
+    vectors(embeddings(s, d))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorCentroid.centroid(col("v")).as("centroid"))
+      .orderBy("label")
+  }
 }

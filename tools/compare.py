@@ -81,8 +81,19 @@ def main(sf_dir, out_dir, json_out=None):
         else:
             s = spark_df[sorted(spark_df.columns)]
             d = duck_df[sorted(duck_df.columns)]
+            def norm(x):
+                # duckdb->pandas yields numpy arrays for NUMERIC list
+                # cells (python lists for VARCHAR lists); normalize so
+                # cell comparison is plain list equality either way
+                import numpy as np
+                if isinstance(x, np.ndarray):
+                    return [norm(y) for y in x.tolist()]
+                if isinstance(x, list):
+                    return [norm(y) for y in x]
+                return x
             for c in s.columns:
-                sv, dv = s[c].tolist(), d[c].tolist()
+                sv = [norm(x) for x in s[c].tolist()]
+                dv = [norm(x) for x in d[c].tolist()]
                 if str(s[c].dtype) != str(d[c].dtype):
                     problems.append(f"dtype[{c}] spark={s[c].dtype} duck={d[c].dtype}")
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv))
