@@ -133,6 +133,7 @@ object SparkEntry {
     "e30_sparse_cosine"     -> (SimOps.e30SparseCosine _),
     "e31_quant_ann"         -> (SimOps.e31QuantAnn _),
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
+    "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -440,7 +441,7 @@ object SparkEntry {
         |  round(dp/(na.nrm*nb.nrm), 6) AS cos_sim
         |FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
         |  JOIN nrm nb ON nb.doc_id = dots.doc_b
-        |WHERE round(dp/(na.nrm*nb.nrm), 6) >= 0.1
+        |WHERE round(dp/(na.nrm*nb.nrm), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
     "e31_quant_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -476,6 +477,18 @@ object SparkEntry {
         |FROM c JOIN n ON n.label = c.label
         |GROUP BY c.label
         |ORDER BY c.label""".stripMargin,
+    "e33_range_join" ->
+      """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS pts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT purchase_id, pts_us, error_id, ets_us
+        |  FROM p JOIN e ON ets_us <= pts_us AND pts_us <= ets_us + 900000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY ets_us DESC, error_id) AS rn FROM j)
+        |SELECT purchase_id, pts_us AS purchase_ts_us, error_id,
+        |  ets_us AS error_ts_us, pts_us - ets_us AS gap_us
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

@@ -106,4 +106,52 @@ object EventOps {
         col("m.pv").as("asof_value"))
       .orderBy("event_id")
   }
+
+  /** E33: interval-containment range join WITHOUT an equi key —
+    * attribute every purchase to the latest "error window" (the 15
+    * minutes after an error event, any user) covering it. Spark has no
+    * native range join, and the naive form is a BroadcastNestedLoopJoin
+    * that re-scans every interval per probe row; the scalable idiom is
+    * BUCKETIZATION: quantize time into buckets exactly as wide as the
+    * interval, so every interval spans at most 2 buckets (emitted to
+    * both) and every point lands in exactly 1 — the theta join becomes
+    * a bucket equi-join plus an exact containment filter, with no
+    * duplicate pairs possible (a pair meets only in the point's bucket).
+    *
+    * 100 TB path: the shuffle is hash(bucket) on both sides; candidate
+    * volume is Σ_buckets errors(b)·purchases(b) — density-bounded, and
+    * the argmax agg below it groups by the SAME bucket-local purchase
+    * rows, so candidates collapse to one row per purchase in the
+    * partial aggregate BEFORE the exchange: output (and shuffled bytes)
+    * stay linear in purchases however dense the windows get. Hot
+    * buckets (flash incident + flash sale) are ordinary AQE skew-join
+    * territory, same knob as x3. Reference analogue: matching each
+    * scraped record against the retry window the scraper keeps after a
+    * failed page (web_scraper.py:216-220 logs into a recovery window).
+    *
+    * Semantics: inclusive bounds [ets, ets+15min]; latest onset wins,
+    * event_id breaks onset ties. */
+  def e33RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val winUs = 15L * 60 * 1000000 // 15 min in µs = bucket width
+    val ev = events(s, d)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("ets_us"))
+      .withColumn("b0", floor(col("ets_us") / winUs))
+      .select(col("error_id"), col("ets_us"),
+        explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pts_us"))
+      .withColumn("bucket", floor(col("pts_us") / winUs))
+    purch.join(errs, "bucket")
+      .where(col("ets_us") <= col("pts_us") &&
+        col("pts_us") <= col("ets_us") + winUs)
+      .groupBy("purchase_id", "pts_us")
+      // argmax by (onset desc, error_id asc): min over the negated onset
+      .agg(min(struct((-col("ets_us")).as("neg_ets"), col("error_id"))).as("m"))
+      .select(col("purchase_id"), col("pts_us").as("purchase_ts_us"),
+        col("m.error_id").as("error_id"),
+        (-col("m.neg_ets")).as("error_ts_us"),
+        (col("pts_us") + col("m.neg_ets")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
 }

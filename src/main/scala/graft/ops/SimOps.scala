@@ -717,7 +717,7 @@ object SimOps {
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .withColumn("cos_sim", round(col("dp") / (col("na") * col("nb")), 6))
-      .where(col("cos_sim") >= 0.1)
+      .where(col("cos_sim") >= 0.2)
       .select("doc_a", "doc_b", "n_shared", "cos_sim")
       .orderBy("doc_a", "doc_b")
   }

@@ -299,6 +299,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(userExchanges >= 1, "window must partition by user_id")
   }
 
+  test("e33: bucketized range join matches a brute-force interval scan") {
+    val rows = EventOps.e33RangeJoin(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts"))).collect()
+    val errs = ev.filter(_.getString(0) == "error").map(r => (r.getLong(1), r.getLong(2)))
+    val purch = ev.filter(_.getString(0) == "purchase").map(r => (r.getLong(1), r.getLong(2)))
+    val win = 15L * 60 * 1000000
+    val expect = purch.flatMap { case (pid, pts) =>
+      val covering = errs.filter { case (_, ets) => ets <= pts && pts <= ets + win }
+      if (covering.isEmpty) None
+      else {
+        // latest onset wins, event_id breaks ties
+        val (eid, ets) = covering.minBy { case (id, ets) => (-ets, id) }
+        Some(pid -> ((pts, eid, ets, pts - ets)))
+      }
+    }.toMap
+    assert(rows.length == expect.size, "one row per covered purchase")
+    rows.foreach { r =>
+      val (pts, eid, ets, gap) = expect(r.getLong(0))
+      assert(r.getLong(1) == pts && r.getLong(2) == eid &&
+        r.getLong(3) == ets && r.getLong(4) == gap,
+        s"purchase ${r.getLong(0)}: expected ($pts,$eid,$ets,$gap), got $r")
+    }
+  }
+
+  test("e33: the range join is a bucket equi-join, never a nested-loop product") {
+    val p = plan(EventOps.e33RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketization must turn the theta join into an equi-join")
+  }
+
   test("e26: shard assignment matches an independent md5 recompute; manifest is exhaustive") {
     val rows = CurationOps.e26ShardManifest(spark, sf).collect()
     def shardOf(id: Long): Long = {

@@ -22,12 +22,13 @@ class SparseQuantCentroidSpec extends AnyFunSuite {
       val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
       val cos = r.getAs[Double]("cos_sim")
       assert(a < b, s"pair not ordered: $a, $b")
-      assert(cos >= 0.1 && cos <= 1.000001, s"cos out of range: $cos")
+      assert(cos >= 0.2 && cos <= 1.000001, s"cos out of range: $cos")
       assert(r.getAs[Long]("n_shared") >= 1)
     }
     // the fixture's true near-dups sit far above the background noise
-    // (prototyped: background < 0.05, injected dups > 0.9) — at the 0.1
-    // threshold every surviving pair must be a real near-dup
+    // (prototyped: background < 0.05, injected dups > 0.9); 0.2 keeps the
+    // threshold scale-invariant (idf grows with N and pushes borderline
+    // noise past 0.1 on amplified fixtures)
     val dups = rows.count(_.getAs[Double]("cos_sim") > 0.9)
     assert(dups > 0, "no high-cosine near-dup pairs found")
   }
