@@ -327,10 +327,12 @@ object CurationOps {
     *
     * 100 TB path: term counts partial-aggregate before their shuffle;
     * the document-frequency side is VOCABULARY-sized — sublinear in the
-    * corpus (unigram vocab saturates in the millions) — so it
-    * broadcasts, as does the 1-row corpus count; if a tokenizer ever
-    * made the vocab outgrow the driver, dropping the broadcast hint
-    * falls back to one equi-join exchange on term. The top-5 is the
+    * corpus (unigram vocab saturates in the millions) but NOT bounded,
+    * so it carries no broadcast hint: Catalyst/AQE broadcasts it while
+    * it fits under the threshold and falls back to one equi-join
+    * exchange on term when a tokenizer makes the vocab outgrow the
+    * driver (a forced hint would OOM there instead). The 1-row corpus
+    * count does broadcast unconditionally. The top-5 is the
     * bounded-heap TopKPerKey operator, not a row_number window — no
     * per-document sort of the full posting set. Ordering ties break on
     * the ROUNDED score then term, so engine and oracle agree exactly. */
@@ -340,7 +342,7 @@ object CurationOps {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
