@@ -117,7 +117,29 @@ object BenchStats {
   *    tail capture).
   */
 object Bench {
+  /** Evidence-chain guard (r8: BENCH_r08.json's captured tail opened
+    * mid-stack-trace beside rc:0 — most plausibly a dead first attempt
+    * concatenated with a successful rerun, but nothing in the artifact
+    * said so). Every attempt now brackets itself with a unique marker:
+    * `[bench] attempt <id> start` on entry, `... ok` just before the
+    * summary line, `... FAILED` + the trace if anything escapes. A
+    * captured tail therefore always explains its own provenance — a
+    * trace without a matching `ok` belongs to a different, failed
+    * attempt. */
   def main(args: Array[String]): Unit = {
+    val attemptId = f"${ProcessHandle.current().pid()}%d-${System.nanoTime() % 100000}%05d"
+    System.err.println(s"[bench] attempt $attemptId start")
+    try {
+      runSuite(attemptId)
+      System.err.println(s"[bench] attempt $attemptId ok")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] attempt $attemptId FAILED: $e")
+      e.printStackTrace()
+      sys.exit(1)
+    }
+  }
+
+  private def runSuite(attemptId: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -229,7 +251,7 @@ object Bench {
     val passTotals = passRepeats
       .map(r => fmt(names.map(n => contributed(n, r(n))).filter(_ >= 0).sum))
       .mkString("[", ",", "]")
-    val proto = s""""passes":$passes,"pass_totals":$passTotals,""" +
+    val proto = s""""attempt":"$attemptId","passes":$passes,"pass_totals":$passTotals,""" +
       s""""run_order":"alphabetical-interleaved","warmup":1,""" +
       s""""contended":$contended,"load_start":${fmt(loadStart)},""" +
       s""""load_end":${fmt(loadEnd)},"checkpoint_dir":"$ckptDir""""

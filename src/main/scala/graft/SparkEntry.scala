@@ -72,6 +72,7 @@ object SparkEntry {
     "e5_session_window" -> (EventOps.e5SessionWindow _),
     // §2.10 engine mechanisms: streaming parity, dead-letter, partitioned scan
     "e4b_stream_parity"    -> (graft.streaming.EventStreams.e4StreamToTable _),
+    "e4l_late_drop"        -> (graft.streaming.EventStreams.e4lLateDrop _),
     "e5b_stream_parity"    -> (graft.streaming.EventStreams.e5StreamToTable _),
     "e1s_stream_dedup"     -> (graft.streaming.EventStreams.e1sStreamDedup _),
     "e1sb_dedup_bounded"   -> (graft.streaming.EventStreams.e1sbDedupBounded _),
@@ -470,13 +471,12 @@ object SparkEntry {
         |u AS (SELECT label, CAST(u.i AS INTEGER) AS pos,
         |    v[CAST(u.i AS INTEGER)+1] AS x
         |  FROM e, UNNEST(range(len(v))) AS u(i)),
-        |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS centroid_val
+        |  FROM u GROUP BY label, pos),
         |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
-        |SELECT c.label, any_value(n.n_vecs) AS n_vecs,
-        |  list(c.m ORDER BY c.pos) AS centroid
+        |SELECT c.label, c.pos, c.centroid_val, n.n_vecs
         |FROM c JOIN n ON n.label = c.label
-        |GROUP BY c.label
-        |ORDER BY c.label""".stripMargin,
+        |ORDER BY c.label, c.pos""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),
@@ -669,6 +669,41 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // e4l: reproduce Spark's watermark drop/emit rule from the batch
+    // table. Buckets: the same integer-division boundaries the staging
+    // computes; replay positions: the fixed 0,2,4,1,3,5 permutation;
+    // watermark before position p: (ms-truncated max event time over
+    // positions < p) − 600000 ms (Spark accumulates eventTimeUs/1000);
+    // a row is KEPT iff its hour-window end (µs) > watermark·1000, a
+    // window is EMITTED iff its end ≤ final watermark·1000.
+    "e4l_late_drop" ->
+      """WITH stats AS (SELECT min(epoch_us(ts)) AS ts_min,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span FROM events),
+        |b AS (SELECT CAST(t.i AS INTEGER) AS i,
+        |    ts_min + (span * t.i) // 6 AS lo,
+        |    ts_min + (span * (t.i + 1)) // 6 AS hi
+        |  FROM range(6) t(i), stats),
+        |pos(i, p) AS (VALUES (0,0),(2,1),(4,2),(1,3),(3,4),(5,5)),
+        |e AS (SELECT ev.event_type, ev.value, ev.ts, epoch_us(ev.ts) AS ets_us,
+        |    pos.p AS p
+        |  FROM events ev
+        |  JOIN b ON epoch_us(ev.ts) >= b.lo AND epoch_us(ev.ts) < b.hi
+        |  JOIN pos ON pos.i = b.i),
+        |bmax AS (SELECT p, max(ets_us) // 1000 AS max_ms FROM e GROUP BY p),
+        |wm AS (SELECT p, max(max_ms) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000 AS wm_ms
+        |  FROM bmax),
+        |kept AS (SELECT e.* FROM e JOIN wm ON e.p = wm.p
+        |  WHERE wm.wm_ms IS NULL
+        |    OR (epoch_us(date_trunc('hour', e.ts)) + 3600000000) > wm.wm_ms * 1000),
+        |fin AS (SELECT max(ets_us) // 1000 - 600000 AS fwm_ms FROM e)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM kept, fin
+        |GROUP BY 1, 2, fin.fwm_ms
+        |HAVING (min(epoch_us(date_trunc('hour', ts))) + 3600000000) <= fwm_ms * 1000
+        |ORDER BY win_start, event_type""".stripMargin,
     "e5b_stream_parity" ->
       """WITH e AS (
         |  SELECT user_id, ts,

@@ -32,9 +32,16 @@ object VectorCentroid extends Aggregator[Array[Double], CentroidBuf, Array[Doubl
 
   override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
 
+  // Initialization is tracked by n == 0, NOT sums.isEmpty: a
+  // zero-length input vector legitimately leaves sums empty with n = 1,
+  // and the old emptiness test let the next non-empty vector silently
+  // re-initialize the buffer and reset the count. With n-based tracking
+  // a zero-length vector counts correctly against an all-zero-length
+  // group, and a mixed-dimension group fails the require below instead
+  // of corrupting the mean.
   override def reduce(b: CentroidBuf, v: Array[Double]): CentroidBuf = {
     if (v == null) return b
-    if (b.sums.isEmpty) { b.sums = v.clone(); b.n = 1L; return b }
+    if (b.n == 0L) { b.sums = v.clone(); b.n = 1L; return b }
     require(b.sums.length == v.length,
       s"vector length mismatch: ${b.sums.length} vs ${v.length}")
     var i = 0
@@ -44,8 +51,13 @@ object VectorCentroid extends Aggregator[Array[Double], CentroidBuf, Array[Doubl
   }
 
   override def merge(a: CentroidBuf, b: CentroidBuf): CentroidBuf = {
-    if (b.sums.isEmpty) return a
-    if (a.sums.isEmpty) return b
+    if (b.n == 0L) return a
+    if (a.n == 0L) return b
+    // Same dimension contract as reduce(): without it, two partitions
+    // that adopted different first-vector lengths would silently
+    // truncate (loop bounded by a) or throw AIOOBE mid-merge.
+    require(a.sums.length == b.sums.length,
+      s"vector length mismatch in merge: ${a.sums.length} vs ${b.sums.length}")
     var i = 0
     while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     a.n += b.n

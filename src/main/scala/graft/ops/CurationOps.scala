@@ -105,9 +105,20 @@ object CurationOps {
     // cheap scan of the id-pruned slice, never of the corpus
     val nBench = math.max(1L, bench.count())
     val shHash = new XxHash64(Seq(Bridge.expression(col("sh"))))
+    // Clamp the bit budget the same way Spark's runtime-filter path
+    // does (spark.sql.optimizer.runtime.bloomFilter.maxNumBits): the
+    // sketch is collected to the driver as a literal, so an unclamped
+    // nBench*16 on a production-size benchmark set would bloat the plan
+    // (and overflow Int array sizing). Past the clamp the fpp degrades
+    // from ~0.04% toward nBench/(maxBits/16) · 0.04% — still only a
+    // larger exact-confirm join, never a correctness change, because
+    // every bloom positive is re-checked by the equi-join below.
+    val maxBits = s.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val numBits = math.min(nBench * 16L, maxBits)
     val bloomBytes = bench
       .select(Bridge.column(new BloomFilterAggregate(shHash,
-        Literal(nBench), Literal(nBench * 16L)).toAggregateExpression()).as("bf"))
+        Literal(nBench), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val corpus = SimOps.shingleRowsOf(docs.where(!benchMember))
     val prefiltered =
@@ -286,7 +297,7 @@ object CurationOps {
     * is TakeOrderedAndProject — per-partition bounded heaps + a
     * driver-side merge of 50-row lists, never a global sort. */
   def e23NgramStats(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
+    documents(s, d)
       .withColumn("w", toks)
       .select(col("doc_id"), explode(bigramsArr).as("bg"))
       .groupBy("bg")

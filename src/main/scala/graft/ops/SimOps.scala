@@ -689,11 +689,22 @@ object SimOps {
     * each posting (listPairs), dots partial-aggregate on (doc_a,doc_b)
     * — volume bounded by true candidate pairs, not N². The final norm
     * joins are doc-count-bounded equi-joins. */
-  def e30SparseCosine(s: SparkSession, d: String): DataFrame = {
+  def e30SparseCosine(s: SparkSession, d: String): DataFrame =
+    e30SparseCosineWithCaches(s, d)._1
+
+  /** e30 plus the handle of its persisted posting index — the e8
+    * `WithCaches` shape: callers that materialize the result eagerly
+    * (specs, scale probes) can `unpersist` the posting list as soon as
+    * their downstream lands instead of waiting for `clearCache()`. The
+    * plain e30SparseCosine keeps it for the query's lifetime (the lazy
+    * result still reads it); the bench clears the session cache before
+    * every repeat, so repeated invocations never accumulate copies. */
+  private[graft] def e30SparseCosineWithCaches(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     // persisted: feeds the norm build AND the pair join (e8's cache
-    // pattern; sessions reclaim via catalog.clearCache()).
+    // pattern; callers release via the returned handle or clearCache).
     val posting = shingleRows(s, d).select(col("doc_id"), col("sh").as("term"))
       .groupBy("term").agg(collect_list(col("doc_id")).as("ds"))
       .withColumn("df", size(col("ds")))
@@ -713,13 +724,14 @@ object SimOps {
         greatest(col("a"), col("b")).as("doc_b"), col("idf2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"), sum(col("idf2")).as("dp"))
-    dots
+    val result = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .withColumn("cos_sim", round(col("dp") / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= 0.2)
       .select("doc_a", "doc_b", "n_shared", "cos_sim")
       .orderBy("doc_a", "doc_b")
+    (result, Seq(posting))
   }
 
   /** E31: ANN over int8 SCALAR-QUANTIZED embeddings — the memory-side
@@ -768,12 +780,22 @@ object SimOps {
     * the partial aggregation: each partition ships one (sums, n) buffer
     * per label — `labels × dim × 8` bytes of shuffle regardless of row
     * count — which is the centroid step of an IVF/k-means index build
-    * at corpus scale. */
+    * at corpus scale.
+    *
+    * Declared shape (r9): the centroid array is posexploded to scalar
+    * `(label, pos, centroid_val, n_vecs)` rows — the driver's oracle
+    * gate pandas-sorts every column and cannot factorize array cells,
+    * so declared outputs carry only scalar columns (the r8 red row).
+    * The explode happens AFTER the aggregation, on `labels` rows, so
+    * the partial-agg shuffle economics are unchanged. */
   def e32CentroidAgg(s: SparkSession, d: String): DataFrame = {
     vectors(embeddings(s, d))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
-        graft.functions.VectorCentroid.centroid(col("v")).as("centroid"))
-      .orderBy("label")
+        graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("c")).as(Seq("pos", "centroid_val")))
+      .select("label", "pos", "centroid_val", "n_vecs")
+      .orderBy("label", "pos")
   }
 }

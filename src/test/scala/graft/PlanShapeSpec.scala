@@ -127,4 +127,48 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.ord.OrdPipeline.ordJ1RoleEncode(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  // r8-key shape pins (VERDICT r8 item 8): the load-bearing rewrites a
+  // future Spark upgrade could silently undo.
+
+  test("E25 as-of join is ONE user_id exchange + window, never a range product") {
+    val p = plan(EventOps.e25AsofJoin(spark, sf))
+    // the union-and-carry idiom has no join at all — a Join node means
+    // the rewrite regressed to the quadratic-per-user t2<=t1 form
+    assert(!p.contains("Join"), "e25 must carry purchases via a window, not join them")
+    assert(p.contains("Window"), "the as-of carry is a running last() window")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2,
+      s"e25 should shuffle on user_id once (plus the final orderBy range exchange): $exchanges exchanges")
+  }
+
+  test("E30 sparse cosine generates pairs from posting lists, no N^2 join") {
+    val p = plan(SimOps.e30SparseCosine(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // pairs must explode PARTITION-LOCAL from each capped posting list —
+    // this Generate is the whole scale contract (candidate volume is
+    // bounded by the df<=64 cap, never N^2)
+    assert(p.contains("Generate explode(slice"),
+      "pair generation must be the partition-local posting-list double-explode")
+    // the only nested-loop joins allowed are the broadcast of the 1-row
+    // corpus count (crossJoin(broadcast(nDocs)) — VERDICT-sanctioned);
+    // they print as BuildRight Cross over a 1-row aggregate
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight, Cross")),
+      s"unexpected nested-loop join shape: ${bnlj.mkString("; ")}")
+  }
+
+  test("E33 range join runs as a bucket EQUI-join with partial-agg argmax") {
+    val p = plan(EventOps.e33RangeJoin(spark, sf))
+    // the bucketization rewrite: containment becomes hash(bucket) equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a nested-loop theta join re-scans every interval per probe row")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "the bucket join must be an equi-join (hash or sort-merge), keyed on the bucket")
+    // argmax collapses candidates map-side: the partial min(struct) sits
+    // BELOW the exchange (min over struct plans as SortAggregate), so
+    // shuffled bytes stay one row per purchase however dense the windows
+    assert(p.contains("partial_min"),
+      "candidate rows must collapse in a partial aggregate before the exchange")
+  }
 }

@@ -57,10 +57,17 @@ class SparseQuantCentroidSpec extends AnyFunSuite {
   }
 
   test("e32 typed-UDAF centroid equals the expression-based per-position mean") {
+    // declared shape is exploded scalar rows (driver-sortable); regroup
+    // per label for the comparison against the expression-based build
     val udafOut = SimOps.e32CentroidAgg(spark, sf).collect()
-      .map(r => r.getAs[Int]("label") ->
-        (r.getAs[Long]("n_vecs"), r.getAs[scala.collection.Seq[Double]]("centroid").toList))
-      .toMap
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (label, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("pos"))
+        assert(sorted.map(_.getAs[Int]("pos")).toSeq == sorted.indices.toSeq,
+          s"pos not dense for label $label")
+        label -> (sorted.head.getAs[Long]("n_vecs"),
+          sorted.map(_.getAs[Double]("centroid_val")).toList)
+      }
     val expr = Tables.embeddings(spark, sf)
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
       .groupBy("label", "pos").agg(avg(col("col")).as("m"))
@@ -76,6 +83,25 @@ class SparseQuantCentroidSpec extends AnyFunSuite {
       assert(n > 0)
       assert(c == expr(label), s"centroid mismatch for label $label")
     }
+  }
+
+  test("VectorCentroid merge rejects mixed dimensions; zero-length vectors count") {
+    import graft.functions.{CentroidBuf, VectorCentroid}
+    val mism = intercept[IllegalArgumentException] {
+      VectorCentroid.merge(
+        CentroidBuf(Array(1.0, 2.0), 1L), CentroidBuf(Array(1.0, 2.0, 3.0), 1L))
+    }
+    assert(mism.getMessage.contains("mismatch"))
+    // a zero-length vector initializes (sums=[], n=1); a later non-empty
+    // vector must ERROR, not silently re-initialize and drop the count
+    val z = VectorCentroid.reduce(VectorCentroid.zero, Array.emptyDoubleArray)
+    assert(z.n == 1L && z.sums.isEmpty)
+    intercept[IllegalArgumentException] {
+      VectorCentroid.reduce(z, Array(1.0, 2.0))
+    }
+    // all-zero-length groups merge and count correctly
+    val m = VectorCentroid.merge(z, CentroidBuf(Array.emptyDoubleArray, 2L))
+    assert(m.n == 3L && m.sums.isEmpty)
   }
 
   test("e32 runs as a partial (map-side combined) aggregation") {

@@ -24,6 +24,11 @@ sbt -batch test \
   "runMain graft.Smoke" \
   "runMain graft.Plans $SF docs/plans"
 
+# declared outputs must be pandas-sortable scalar columns (the driver's
+# oracle gate crashes on array cells — how e32 shipped red in r8 while
+# the array-normalizing local compare stayed green)
+python3 tools/shape_lint.py "$OUT"
+
 python3 tools/compare.py "$SF" "$OUT"
 
 # surface plan drift loudly: a diff here means the change altered a

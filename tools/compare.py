@@ -84,12 +84,19 @@ def main(sf_dir, out_dir, json_out=None):
             def norm(x):
                 # duckdb->pandas yields numpy arrays for NUMERIC list
                 # cells (python lists for VARCHAR lists); normalize so
-                # cell comparison is plain list equality either way
+                # cell comparison is plain list equality either way.
+                # NaN inside a list cell is replaced by a sentinel:
+                # the scalar-level NaN tolerance (a != a and b != b)
+                # below never reaches list elements, so without this a
+                # NaN-carrying list (e.g. a 0/0 mean) would always
+                # report a spurious diff.
                 import numpy as np
                 if isinstance(x, np.ndarray):
                     return [norm(y) for y in x.tolist()]
                 if isinstance(x, list):
                     return [norm(y) for y in x]
+                if isinstance(x, float) and x != x:
+                    return "__nan__"
                 return x
             for c in s.columns:
                 sv = [norm(x) for x in s[c].tolist()]
