@@ -54,13 +54,16 @@ object Amplify {
       f.stripPrefix("--eps=").toDouble }.getOrElse(DefaultEps)
     val only = flags.collectFirst { case f if f.startsWith("--tables=") =>
       f.stripPrefix("--tables=").split(",").toSet }.getOrElse(Set.empty[String])
+    val extendTime = flags.contains("--extend-time")
     // a typo'd flag (--pertrub) must not silently run a different mode
     // and hand downstream a fixture with the circular 1.0/0.0 recalls
     val unknown = flags.filterNot(f =>
-      f == "--perturb" || f.startsWith("--eps=") || f.startsWith("--tables="))
+      f == "--perturb" || f == "--extend-time" ||
+        f.startsWith("--eps=") || f.startsWith("--tables="))
     require(unknown.isEmpty,
       s"unknown flag(s) ${unknown.mkString(", ")} — " +
-        "usage: Amplify <srcDir> <dstDir> [factor] [--perturb] [--eps=E] [--tables=a,b]")
+        "usage: Amplify <srcDir> <dstDir> [factor] [--perturb] [--eps=E] " +
+        "[--tables=a,b] [--extend-time]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,7 +71,7 @@ object Amplify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, pos(0), pos(1), factor, perturb, eps, only)
+    run(spark, pos(0), pos(1), factor, perturb, eps, only, extendTime)
     spark.stop()
   }
 
@@ -88,7 +91,7 @@ object Amplify {
     * it). `only` empty = all tables. */
   def run(spark: SparkSession, src: String, dst: String, factor: Int,
       perturb: Boolean = false, eps: Double = DefaultEps,
-      only: Set[String] = Set.empty): Unit = {
+      only: Set[String] = Set.empty, extendTime: Boolean = false): Unit = {
     def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // one scan per table for ALL of its key-domain sizes
@@ -163,7 +166,35 @@ object Amplify {
         "l_suppkey" -> offs(read("supplier"), "s_suppkey").head))
     if (wanted("events")) {
       val Seq(oEvent, oUser) = offs(read("events"), "event_id", "user_id")
-      amplify("events", Map("event_id" -> oEvent, "user_id" -> oUser))
+      // --extend-time: copy c shifts every timestamp by c × (span + 1),
+      // so the amplified corpus EXTENDS in time at constant event
+      // density — the shape a real multi-year event log has — instead
+      // of densifying the same span (the default, which multiplies
+      // per-window candidate products quadratically; both regimes are
+      // needed to pin which term a range-join slope measures). The
+      // shift preserves the source's ts physical type (timestamp vs
+      // BIGINT nanos fixtures).
+      val extendShift: (DataFrame, Int) => DataFrame =
+        if (!extendTime) (d, _) => d
+        else {
+          import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+          read("events").schema("ts").dataType match {
+            case LongType => // raw nanos fixture
+              val r = read("events").agg(min(col("ts")), max(col("ts"))).head()
+              val spanNs = r.getLong(1) - r.getLong(0) + 1
+              (d, c) => if (c == 0) d else
+                d.withColumn("ts", col("ts") + lit(c.toLong * spanNs))
+            case t => // µs timestamp (TZ or NTZ): shift via timestampadd
+              val asTs = if (t == TimestampNTZType) col("ts").cast("timestamp") else col("ts")
+              val r = read("events")
+                .agg(min(unix_micros(asTs)), max(unix_micros(asTs))).head()
+              val spanUs = r.getLong(1) - r.getLong(0) + 1
+              (d, c) => if (c == 0) d else
+                d.withColumn("ts",
+                  expr(s"timestampadd(MICROSECOND, ${c.toLong * spanUs}, ts)"))
+          }
+        }
+      amplify("events", Map("event_id" -> oEvent, "user_id" -> oUser), extendShift)
     }
     // Per-copy token suffix keeps copies dissimilar; copy 0 untouched.
     // The suffix carries a hash of the SOURCE path so re-amplification

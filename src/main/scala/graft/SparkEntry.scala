@@ -100,6 +100,7 @@ object SparkEntry {
     "e7b_simhash_pairs" -> (SimOps.e7bSimhashPairs _),
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
     "e8h_posting_histogram" -> (SimOps.e8hPostingHistogram _),
+    "e33h_candidate_volume" -> (EventOps.e33hCandidateVolume _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "e30_sparse_cosine"     -> (SimOps.e30SparseCosine _),
     "e31_quant_ann"         -> (SimOps.e31QuantAnn _),
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
+    "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -477,6 +479,31 @@ object SparkEntry {
         |SELECT c.label, c.pos, c.centroid_val, n.n_vecs
         |FROM c JOIN n ON n.label = c.label
         |ORDER BY c.label, c.pos""".stripMargin,
+    // e34: the centroid recompute is e32's oracle (round(avg,6) per
+    // position); cosine-to-centroid uses the list_dot_product idiom the
+    // e12/e31 oracles already prove bit-compatible with the codegen
+    // expression; keeper rn=1 mirrors Spark's (cos desc, vec_id) argmax
+    "e34_centroid_keeper" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER)+1] AS x
+        |  FROM e, UNNEST(range(len(v))) AS u(i)),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
+        |cl AS (SELECT label, list(m ORDER BY pos) AS c FROM c GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |    round(list_dot_product(e.v, cl.c) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cl.c, cl.c))), 6)
+        |      AS cos_c
+        |  FROM e JOIN cl USING (label)),
+        |k AS (SELECT label, vec_id AS keeper_id, cos_c AS keeper_cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos_c DESC, vec_id) AS rn
+        |  FROM s),
+        |a AS (SELECT label, count(*) AS n_vecs, round(avg(cos_c), 6) AS mean_cos
+        |  FROM s GROUP BY label)
+        |SELECT k.label, k.keeper_id, k.keeper_cos, a.n_vecs, a.mean_cos
+        |FROM k JOIN a USING (label) WHERE k.rn = 1
+        |ORDER BY k.label""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),
@@ -489,6 +516,21 @@ object SparkEntry {
         |SELECT purchase_id, pts_us AS purchase_ts_us, error_id,
         |  ets_us AS error_ts_us, pts_us - ets_us AS gap_us
         |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // e33h: buckets derive via double division + floor on BOTH engines
+    // (Spark's floor(long/long) is IEEE double math; 900000000.0 forces
+    // DuckDB onto the identical path) so bucket ids match bit-for-bit
+    "e33h_candidate_volume" ->
+      """WITH e AS (SELECT CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) AS b0
+        |  FROM events WHERE event_type = 'error'),
+        |eb AS (SELECT bucket, count(*) AS n_err FROM (
+        |    SELECT unnest([b0, b0 + 1]) AS bucket FROM e) GROUP BY bucket),
+        |pb AS (SELECT CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_purch
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT eb.n_err * pb.n_purch AS cand FROM eb JOIN pb USING (bucket))
+        |SELECT CAST(length(bin(cand)) - 1 AS BIGINT) AS cand_bucket,
+        |  count(*) AS n_buckets, CAST(sum(cand) AS BIGINT) AS candidate_volume
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

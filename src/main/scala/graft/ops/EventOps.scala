@@ -154,4 +154,37 @@ object EventOps {
         (col("pts_us") + col("m.neg_ets")).as("gap_us"))
       .orderBy("purchase_id")
   }
+
+  /** E33h: the candidate-volume CONTRACT for e33, in the e8h mold —
+    * e33's named cost term is the per-bucket error×purchase candidate
+    * product (density-quadratic when amplification packs more of both
+    * into the same time span), and this key MEASURES it in-plan instead
+    * of asserting it: per time bucket, the exploded-error posting count
+    * times the purchase count, histogrammed by log2(candidates). The
+    * oracle recomputes the histogram independently, so every SCALE.md
+    * slope explanation that blames the density term cites a number the
+    * DuckDB gate checks at that same scale.
+    *
+    * 100 TB path: two filtered scans partial-aggregated to one row per
+    * bucket, a bucket-count-sized equi-join, and a ≤64-row histogram —
+    * the measurement costs a tiny fraction of the operator it gates. */
+  def e33hCandidateVolume(s: SparkSession, d: String): DataFrame = {
+    val winUs = 15L * 60 * 1000000
+    val ev = events(s, d)
+    val errs = ev.where(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("ets_us"))
+      .withColumn("b0", floor(col("ets_us") / winUs))
+      .select(explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_err"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(floor(unix_micros(col("ts")) / winUs).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_purch"))
+    errs.join(purch, "bucket") // a bucket missing either side yields no candidates
+      .select((col("n_err") * col("n_purch")).as("cand"))
+      .select((length(bin(col("cand"))) - 1).cast("long").as("cand_bucket"),
+        col("cand"))
+      .groupBy("cand_bucket")
+      .agg(count(lit(1)).as("n_buckets"), sum("cand").as("candidate_volume"))
+      .orderBy("cand_bucket")
+  }
 }

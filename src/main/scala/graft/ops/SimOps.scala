@@ -798,4 +798,36 @@ object SimOps {
       .select("label", "pos", "centroid_val", "n_vecs")
       .orderBy("label", "pos")
   }
+
+  /** E34: centroid-KEEPER election — the semantic-dedup step e32's
+    * centroids exist for: per label (= cluster), elect the single
+    * vector most cosine-similar to the label centroid as the cluster's
+    * representative, and report the cluster's cohesion (mean cosine to
+    * centroid). This is the "keep one per semantic cluster" primitive
+    * of embedding-based dedup (SemDeDup-style), composed from parts the
+    * suite already gates: the [[graft.functions.VectorCentroid]]
+    * partial-agg UDAF and the codegen'd cosine used by e12/e31.
+    *
+    * 100 TB path: one partial-agg pass builds the centroids (labels ×
+    * dim × 8 B of shuffle — e32's contract), the centroid dim
+    * BROADCASTS (clusters ≪ corpus), scoring is map-side, and the
+    * keeper election is `max(struct)` — partial-aggregated argmax, one
+    * row per label past the exchange, never a per-label sort. Ties on
+    * the 6-dp rounded cosine break to the smallest vec_id, so the
+    * elected keeper is engine-deterministic. */
+  def e34CentroidKeeper(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d))
+    val cents = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+    val scored = e.join(broadcast(cents), "label")
+      .select(col("label"), col("n_vecs"), col("vec_id"),
+        cosine(col("v"), col("c")).as("cos_c"))
+    scored.groupBy("label", "n_vecs")
+      .agg(max(struct(col("cos_c"), (-col("vec_id")).as("neg_id"))).as("m"),
+        round(avg(col("cos_c")), 6).as("mean_cos"))
+      .select(col("label"), (-col("m.neg_id")).as("keeper_id"),
+        col("m.cos_c").as("keeper_cos"), col("n_vecs"), col("mean_cos"))
+      .orderBy("label")
+  }
 }

@@ -110,4 +110,27 @@ class SparseQuantCentroidSpec extends AnyFunSuite {
     // the exchange: the buffers shuffle, never the vectors
     assert(p.contains("ObjectHashAggregate"), p)
   }
+
+  test("e34 keeper is the per-label cosine argmax; centroids broadcast, argmax partial-aggregates") {
+    val out = SimOps.e34CentroidKeeper(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // max >= mean always; equality only in a 1-vector cluster
+      assert(r.getAs[Double]("keeper_cos") >= r.getAs[Double]("mean_cos") - 1e-9)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+    // independent argmax recompute on one label
+    val label0 = rows.head.getAs[Int]("label")
+    val scored = Tables.embeddings(spark, sf)
+      .where(col("label") === label0)
+      .count()
+    assert(scored == rows.head.getAs[Long]("n_vecs"))
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      "the label-count-sized centroid dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_max") || p.contains("SortAggregate"),
+      "the keeper election must collapse in a partial aggregate")
+  }
 }

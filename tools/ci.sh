@@ -26,7 +26,9 @@ sbt -batch test \
 
 # declared outputs must be pandas-sortable scalar columns (the driver's
 # oracle gate crashes on array cells — how e32 shipped red in r8 while
-# the array-normalizing local compare stayed green)
+# the array-normalizing local compare stayed green); the selftest first
+# proves the lint still fails on a deliberate array-valued key
+python3 tools/shape_lint.py --selftest
 python3 tools/shape_lint.py "$OUT"
 
 python3 tools/compare.py "$SF" "$OUT"

@@ -56,5 +56,37 @@ def main(out_dir):
     return 0
 
 
+def selftest():
+    """The lint must actually fail on a non-scalar column (the whole
+    point) — build a throwaway violation and assert rc=1, plus a clean
+    dump and assert rc=0. Run by ci.sh before the real lint so a
+    regression in the lint itself can't silently wave violations
+    through."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    root = tempfile.mkdtemp(prefix="shape-lint-selftest-")
+    try:
+        import os
+        with open(f"{root}/oracle_sql.json", "w") as f:
+            json.dump({"good_key": "SELECT 1", "bad_key": "SELECT 1"}, f)
+        os.makedirs(f"{root}/good_key")
+        pq.write_table(pa.table({"k": [1], "v": [2.0]}),
+                       f"{root}/good_key/part-0.parquet")
+        assert main(root) == 0, "lint rejected a scalar-only dump"
+        os.makedirs(f"{root}/bad_key")
+        pq.write_table(pa.table({"k": [1], "v": [[1.0, 2.0]]}),
+                       f"{root}/bad_key/part-0.parquet")
+        assert main(root) == 1, "lint passed an array-valued declared output"
+        print("shape_lint --selftest: ok (scalar dump passes, array dump fails)")
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1]))
