@@ -136,6 +136,7 @@ object SparkEntry {
     "e31_quant_ann"         -> (SimOps.e31QuantAnn _),
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
+    "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -504,6 +505,34 @@ object SparkEntry {
         |SELECT k.label, k.keeper_id, k.keeper_cos, a.n_vecs, a.mean_cos
         |FROM k JOIN a USING (label) WHERE k.rn = 1
         |ORDER BY k.label""".stripMargin,
+    // e35: BM25 with k1=1.2, b=0.75; the query set is the terms ranked
+    // 20-31 by (df DESC, term) split 4-per-query — derived from the
+    // corpus in both engines identically; scores round to 6 dp BEFORE
+    // ranking so both engines rank the same number, ties on doc_id
+    "e35_bm25_topk" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term, df FROM (
+        |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
+        |    FROM dfreq)
+        |  WHERE r BETWEEN 20 AND 31),
+        |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+        |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id), st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM sc)
+        |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

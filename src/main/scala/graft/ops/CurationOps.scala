@@ -367,6 +367,59 @@ object CurationOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** E35: BM25 top-k retrieval — per query, the 5 highest-BM25 documents
+    * (k1 = 1.2, b = 0.75), the relevance-scoring primitive behind
+    * retrieval-based quality filtering and fuzzy decontamination. Every
+    * statistic is computed IN-PLAN: document frequency, corpus size,
+    * and average document length come from the same scan dataflow at
+    * any scale — no driver-side constants.
+    *
+    * The query set derives deterministically from the corpus itself:
+    * the terms ranked 20-31 by (df DESC, term) become 3 queries × 4
+    * terms. Ranking runs orderBy+limit(31) — TakeOrdered's bounded
+    * per-partition heaps, never a global sort — and the row_number
+    * window that splits the 31 survivors into queries orders a
+    * 31-row frame (driver-scale by construction).
+    *
+    * 100 TB path: tf partial-aggregates before its one exchange; the
+    * 12-term query set BROADCASTS onto tf, so only matching (doc, term)
+    * rows survive into the score — the scored relation is
+    * |q|·(df of query terms), not the corpus; doc lengths join
+    * doc-count-bounded; scoring sums ≤ |q| terms per (query, doc) in a
+    * partial aggregate; the top-5 is the bounded-heap TopKPerKey
+    * operator. Scores round to 6 dp BEFORE ranking so engine and
+    * oracle rank the identical number; ties break on doc_id. */
+  def e35Bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = documents(s, d)
+    val lens = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val queries = dfreq
+      .orderBy(col("df").desc, col("term")).limit(31)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .where(col("r") >= 20 && col("r") <= 31)
+      .select((((col("r") - 20) / 4).cast("int")).as("qid"), col("term"), col("df"))
+    val scored = tf.join(broadcast(queries), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_match"), round(sum(col("contrib")), 6).as("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored, 5,
+        keys = Seq("qid"), orderBy = Seq(("score", false), ("doc_id", true)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** E28: passage-level exact dedup — chunk each document into 16-token
     * passages and drop every passage whose exact text already appeared
     * earlier in the corpus (first owner by (doc_id, pidx) keeps it).

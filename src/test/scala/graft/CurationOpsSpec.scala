@@ -404,4 +404,48 @@ class CurationOpsSpec extends AnyFunSuite {
     val p = plan(CurationOps.e28PassageDedup(spark, sf))
     assert(!p.contains("Window"), "keeper election must be min(struct), not row_number")
   }
+
+  test("e35: BM25 ranks are 1..5 per query with non-increasing scores; one hit recomputed") {
+    val rows = CurationOps.e35Bm25Topk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("qid")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not non-increasing: $scores")
+      // every hit matched at least one of the query's <=4 terms
+      sorted.foreach(r => assert(r.getAs[Long]("n_match") >= 1
+        && r.getAs[Long]("n_match") <= 4))
+    }
+    // independent scalar recompute of one (query, doc) score via Scala
+    val top = rows.minBy(r => (r.getAs[Int]("qid"), r.getAs[Int]("rnk")))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("w").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length).sum / n
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val queries = df.toSeq.sortBy { case (t, d) => (-d, t) }.slice(19, 31)
+      .grouped(4).zipWithIndex.map { case (ts, q) => q -> ts }.toMap
+    val (k1, b) = (1.2, 0.75)
+    val terms = queries(top.getAs[Int]("qid"))
+    val w = docs(top.getAs[Long]("doc_id"))
+    val expected = terms.map { case (t, d) =>
+      val tf = w.count(_ == t)
+      if (tf == 0) 0.0
+      else math.log(1 + (n - d + 0.5) / (d + 0.5)) *
+        tf * (k1 + 1) / (tf + k1 * (1 - b + b * w.length / avgdl))
+    }.sum
+    assert(math.abs(expected - top.getAs[Double]("score")) < 1e-5,
+      s"scala recompute $expected vs plan ${top.getAs[Double]("score")}")
+  }
+
+  test("e35: query set broadcasts onto tf and the tail is the bounded-heap top-k") {
+    val p = plan(CurationOps.e35Bm25Topk(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 12-term query set must broadcast — only matching rows survive into scoring")
+    assert(p.contains("TopKPerKey") || p.contains("GraftTopK") || p.contains("TakeOrdered"),
+      s"the per-query top-5 must be heap-bounded:\n${p.take(1500)}")
+  }
 }
