@@ -137,6 +137,7 @@ object SparkEntry {
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
+    "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -533,6 +534,18 @@ object SparkEntry {
         |  FROM sc)
         |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "e36_epoch_order" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |o AS (SELECT doc_id, h, h % 64 AS shard,
+        |    row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS ord
+        |  FROM t)
+        |SELECT shard, count(*) AS n_docs,
+        |  min(CASE WHEN ord = 1 THEN doc_id END) AS first_doc,
+        |  CAST(sum((ord * (doc_id % 997)) % 1000003) AS BIGINT) AS order_fp
+        |FROM o GROUP BY shard ORDER BY shard""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

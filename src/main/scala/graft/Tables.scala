@@ -54,4 +54,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Hash-spread `df` by `key` ONLY when the scan yields too few splits
+    * to feed the session's parallelism. A local few-file fixture
+    * arrives as one input split, which would serialize the heavy
+    * per-row stages that follow (shingling, 50× explode fan-outs) —
+    * but at real scale the parquet scan already carries thousands of
+    * splits and the same exchange would ship the whole table for
+    * nothing before any reduction. Gating on the scan's actual
+    * partition count keeps the local fixtures wide AND keeps the
+    * 100 TB plan exchange-free; reading the count only plans the scan,
+    * it runs no job. */
+  def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 2)
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(key)
+  }
 }

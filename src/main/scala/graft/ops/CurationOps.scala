@@ -141,9 +141,11 @@ object CurationOps {
     * All three metrics are computed INSIDE the row with higher-order
     * array functions (the per-row counting is O(distinct·n) on ~100-word
     * docs), so the op is a pure projection: no shuffle, no window, no
-    * state — it scales with scan bandwidth alone. */
+    * state — it scales with scan bandwidth alone. (The spreadIfNarrow
+    * staging exchange fires only on few-split local fixtures, never on
+    * a real-scale scan — Tables.spreadIfNarrow.) */
   def e10bGopherRepetition(s: SparkSession, d: String): DataFrame =
-    repetitionMetrics(documents(s, d).repartition(col("doc_id")))
+    repetitionMetrics(graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id")))
       .where(size(col("w")) > 0)
       .select("doc_id", "n_tokens", "top_word_frac", "dup_word_frac",
         "dup_bigram_frac", "passes_repetition")
@@ -458,5 +460,44 @@ object CurationOps {
           round(lit(1.0) - coalesce(col("n_kept"), lit(0L)) / col("n_passages"), 6))
           .as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  /** E36: epoch-order shuffle — the deterministic global training-order
+    * randomization a data loader consumes: every document gets an
+    * epoch-seeded pseudo-random rank (md5 of `doc_id:<epoch>` — change
+    * the seed, get an uncorrelated order with ZERO extra data
+    * movement), is assigned to one of 64 shards by that same hash, and
+    * is ordered within its shard by it. Completes e26: the manifest
+    * said WHICH shard, this says IN WHAT ORDER the trainer reads it.
+    * Reference analogue: the scraper emits records in crawl order
+    * (web_scrpaer_2.py:264-271 sequential pagination); a training
+    * pipeline must decorrelate that order every epoch.
+    *
+    * The declared output is the per-shard ORDER manifest: doc count,
+    * the first document the loader would read, and a position-weighted
+    * modular fingerprint of the entire sequence — any transposition of
+    * two documents changes it, so the oracle checks the full order
+    * while the result stays 64 scalar rows at any corpus size.
+    *
+    * 100 TB path: this is exactly the shape of the real shard writer
+    * (`repartition(shard).sortWithinPartitions(h)` →
+    * `write.partitionBy`): ONE hash exchange on shard, a per-shard
+    * local sort (the window), and a final aggregation that REUSES the
+    * window's partitioning (groupBy(shard) is satisfied by the
+    * exchange already in place — no second shuffle). No global sort
+    * ever exists; shard sorts are independent and spill-safe. */
+  def e36EpochOrder(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":1"))),
+      1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % 64)
+      .withColumn("ord", row_number().over(w))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("ord") === 1, col("doc_id"))).as("first_doc"),
+        sum((col("ord") * (col("doc_id") % 997)) % 1000003).as("order_fp"))
+      .orderBy("shard")
   }
 }

@@ -276,7 +276,7 @@ object SimOps {
     * scan first so the parquet reader prunes on doc_id instead of
     * shingling the whole corpus twice. */
   private[ops] def shingleRowsOf(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    graft.Tables.spreadIfNarrow(docs, col("doc_id"))
       .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),
         explode(when(size(col("toks")) >= 3,
@@ -498,7 +498,7 @@ object SimOps {
     * (doc, word) hash agg + one doc agg with n sum columns — see e7. */
   private def simhashBits(s: SparkSession, d: String, nBits: Int): DataFrame = {
     require(nBits % 4 == 0 && nBits <= 64)
-    val base = documents(s, d).repartition(col("doc_id"))
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
@@ -575,7 +575,7 @@ object SimOps {
     * output is already the distinct set (same per-row shape as
     * shingleRows; the oracles recompute it independently from text). */
   private def bigramRows(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
+    graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),
         explode(when(size(col("toks")) >= 2,

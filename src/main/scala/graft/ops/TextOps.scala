@@ -22,11 +22,11 @@ object TextOps {
   /** Fan-out staging: a small documents file arrives as ONE input split,
     * which would serialize the 50x explode stages that follow; hash-
     * repartitioning by doc_id first gives the generate/aggregate stages
-    * full parallelism regardless of input split count. (With many input
-    * files at real scale the extra exchange is skippable — drop it when
-    * the scan already yields enough splits.) */
+    * full parallelism. Gated on the scan's actual split count
+    * (Tables.spreadIfNarrow): at real scale the scan is already wide
+    * and the exchange is skipped. */
   private def docsParallel(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(col("doc_id"))
+    graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
 
   /** Whitespace-normalized lowercase form shared by dedup/fingerprint —
     * also the content-hash basis e16's exact-dup pairs must match

@@ -348,6 +348,30 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e36: full epoch order matches an independent Scala recompute of hash, shard and fingerprint") {
+    val rows = CurationOps.e36EpochOrder(spark, sf).collect()
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val byShard = docs.groupBy(id => h(id) % 64)
+    assert(rows.map(_.getLong(1)).sum == docs.length, "every doc is ordered exactly once")
+    rows.foreach { r =>
+      val ordered = byShard(r.getLong(0)).sortBy(id => (h(id), id))
+      assert(ordered.length.toLong == r.getLong(1))
+      assert(ordered.head == r.getLong(2),
+        s"shard ${r.getLong(0)}: first_doc diverges from the Scala order recompute")
+      val fp = ordered.zipWithIndex
+        .map { case (id, i) => ((i + 1) * (id % 997)) % 1000003 }.sum
+      assert(fp == r.getLong(3),
+        s"shard ${r.getLong(0)}: order fingerprint diverges — the sequence is not the declared one")
+    }
+  }
+
   test("e27: ranks are 1..5 per doc, scores non-increasing, spot-checked against Scala") {
     val rows = CurationOps.e27TfidfTopk(spark, sf).collect()
     val byDoc = rows.groupBy(_.getLong(0))

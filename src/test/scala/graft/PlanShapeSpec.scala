@@ -171,4 +171,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       "candidate rows must collapse in a partial aggregate before the exchange")
   }
+
+  test("E36 epoch order: the shard window's exchange is reused by the final aggregation") {
+    val p = plan(CurationOps.e36EpochOrder(spark, sf))
+    // one hashpartitioning exchange (window on shard; groupBy(shard) is
+    // satisfied by it in place) + the final orderBy's range exchange —
+    // a second hash exchange means the sort/agg stopped sharing the
+    // shard partitioning and the shard-writer shape is gone
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+  }
+
+  test("spreadIfNarrow: fans out a single-split scan, identity on an already-wide one") {
+    import org.apache.spark.sql.functions.col
+    val narrow = spark.range(0, 1000, 1, 1).toDF("doc_id")
+    val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
+    val spreadN = graft.Tables.spreadIfNarrow(narrow, col("doc_id"))
+    val spreadW = graft.Tables.spreadIfNarrow(wide, col("doc_id"))
+    assert(plan(spreadN).contains("Exchange hashpartitioning"),
+      "a one-split local fixture must be spread before heavy per-row stages")
+    assert(!plan(spreadW).contains("Exchange"),
+      "a scan already wide enough for the session parallelism must NOT pay a staging shuffle")
+  }
 }
