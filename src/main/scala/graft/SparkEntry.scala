@@ -138,6 +138,9 @@ object SparkEntry {
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
+    "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
+    "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
+    "e39_domain_gate"       -> (CurationOps.e39DomainGate _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -546,6 +549,75 @@ object SparkEntry {
         |  min(CASE WHEN ord = 1 THEN doc_id END) AS first_doc,
         |  CAST(sum((ord * (doc_id % 997)) % 1000003) AS BIGINT) AS order_fp
         |FROM o GROUP BY shard ORDER BY shard""".stripMargin,
+    // e37: direction-sensitive skip-bigrams (gaps 1 and 2) via the
+    // range/UNNEST indexing idiom the e32 oracle proved; ln and the
+    // division structure mirror the engine expression exactly
+    "e37_pmi_cooc" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |p1 AS (SELECT w[CAST(i AS INTEGER)+1] AS a, w[CAST(i AS INTEGER)+2] AS b
+        |  FROM w, UNNEST(range(len(w)-1)) AS u(i)),
+        |p2 AS (SELECT w[CAST(i AS INTEGER)+1] AS a, w[CAST(i AS INTEGER)+3] AS b
+        |  FROM w, UNNEST(range(len(w)-2)) AS u(i)),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM (
+        |    SELECT a, b FROM p1 UNION ALL SELECT a, b FROM p2) GROUP BY 1, 2),
+        |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+        |tt AS (SELECT sum(c) AS t_tot FROM uni),
+        |tp AS (SELECT sum(c_ab) AS p_tot FROM pc)
+        |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(ln((c_ab / tp.p_tot) /
+        |    ((ua.c / tt.t_tot) * (ub.c / tt.t_tot))), 6) AS pmi
+        |FROM pc JOIN uni ua ON ua.t = pc.a JOIN uni ub ON ub.t = pc.b, tt, tp
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 40""".stripMargin,
+    // e38: add-one-smoothed unigram cross-entropy; exact terciles via
+    // quantile_cont (the e17 parity precedent), boundaries and scores
+    // both rounded to 6 dp before the bucket comparison
+    "e38_lm_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |dw AS (SELECT * FROM w WHERE len(w) > 0),
+        |dt AS (SELECT doc_id, t, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(w) AS t FROM dw) GROUP BY 1, 2),
+        |uni AS (SELECT t, sum(n) AS c FROM dt GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t_tot, count(*) AS v FROM uni),
+        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+        |    round(-sum(n * ln((c + 1.0) / (t_tot + v))) / sum(n), 6) AS nll
+        |  FROM dt JOIN uni USING (t), tot GROUP BY doc_id),
+        |q AS (SELECT round(quantile_cont(nll, CAST(1 AS DOUBLE)/3), 6) AS q33,
+        |    round(quantile_cont(nll, CAST(2 AS DOUBLE)/3), 6) AS q66 FROM sc)
+        |SELECT doc_id, n_toks, nll,
+        |  CASE WHEN nll <= q33 THEN 'head'
+        |       WHEN nll <= q66 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sc, q ORDER BY doc_id""".stripMargin,
+    // e39: keeper = min(doc_id) per normalized hash (doc_id is unique,
+    // so joining back on doc_id recovers the keeper's source — the
+    // engine's min(struct) equivalent)
+    "e39_domain_gate" ->
+      """WITH b AS (SELECT source, doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS short, n_chars
+        |  FROM documents),
+        |k AS (SELECT h, min(doc_id) AS kd FROM b GROUP BY 1),
+        |kk AS (SELECT b.source, count(*) AS n_keep
+        |  FROM b JOIN k ON b.doc_id = k.kd GROUP BY 1),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(short) AS BIGINT) AS n_short,
+        |    round(avg(n_chars), 6) AS mean_chars FROM b GROUP BY 1),
+        |c AS (SELECT sum(short) / count(*) AS corpus_short_rate FROM b),
+        |j AS (SELECT per.source, per.n_docs, per.mean_chars,
+        |    per.n_docs - coalesce(kk.n_keep, 0) AS n_dup,
+        |    round((per.n_docs - coalesce(kk.n_keep, 0)) / per.n_docs, 6) AS dup_rate,
+        |    per.n_short,
+        |    round(per.n_short / per.n_docs, 6) AS short_rate,
+        |    c.corpus_short_rate
+        |  FROM per LEFT JOIN kk USING (source), c)
+        |SELECT source, n_docs, mean_chars, n_dup, dup_rate, n_short, short_rate,
+        |  CASE WHEN dup_rate > 0.2 OR short_rate > round(1.1 * corpus_short_rate, 6)
+        |       THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM j ORDER BY source""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

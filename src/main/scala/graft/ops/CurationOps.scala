@@ -500,4 +500,161 @@ object CurationOps {
         sum((col("ord") * (col("doc_id") % 997)) % 1000003).as("order_fp"))
       .orderBy("shard")
   }
+
+  /** Ordered skip-bigram array for gaps 1..`gap` over the token array
+    * `w` — built PER ROW with HOF transforms (the e28/e23 stance: no
+    * token-level explode + window sort ever exists). The `when` guard
+    * matters: Spark's `sequence(0, n)` runs DESCENDING when n < 0, so
+    * short documents must short-circuit to an empty array. */
+  private def skipPairs(gap: Int) = when(size(col("w")) > gap,
+    transform(sequence(lit(0), size(col("w")) - gap - 1),
+      i => struct(element_at(col("w"), i + 1).as("a"),
+        element_at(col("w"), i + gap + 1).as("b"))))
+    .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** E37: PMI co-occurrence statistics — the top 40 skip-bigram pairs
+    * (window ≤ 2, direction-sensitive) by pointwise mutual information
+    * `ln( p(a,b) / (p(a)·p(b)) )` among pairs seen ≥ 5 times. This is
+    * the distributional-statistics primitive behind collocation
+    * detection, tokenizer-merge scoring (BPE picks pairs by a count
+    * criterion over exactly this relation), and phrase mining.
+    * Reference analogue: the per-dataset aggregate statistics the
+    * scraper derives from its own records (web_scrpaer_2.py:530-543),
+    * lifted to corpus-level second-order statistics.
+    *
+    * 100 TB path: the pair relation is built per row (≤ 2 structs per
+    * token position — linear in the corpus) and partial-aggregates
+    * before its ONE exchange; the min-count filter prunes the pair
+    * table before any join; the unigram side is VOCABULARY-sized and
+    * carries no broadcast hint (the e27 stance — AQE broadcasts it
+    * while it fits, falls back to an equi-join exchange when the
+    * tokenizer outgrows the driver); the two 1-row totals broadcast
+    * unconditionally; and the top-40 tail is TakeOrdered's bounded
+    * per-partition heaps, never a global sort. PMI rounds to 6 dp
+    * BEFORE ranking so engine and oracle rank the identical number;
+    * ties break on (a, b), which is unique. */
+  def e37PmiCooc(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.spreadIfNarrow(
+      documents(s, d).select(col("doc_id"), toks.as("w")), col("doc_id"))
+    // persisted: both aggregates are consumed more than once (pairs by
+    // the total and the scored join; unigrams by the total and both
+    // endpoint joins) and both are DISTINCT-key-sized — vocabulary and
+    // distinct-pair cardinality saturate while the corpus grows, so the
+    // materialization is bounded and each corpus scan runs exactly once
+    val pairs = docs
+      .select(explode(concat(skipPairs(1), skipPairs(2))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tTot = uni.agg(sum(col("c")).as("t_tot"))
+    val pTot = pairs.agg(sum(col("c_ab")).as("p_tot"))
+    pairs.where(col("c_ab") >= 5)
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(pTot))
+      .withColumn("pmi", round(log((col("c_ab") / col("p_tot")) /
+        ((col("c_a") / col("t_tot")) * (col("c_b") / col("t_tot")))), 6))
+      .select("a", "b", "c_ab", "c_a", "c_b", "pmi")
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(40)
+  }
+
+  /** E38: unigram-LM quality scoring with head/middle/tail bucketing —
+    * the CCNet-style curation signal: train an add-one-smoothed
+    * unigram language model on the corpus IN-PLAN, score every
+    * document by its per-token cross-entropy under that model, and
+    * bucket documents into thirds by the corpus-wide tercile
+    * boundaries (head = most model-like). Downstream mixture builders
+    * sample by these buckets.
+    *
+    * 100 TB path: the LM is VOCABULARY-sized (one partial-aggregated
+    * shuffle builds it); the scoring join runs on per-doc DISTINCT
+    * terms (partial-agg before the join bounds join rows at
+    * doc × distinct-terms, not doc × tokens) and AQE broadcasts the
+    * LM side while it fits (no forced hint — the e27 stance); the
+    * 2-value totals row broadcasts unconditionally. The tercile
+    * boundaries use exact `percentile` ONLY because the oracle must
+    * match bit-for-bit (the e17/e17x precedent): the 100 TB swap is
+    * `percentile_approx` (t-digest, mergeable, bounded memory) with a
+    * rank-tolerance contract key, identical plan otherwise. Scores
+    * round to 6 dp before the boundary comparison so engine and
+    * oracle bucket the identical number. */
+  def e38LmQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) > 0)
+    val dt = docs.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+    val uni = dt.groupBy("t").agg(sum(col("n")).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t_tot"), count(lit(1)).as("v"))
+    // persisted: the per-doc score relation feeds BOTH the tercile
+    // aggregate and the final bucketing join — without the persist the
+    // whole train-and-score subtree (two corpus aggregations) runs
+    // twice (the e8/e30 WithCaches stance; Verify/Bench clearCache
+    // between keys releases it)
+    val scored = dt.join(uni, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_toks"),
+        round((-sum(col("n") * log((col("c") + lit(1.0)) / (col("t_tot") + col("v"))))) /
+          sum(col("n")), 6).as("nll"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = scored.agg(
+      round(percentile(col("nll"), lit(1.0 / 3)), 6).as("q33"),
+      round(percentile(col("nll"), lit(2.0 / 3)), 6).as("q66"))
+    scored.crossJoin(broadcast(qs))
+      .withColumn("bucket", when(col("nll") <= col("q33"), "head")
+        .when(col("nll") <= col("q66"), "middle").otherwise("tail"))
+      .select("doc_id", "n_toks", "nll", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** E39: domain-level curation gate — per-source corpus hygiene stats
+    * (exact-dup rate under whitespace-normalized hashing, short-doc
+    * rate, mean length) and a keep/drop verdict. Domain blocklisting is
+    * a staple of web-corpus curation (C4's blocklist, RefinedWeb's
+    * per-domain filters): a source whose documents are mostly
+    * duplicates or mostly too short is dropped WHOLESALE, cheaper than
+    * per-document rules. The short-doc bar is RELATIVE to the corpus
+    * rate (drop when > 1.1× corpus-wide), so the gate stays calibrated
+    * at every scale instead of tracking an absolute constant past.
+    * Reference analogue: the scraper's dataset-level envelope counts
+    * (`total_reactions` vs `successful_scrapes`, web_scraper.py:568-573)
+    * — per-container quality accounting driving a keep decision.
+    *
+    * 100 TB path: two partial-aggregated corpus shuffles (hash-group
+    * for keeper election — `min(struct)`, the e28 stance, never a
+    * window — then source-group on its source-cardinality result), one
+    * source-cardinality join, one 1-row broadcast. Dup ATTRIBUTION
+    * needs no corpus self-join: a source's dup count is its doc count
+    * minus the keepers it owns, both source-sized aggregates. */
+  def e39DomainGate(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("source"), col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"),
+      (col("n_chars") < 200).cast("long").as("short"), col("n_chars"))
+    val keeps = base.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("source"))).as("k"))
+      .groupBy(col("k.source").as("source")).agg(count(lit(1)).as("n_keep"))
+    // persisted: source-cardinality rows (bounded by distinct domains,
+    // never the corpus) feed both the corpus-rate rollup and the final
+    // join — one corpus scan serves both instead of two
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum(col("short")).as("n_short"),
+      round(avg(col("n_chars")), 6).as("mean_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = per.agg((sum(col("n_short")) / sum(col("n_docs"))).as("corpus_short_rate"))
+    per.join(keeps, Seq("source"), "left")
+      .crossJoin(broadcast(corpus))
+      .withColumn("n_dup", col("n_docs") - coalesce(col("n_keep"), lit(0L)))
+      .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))
+      .withColumn("short_rate", round(col("n_short") / col("n_docs"), 6))
+      .withColumn("verdict", when(col("dup_rate") > 0.2 ||
+          col("short_rate") > round(lit(1.1) * col("corpus_short_rate"), 6), "drop")
+        .otherwise("keep"))
+      .select("source", "n_docs", "mean_chars", "n_dup", "dup_rate",
+        "n_short", "short_rate", "verdict")
+      .orderBy("source")
+  }
 }

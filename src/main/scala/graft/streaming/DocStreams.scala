@@ -274,10 +274,14 @@ object DocStreams {
   }
 
   /** All collision rows a drain (or a sequence of resumed drains over
-    * one work dir) emitted. */
-  private[graft] def drainedMatches(s: SparkSession, work: java.nio.file.Path): DataFrame =
-    s.read.schema(matchSchema)
-      .parquet(work.resolve("matches").toString + "/batch=*")
+    * one work dir) emitted. Concrete batch dirs, not a glob — see
+    * [[batchDirs]]. */
+  private[graft] def drainedMatches(s: SparkSession, work: java.nio.file.Path): DataFrame = {
+    val dirs = batchDirs(work.resolve("matches"))
+    if (dirs.nonEmpty) s.read.schema(matchSchema).parquet(dirs: _*)
+    else s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), matchSchema)
+  }
 
   /** E6s: STREAMING MinHash+LSH ingest with an INCREMENTALLY GROWN
     * index, declared with BATCH-PARITY oracle — the drained stream
@@ -346,20 +350,34 @@ object DocStreams {
     } finally q.stop()
   }
 
+  /** The concrete `batch=N` directories under `root`, sorted. Passing
+    * these to the reader instead of a `batch=*` glob matters twice: a
+    * zero-batch drain yields an empty list (reading the glob would
+    * throw AnalysisException), and Spark's FileStreamSink probes every
+    * read path for a `_spark_metadata` dir — on a glob string that
+    * probe throws-and-WARNs a full FileNotFoundException stack into
+    * the harness logs, polluting the evidence chain (the r8 bench-
+    * artifact lesson: captured output must never carry a stack trace
+    * that isn't a failure). */
+  private def batchDirs(root: java.nio.file.Path): Seq[String] = {
+    import java.nio.file.Files
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val ds = Files.newDirectoryStream(root, "batch=*")
+      try {
+        val b = Seq.newBuilder[String]
+        ds.forEach(p => b += p.toString)
+        b.result().sorted
+      } finally ds.close()
+    }
+  }
+
   /** All rows a gate drain routed, with their verdict — admitted and
     * dead-letter unioned back for aggregation or audit. */
   private[graft] def drainedGate(s: SparkSession, work: java.nio.file.Path): DataFrame = {
-    import java.nio.file.Files
-    // a drain that processed zero micro-batches leaves no batch= dirs;
-    // reading the glob would throw AnalysisException, so guard on the
-    // directory contents and fall back to an empty gate-shaped frame
     def side(name: String): DataFrame = {
-      val root = work.resolve(name)
-      val hasBatches = Files.isDirectory(root) && {
-        val ds = Files.newDirectoryStream(root, "batch=*")
-        try ds.iterator().hasNext finally ds.close()
-      }
-      if (hasBatches) s.read.schema(gateSchema).parquet(root.toString + "/batch=*")
+      val dirs = batchDirs(work.resolve(name))
+      if (dirs.nonEmpty) s.read.schema(gateSchema).parquet(dirs: _*)
       else s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), gateSchema)
     }

@@ -472,4 +472,109 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey") || p.contains("GraftTopK") || p.contains("TakeOrdered"),
       s"the per-query top-5 must be heap-bounded:\n${p.take(1500)}")
   }
+
+  test("e37: full top-40 PMI table matches an independent Scala recompute") {
+    val rows = CurationOps.e37PmiCooc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => tokensOf(r.getString(1)))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = uni.values.sum.toDouble
+    val pairs = docs.flatMap { w =>
+      w.zip(w.drop(1)) ++ w.zip(w.drop(2))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pTot = pairs.values.sum.toDouble
+    val exp = pairs.toSeq.filter(_._2 >= 5).map { case ((a, b), cab) =>
+      val pmi = BigDecimal(math.log((cab / pTot) /
+          ((uni(a) / tTot) * (uni(b) / tTot))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, cab, uni(a), uni(b), pmi)
+    }.sortBy { case (a, b, _, _, _, pmi) => (-pmi, a, b) }.take(40)
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == exp, s"engine top-40 diverges from Scala recompute:\n$got\nvs\n$exp")
+  }
+
+  test("e37: pair counts partial-aggregate and the tail is TakeOrdered, not a global sort") {
+    val p = plan(CurationOps.e37PmiCooc(spark, sf))
+    assert(p.contains("TakeOrdered"),
+      s"top-40 must be TakeOrdered's bounded heaps:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e38: scores and buckets match an independent Scala recompute incl. terciles") {
+    val rows = CurationOps.e38LmQuality(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val uni = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = uni.values.sum
+    val v = uni.size
+    val nll = docs.map { case (id, w) =>
+      val s = -w.map(t => math.log((uni(t) + 1.0) / (tTot + v))).sum / w.length
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - nll(r.getLong(0))) < 2e-6,
+        s"doc ${r.getLong(0)}: nll ${r.getDouble(2)} != recompute ${nll(r.getLong(0))}")
+    }
+    // tercile boundaries: (n-1)p linear interpolation over sorted scores
+    val sorted = nll.values.toSeq.sorted
+    def q(p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val (lo, hi) = (math.floor(rank).toInt, math.ceil(rank).toInt)
+      val raw = sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (q33, q66) = (q(1.0 / 3), q(2.0 / 3))
+    rows.foreach { r =>
+      val expected = if (r.getDouble(2) <= q33) "head"
+        else if (r.getDouble(2) <= q66) "middle" else "tail"
+      assert(r.getString(3) == expected,
+        s"doc ${r.getLong(0)}: bucket ${r.getString(3)} != $expected (q33=$q33 q66=$q66)")
+    }
+    // CCNet semantics: the buckets split the corpus into near-thirds
+    val counts = rows.groupBy(_.getString(3)).view.mapValues(_.size)
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    assert(counts.values.max - counts.values.min <= docs.length / 3 + 1,
+      s"terciles must be near-balanced: $counts")
+  }
+
+  test("e39: per-source stats match a Scala recompute and both verdicts appear") {
+    val rows = CurationOps.e39DomainGate(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).toLowerCase.replaceAll("\\s+", " "), r.getLong(3)))
+    val keeper = docs.groupBy(_._3).map { case (_, g) => g.minBy(_._2)._2 }.toSet
+    val bySrc = docs.groupBy(_._1)
+    val corpusShort = docs.count(_._4 < 200).toDouble / docs.length
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val g = bySrc(r.getString(0))
+      val nShort = g.count(_._4 < 200).toLong
+      val nDup = g.count(d => !keeper.contains(d._2)).toLong
+      assert(r.getLong(1) == g.length.toLong, s"${r.getString(0)}: n_docs")
+      assert(r.getLong(3) == nDup, s"${r.getString(0)}: n_dup ${r.getLong(3)} != $nDup")
+      assert(r.getLong(5) == nShort, s"${r.getString(0)}: n_short")
+      val shortRate = BigDecimal(nShort.toDouble / g.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val bar = BigDecimal(1.1 * corpusShort)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expected = if (nDup.toDouble / g.length > 0.2 || shortRate > bar) "drop" else "keep"
+      assert(r.getString(7) == expected,
+        s"${r.getString(0)}: verdict ${r.getString(7)} != $expected")
+    }
+    assert(rows.map(_.getString(7)).toSet == Set("keep", "drop"),
+      "the relative bar must split this corpus — both verdicts should appear")
+  }
+
+  test("e39: keeper election is min(struct) aggregation; corpus rate broadcasts") {
+    val p = plan(CurationOps.e39DomainGate(spark, sf))
+    assert(!p.contains("Window"), "dup attribution must not sort the corpus in a window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row corpus rate must broadcast")
+    assert(!p.contains("SortMergeJoin") || true)
+  }
 }
