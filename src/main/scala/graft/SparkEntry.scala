@@ -141,6 +141,10 @@ object SparkEntry {
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
     "e39_domain_gate"       -> (CurationOps.e39DomainGate _),
+    "e40_kmeans_train"      -> (SimOps.e40KmeansTrain _),
+    "e41_chunk_overlap"     -> (CurationOps.e41ChunkOverlap _),
+    "e42_split_leakage"     -> (CurationOps.e42SplitLeakage _),
+    "e43_snapshot_diff"     -> (CurationOps.e43SnapshotDiff _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -618,6 +622,112 @@ object SparkEntry {
         |  CASE WHEN dup_rate > 0.2 OR short_rate > round(1.1 * corpus_short_rate, 6)
         |       THEN 'drop' ELSE 'keep' END AS verdict
         |FROM j ORDER BY source""".stripMargin,
+    // e40: Lloyd's loop unrolled to its declared two iterations. Every
+    // iterate is rounded to 6 dp in both engines before it feeds the
+    // next step (seeds, recomputed centroids, distances), so the argmin
+    // ranks identical doubles; d2 via list_dot_product(diff, diff)
+    // matches the engine's left-to-right fold of squared differences
+    "e40_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+        |    list_transform(v, x -> round(x, 6)) AS c
+        |  FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.v, c0.cid,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - c0.c[i]),
+        |      list_transform(e.v, (x, i) -> x - c0.c[i])), 6) AS d2
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),
+        |u1 AS (SELECT cid, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER) + 1] AS x
+        |  FROM a1, UNNEST(range(len(v))) AS u(i)),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS m FROM u1 GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |s2 AS (SELECT e.vec_id, e.v, c1.cid,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - c1.c[i]),
+        |      list_transform(e.v, (x, i) -> x - c1.c[i])), 6) AS d2
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, v, cid, d2 FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1),
+        |st AS (SELECT cid AS cluster, count(*) AS n_members,
+        |    round(avg(d2), 6) AS inertia FROM a2 GROUP BY cid),
+        |u2 AS (SELECT cid AS cluster, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER) + 1] AS x
+        |  FROM a2, UNNEST(range(len(v))) AS u(i)),
+        |cf AS (SELECT cluster, pos, round(avg(x), 6) AS centroid_val
+        |  FROM u2 GROUP BY cluster, pos)
+        |SELECT cf.cluster, cf.pos, cf.centroid_val, st.n_members, st.inertia
+        |FROM cf JOIN st USING (cluster)
+        |ORDER BY cf.cluster, cf.pos""".stripMargin,
+    // e41: chunk arithmetic via BIGINT `//`; the fingerprint slices the
+    // token list 1-based inclusive (list_slice) to the same span Spark's
+    // slice(w, start+1, len) takes, then the e36 hex-prefix idiom
+    "e41_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n_tok,
+        |    CAST((greatest(len(w) - 16, 0) + 11) // 12 + 1 AS INTEGER) AS n_chunks
+        |  FROM w WHERE len(w) > 0),
+        |ch AS (SELECT doc_id, w, n_tok, n_chunks, CAST(u.c AS INTEGER) AS chunk_id,
+        |    CAST(u.c * 12 AS INTEGER) AS start_tok,
+        |    CAST(least(16, n_tok - u.c * 12) AS INTEGER) AS n_tok_chunk
+        |  FROM t, UNNEST(range(n_chunks)) AS u(c))
+        |SELECT doc_id, chunk_id, start_tok, n_tok_chunk,
+        |  CAST(('0x' || substr(md5(array_to_string(
+        |    list_slice(w, start_tok + 1, start_tok + n_tok_chunk), ' ')), 1, 8))
+        |    AS BIGINT) AS chunk_fp,
+        |  n_tok, n_chunks
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // e42: the split bucket is a pure function of the normalized-content
+    // group hash, so the leak audit's 0 is measured in both engines
+    "e42_split_leakage" ->
+      """WITH g AS (SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT h, n_docs, n_chars,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *, CAST(('0x' || substr(md5(h || ':split'), 1, 8))
+        |      AS BIGINT) % 10 AS b FROM g)),
+        |l AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS leaked_groups
+        |  FROM (SELECT h, count(DISTINCT split) AS ns FROM s GROUP BY h))
+        |SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  count(*) AS n_groups,
+        |  CAST(sum(n_docs) - count(*) AS BIGINT) AS dup_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars, l.leaked_groups
+        |FROM s, l GROUP BY split, l.leaked_groups ORDER BY split""".stripMargin,
+    // e43: snapshot B derives from A by the same modular rule in both
+    // engines; the diff compares hex-prefix digests, never text
+    "e43_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS dig,
+        |    len(text) AS l
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) + 1 AS base FROM documents),
+        |b0 AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |badd AS (SELECT doc_id + mx.base AS doc_id, source, text
+        |  FROM documents, mx WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS dig,
+        |    len(text) AS l
+        |  FROM (SELECT * FROM b0 UNION ALL SELECT * FROM badd)),
+        |j AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.dig AS dig_a, b.dig AS dig_b, a.l AS len_a, b.l AS len_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN dig_a IS NULL THEN 'added'
+        |            WHEN dig_b IS NULL THEN 'removed'
+        |            WHEN dig_a <> dig_b THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  coalesce(src_b, src_a) AS source,
+        |  count(*) AS n_docs, CAST(sum(coalesce(len_b, len_a)) AS BIGINT) AS n_chars
+        |FROM j GROUP BY 1, 2 ORDER BY status, source""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

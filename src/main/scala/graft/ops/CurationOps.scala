@@ -657,4 +657,129 @@ object CurationOps {
         "n_short", "short_rate", "verdict")
       .orderBy("source")
   }
+
+  /** E41: sliding-window CHUNKING manifest — every document split into
+    * overlapping token windows (width 16, stride 12 here; the RAG /
+    * long-context preprocessing shape where consecutive chunks share
+    * `width - stride` tokens so no span is lost at a boundary). Each
+    * chunk row carries its token offsets and an 8-byte content
+    * fingerprint of the re-joined slice, so the oracle checks the exact
+    * slicing — boundaries AND bytes — not just the chunk arithmetic.
+    * Zero-token documents produce no chunks by declaration.
+    *
+    * 100 TB path: the chunk list is built PER ROW with HOF transforms
+    * over the token array (the e23/e28 stance — token rows never
+    * exist), so the plan is scan → project → one generator: NO shuffle
+    * anywhere except the declared ordering's range exchange. Chunking
+    * is embarrassingly parallel and stays that way. */
+  def e41ChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    val S = 12
+    // Spark's `/` is always double division; floor is exact here (the
+    // numerator is an int — far below 2^53)
+    val nChunks =
+      (floor((greatest(size(col("w")) - W, lit(0)) + S - 1) / S) + 1).cast("int")
+    documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("n_chunks", nChunks)
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          c => struct(
+            (c * S).as("start_tok"),
+            least(lit(W), col("n_tok") - c * S).as("n_tok_chunk"),
+            conv(substring(md5(array_join(
+              slice(col("w"), c * S + 1, least(lit(W), col("n_tok") - c * S)),
+              " ")), 1, 8), 16, 10).cast("long").as("chunk_fp"))))
+          .as(Seq("chunk_id", "ch")))
+      .select(col("doc_id"), col("chunk_id"), col("ch.start_tok"),
+        col("ch.n_tok_chunk"), col("ch.chunk_fp"), col("n_tok"), col("n_chunks"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** E42: leakage-safe train/val/test SPLIT — the assignment is made at
+    * the exact-duplicate-GROUP level (normalized-content hash, the e39
+    * keeper key), not per document, so two copies of the same text can
+    * never straddle train and test. The audit is computed IN-PLAN, not
+    * asserted: `leaked_groups` counts groups observed in more than one
+    * split, and is 0 by construction precisely because the split hash
+    * is a function of the group key — a regression that broke that
+    * property (e.g. salting the hash with doc_id) flips the declared
+    * output, not just a comment.
+    *
+    * 100 TB path: the split bucket is a pure per-row expression (no
+    * lookup table, no join — md5 of the group key), so assignment is
+    * map-side; the ONE corpus-keyed exchange is the group rollup
+    * (partial-agg'd count/sum), and the per-split relation past it is
+    * three rows. Buckets 0-7 → train, 8 → val, 9 → test. */
+  def e42SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val grp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+    val bucket = conv(substring(md5(concat(col("h"), lit(":split"))), 1, 8), 16, 10)
+      .cast("long") % 10
+    val groups = documents(s, d)
+      .select(grp.as("h"), col("n_chars"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+    // the leak audit: a group key maps to exactly one split; counting
+    // (h, split) pairs against distinct h MEASURES that instead of
+    // assuming it (1-row relation, broadcast onto the 3-row result)
+    val leaked = groups.groupBy("h").agg(countDistinct("split").as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked_groups"))
+    groups.groupBy("split")
+      .agg(count(lit(1)).as("n_groups"), sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("dup_docs", col("n_docs") - col("n_groups"))
+      .crossJoin(broadcast(leaked))
+      .select("split", "n_docs", "n_groups", "dup_docs", "n_chars", "leaked_groups")
+      .orderBy("split")
+  }
+
+  /** E43: corpus SNAPSHOT DIFF — the incremental-refresh primitive: two
+    * corpus versions reconciled into added / removed / changed /
+    * unchanged counts per source. Snapshot B is derived from A by a
+    * deterministic in-plan rule (docs `id % 7 = 0` deleted, surviving
+    * `id % 5 = 0` revised with an appended marker, `id % 11 = 0` cloned
+    * as new docs above the current max id), so both engines diff the
+    * identical pair of corpora with no second fixture.
+    *
+    * 100 TB path: each side projects to `(doc_id, source, digest,
+    * length)` BEFORE the full-outer equi-join — the shuffle ships an
+    * 8-byte-prefix digest and two scalars per doc, never the text; the
+    * change test compares digests, not contents; and the rollup past
+    * the join is (status × source)-sized. The one aggregation feeding
+    * the added-id offset is a broadcast 1-row max. */
+  def e43SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def digested(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("digest"),
+        length(col("text")).as("len"))
+    val a = digested(docs)
+    val base = docs.agg((max("doc_id") + 1).as("base"))
+    val b = digested(
+      docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .crossJoin(broadcast(base))
+        .select((col("doc_id") + col("base")).as("doc_id"), col("source"),
+          col("text"))))
+    a.select(col("doc_id"), col("source").as("src_a"), col("digest").as("dig_a"),
+        col("len").as("len_a"))
+      .join(b.select(col("doc_id"), col("source").as("src_b"),
+        col("digest").as("dig_b"), col("len").as("len_b")), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("dig_a").isNull, "added")
+          .when(col("dig_b").isNull, "removed")
+          .when(col("dig_a") =!= col("dig_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"), coalesce(col("src_b"), col("src_a")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("len_b"), col("len_a"))).as("n_chars"))
+      .orderBy("status", "source")
+  }
 }

@@ -830,4 +830,94 @@ object SimOps {
         col("m.cos_c").as("keeper_cos"), col("n_vecs"), col("mean_cos"))
       .orderBy("label")
   }
+
+  /** Squared L2 distance between two double-array columns, rounded to
+    * 6 dp — a left-to-right fold of squared differences, the exact
+    * summation order DuckDB's `list_dot_product(diff, diff)` uses, so
+    * both engines compare the identical rounded double. */
+  private def dist2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** E40: k-means TRAINING iterations (Lloyd) — the coarse-quantizer
+    * trainer that produces the IVF cells e2 consumes as a precomputed
+    * `label`. e32 gates one centroid step; this key gates the full
+    * assign→recompute loop, making the index-build path itself a
+    * declared, oracle-checked result rather than an offline assumption.
+    *
+    * 100 TB path — the MLlib-KMeans shape, expressed in the DataFrame
+    * API: the k current centroids (k × dim × 8 B — KB-sized BY
+    * CONSTRUCTION, k is a model constant) are lifted into a LITERAL
+    * array-of-structs column, so the assignment step is a pure map-side
+    * fold over that literal: no join, no shuffle, one scan of the
+    * vector table per iteration. The recompute step is the
+    * [[graft.functions.VectorCentroid]] partial-agg UDAF — each
+    * partition ships one (sums, n) buffer per cluster, clusters × dim ×
+    * 8 B of shuffle regardless of row count. The only driver-side
+    * materialization is the k-row centroid relation between iterations
+    * (bounded by the model, never the data).
+    *
+    * Determinism contract: seeds are the k lowest vec_ids, and every
+    * iterate (centroid values, per-row distances) is rounded to 6 dp
+    * IN-PLAN before it feeds the next step, so engine and oracle run
+    * the loop over identical doubles and ties in the argmin (rounded
+    * d2, then cluster id ascending — the fold keeps the earlier
+    * centroid on equality) break identically. Declared output: the
+    * final centroids posexploded to scalar rows (the e32 r9 shape)
+    * with each cluster's membership and inertia (mean rounded d2 of
+    * the assignment that produced it). */
+  def e40KmeansTrain(s: SparkSession, d: String): DataFrame =
+    kmeansTrain(s, d, iters = 2)
+
+  /** The e40 loop with the iteration count exposed for specs (the
+    * declared key fixes iters=2; a spec checks the Lloyd objective is
+    * non-increasing from iters=1 to iters=2). */
+  private[graft] def kmeansTrain(s: SparkSession, d: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansTrain needs at least one iteration, got $iters")
+    val k = 8
+    val e = vectors(embeddings(s, d)).select(col("vec_id"), col("v"))
+    // k × dim rounded doubles as a literal array-of-structs column: the
+    // "broadcast" side of the assignment, without even a broadcast —
+    // it rides the task closure like any literal
+    def centLit(cs: Seq[(Int, Seq[Double])]): Column =
+      array(cs.map { case (cid, vec) =>
+        struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("c")) }: _*)
+    // map-side argmin over the literal centroids: fold keeps the
+    // earlier (lower-cid) centroid on a rounded-d2 tie
+    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      e.withColumn("best", aggregate(centLit(cs),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+          (acc, ct) => {
+            val d = dist2(col("v"), ct.getField("c"))
+            when(d < acc.getField("d2"),
+              struct(d.as("d2"), ct.getField("cid").as("cid"))).otherwise(acc)
+          }))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cluster"), col("best.d2").as("d2"))
+    // seed: the k lowest vec_ids, rounded like every later iterate
+    var cents: Seq[(Int, Seq[Double])] =
+      e.where(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), transform(col("v"), x => round(x, 6)))
+        .orderBy("vec_id").collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    // VectorCentroid.finish already rounds the means to 6 dp — the
+    // iterate that re-enters the loop is the same double the oracle's
+    // round(avg, 6) produces
+    for (_ <- 1 until iters)
+      cents = assign(cents)
+        .groupBy("cluster")
+        .agg(graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+        .orderBy("cluster").collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    // final pass: membership + inertia + the recomputed centroid, ONE
+    // partial-agg'd aggregation; the explode runs on k rows
+    assign(cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), round(avg(col("d2")), 6).as("inertia"),
+        graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+      .select(col("cluster"), col("n_members"), col("inertia"),
+        posexplode(col("c")).as(Seq("pos", "centroid_val")))
+      .select("cluster", "pos", "centroid_val", "n_members", "inertia")
+      .orderBy("cluster", "pos")
+  }
 }
