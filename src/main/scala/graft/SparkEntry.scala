@@ -145,6 +145,9 @@ object SparkEntry {
     "e41_chunk_overlap"     -> (CurationOps.e41ChunkOverlap _),
     "e42_split_leakage"     -> (CurationOps.e42SplitLeakage _),
     "e43_snapshot_diff"     -> (CurationOps.e43SnapshotDiff _),
+    "e44_dsir_weights"      -> (CurationOps.e44DsirWeights _),
+    "e45_novelty"           -> (CurationOps.e45Novelty _),
+    "e46_embed_outliers"    -> (SimOps.e46EmbedOutliers _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -728,6 +731,88 @@ object SparkEntry {
         |  coalesce(src_b, src_a) AS source,
         |  count(*) AS n_docs, CAST(sum(coalesce(len_b, len_a)) AS BIGINT) AS n_chars
         |FROM j GROUP BY 1, 2 ORDER BY status, source""".stripMargin,
+    // e44: hashed unigram+bigram features into 1024 buckets (the e36
+    // hex-prefix idiom), add-1 smoothed bucket LMs, per-doc mean log
+    // ratio rounded 6 dp; the quintile cut is exact quantile_cont (the
+    // e38 percentile pairing)
+    "e44_dsir_weights" ->
+      """WITH dw AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |dwn AS (SELECT * FROM dw WHERE len(w) > 0),
+        |f AS (SELECT doc_id, lang, unnest(w) AS f FROM dwn
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS f
+        |  FROM dwn, UNNEST(range(len(w) - 1)) AS u(i)),
+        |fb AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b FROM f),
+        |raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT count(*) AS tr,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        |  FROM fb),
+        |lm AS (SELECT raw.b,
+        |    ln(((coalesce(tgt.ct, 0) + 1.0) / (tot.tt + 1024)) /
+        |       ((raw.cr + 1.0) / (tot.tr + 1024))) AS lr
+        |  FROM raw LEFT JOIN tgt USING (b), tot),
+        |wts AS (SELECT doc_id, lang, round(avg(lr), 6) AS w
+        |  FROM fb JOIN lm USING (b) GROUP BY doc_id, lang),
+        |cut AS (SELECT round(quantile_cont(w, 0.8), 6) AS cut FROM wts)
+        |SELECT lang, count(*) AS n_docs, round(avg(w), 6) AS mean_w,
+        |  CAST(sum(CASE WHEN w >= cut.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  round(sum(CASE WHEN w >= cut.cut THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS top_share
+        |FROM wts, cut GROUP BY lang, cut.cut ORDER BY lang""".stripMargin,
+    // e45: the e6 oracle's distinct-shingle CTE with source carried
+    // through; novelty = df=1 share per doc, rolled up per source
+    "e45_novelty" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS sh FROM w),
+        |sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |per AS (SELECT doc_id, source, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM sh JOIN dfreq USING (sh) GROUP BY doc_id, source),
+        |pn AS (SELECT *, round(n_unique / n_shingles, 6) AS novelty FROM per)
+        |SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS mean_novelty,
+        |  CAST(sum(CASE WHEN novelty = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fully_novel,
+        |  CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+        |  CAST(sum(n_unique) AS BIGINT) AS n_unique
+        |FROM pn GROUP BY source ORDER BY source""".stripMargin,
+    // e46: centroid recompute is the e32/e34 oracle; d2 via
+    // list_dot_product(diff, diff); mean/σ/d2 all rounded 6 dp before
+    // the strict > threshold compare so both engines flag identically
+    "e46_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER) + 1] AS x
+        |  FROM e, UNNEST(range(len(v))) AS u(i)),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
+        |cl AS (SELECT label, list(m ORDER BY pos) AS c FROM c GROUP BY label),
+        |s AS (SELECT e.label, e.vec_id,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - cl.c[i]),
+        |      list_transform(e.v, (x, i) -> x - cl.c[i])), 6) AS d2
+        |  FROM e JOIN cl USING (label)),
+        |st AS (SELECT label, count(*) AS n_vecs, round(avg(d2), 6) AS mean_d2,
+        |    round(coalesce(stddev_samp(d2), 0), 6) AS std_d2
+        |  FROM s GROUP BY label)
+        |SELECT s.label, st.n_vecs, st.mean_d2, st.std_d2,
+        |  CAST(sum(CASE WHEN s.d2 > st.mean_d2 + 2.0 * st.std_d2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(sum(CASE WHEN s.d2 > st.mean_d2 + 2.0 * st.std_d2
+        |    THEN 1 ELSE 0 END) / st.n_vecs, 6) AS outlier_rate
+        |FROM s JOIN st USING (label)
+        |GROUP BY s.label, st.n_vecs, st.mean_d2, st.std_d2
+        |ORDER BY s.label""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

@@ -782,4 +782,85 @@ object CurationOps {
         sum(coalesce(col("len_b"), col("len_a"))).as("n_chars"))
       .orderBy("status", "source")
   }
+
+  /** E44: DSIR-style importance weights — hashed n-gram (unigram +
+    * word-bigram, 1024 buckets) bag-of-features language models for a
+    * TARGET domain (`lang = 'en'` here) and the raw corpus, and the
+    * per-document log importance ratio `avg ln(p_tgt(b)/p_raw(b))` over
+    * its feature occurrences: the data-selection score behind
+    * importance resampling (select raw documents that look like the
+    * target). Declared output: per-lang weight means plus each lang's
+    * share of the global top quintile — English must dominate the top
+    * bucket for the scorer to mean anything, and that separation is
+    * what the oracle checks.
+    *
+    * 100 TB path: both LMs are BUCKET-sized (1024 rows — a constant,
+    * so the log-ratio relation carries an unconditional broadcast
+    * hint), feature counts partial-aggregate before their exchange,
+    * and scoring is the broadcast join + one partial-agg'd per-doc
+    * average. The quintile cut uses exact `percentile` only for oracle
+    * bit-parity; the 100 TB swap is `percentile_approx` (the e38/e17x
+    * precedent). Zero-token documents carry no features and are
+    * excluded by declaration. */
+  def e44DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), toks.as("w"))
+      .where(size(col("w")) > 0)
+    val feats = docs
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("w"), bigramsArr)).as("f"))
+      .withColumn("b",
+        conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % B)
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val lm = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + B)) /
+            ((col("cr") + 1.0) / (col("tr") + B))).as("lr"))
+    val wts = feats.join(broadcast(lm), "b")
+      .groupBy("doc_id", "lang").agg(round(avg("lr"), 6).as("w"))
+    val cut = wts.agg(round(percentile(col("w"), lit(0.8)), 6).as("cut"))
+    wts.crossJoin(broadcast(cut))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        round(avg("w"), 6).as("mean_w"),
+        sum(when(col("w") >= col("cut"), 1L).otherwise(0L)).as("n_top"))
+      .withColumn("top_share", round(col("n_top") / col("n_docs"), 6))
+      .orderBy("lang")
+  }
+
+  /** E45: n-gram NOVELTY scoring — per document, the fraction of its
+    * distinct word-3-gram shingles that appear NOWHERE else in the
+    * corpus (df = 1), rolled up per source. The complement of the
+    * contamination/duplication family: where e20/e28 hunt shared
+    * n-grams, this measures how much of a document is corpus-unique —
+    * low novelty flags boilerplate and templated sources, high novelty
+    * marks content worth keeping (and memorization risk worth auditing).
+    * Documents under 3 tokens have no shingles and are excluded by
+    * declaration.
+    *
+    * 100 TB path: the shingle relation is the e6/e8 per-row distinct
+    * build (token rows never exist); df partial-aggregates before its
+    * ONE exchange; the df join back to shingles is an equi-join on the
+    * shingle key (corpus-sized both sides — the honest shape, AQE
+    * handles skew); the per-doc and per-source rollups are partial-
+    * agg'd counts. No self-join, no pair explosion — novelty needs df,
+    * not pairs. */
+  def e45Novelty(s: SparkSession, d: String): DataFrame = {
+    val sh = SimOps.shingleRows(s, d)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(col("n_unique") / col("n_shingles"), 6))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        round(avg("novelty"), 6).as("mean_novelty"),
+        sum(when(col("novelty") === 1.0, 1L).otherwise(0L)).as("n_fully_novel"),
+        sum("n_shingles").as("n_shingles"), sum("n_unique").as("n_unique"))
+      .orderBy("source")
+  }
 }

@@ -920,4 +920,40 @@ object SimOps {
       .select("cluster", "pos", "centroid_val", "n_members", "inertia")
       .orderBy("cluster", "pos")
   }
+
+  /** E46: embedding OUTLIER detection — per label (= cluster), vectors
+    * whose squared distance to the label centroid exceeds mean + 2σ:
+    * the noise/mislabel pruning step an embedding-curation pipeline
+    * runs before the vectors train anything. Complements e34 (which
+    * elects the BEST-centered vector; this counts the worst-centered
+    * tail).
+    *
+    * 100 TB path: centroids come from the VectorCentroid partial-agg
+    * UDAF and BROADCAST (labels ≪ corpus); distance scoring is
+    * map-side; the per-label (mean, σ) relation is label-sized and
+    * broadcasts back onto the scored rows, whose outlier count
+    * partial-aggregates. The scored subtree runs twice (stats pass +
+    * flag pass) — recompute-over-cache for a corpus-sized relation,
+    * the opposite call from e38's doc-sized persisted scores.
+    *
+    * Determinism: d2, mean, σ all round to 6 dp before the threshold
+    * compare, so both engines flag on the identical doubles; σ uses
+    * the sample stddev with a 1-vector label coalesced to 0. */
+  def e46EmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(embeddings(s, d))
+    val cents = e.groupBy("label")
+      .agg(graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+    val scored = e.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), dist2(col("v"), col("c")).as("d2"))
+    val stats = scored.groupBy("label").agg(count(lit(1)).as("n_vecs"),
+      round(avg("d2"), 6).as("mean_d2"),
+      round(coalesce(stddev_samp(col("d2")), lit(0.0)), 6).as("std_d2"))
+    scored.join(broadcast(stats), "label")
+      .groupBy("label", "n_vecs", "mean_d2", "std_d2")
+      .agg(sum(when(col("d2") > col("mean_d2") + lit(2.0) * col("std_d2"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate", round(col("n_outliers") / col("n_vecs"), 6))
+      .select("label", "n_vecs", "mean_d2", "std_d2", "n_outliers", "outlier_rate")
+      .orderBy("label")
+  }
 }
