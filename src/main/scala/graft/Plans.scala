@@ -6,6 +6,23 @@ import java.nio.file.{Files, Paths}
   * docs/plans/<key>.txt — the reviewable evidence for the plan-shape
   * contracts in SCALE.md. Usage: sbt "runMain graft.Plans [sfDir] [outDir]". */
 object Plans {
+
+  /** Renumber `#<exprId>` and `plan_id=<n>` tokens in first-appearance
+    * order so a dump's text depends only on the plan's shape, not on the
+    * session-global ID counters (which shift whenever an unrelated query
+    * is added earlier in the run). Without this every regeneration
+    * touches all ~130 files with pure counter noise and real plan drift
+    * drowns in it. */
+  private[graft] def canonicalize(text: String): String = {
+    def renumber(t: String, re: scala.util.matching.Regex,
+                 fmt: Int => String): String = {
+      val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+      re.replaceAllIn(t, m => fmt(ids.getOrElseUpdate(m.group(1), ids.size)))
+    }
+    val a = renumber(text, "#(\\d+)".r, n => s"#$n")
+    renumber(a, "plan_id=(\\d+)".r, n => s"plan_id=$n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("docs/plans")
@@ -23,8 +40,8 @@ object Plans {
       try {
         val df = fn(spark, sfDir)
         Files.writeString(Paths.get(s"$outDir/$name.txt"),
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
+          canonicalize(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)))
       } catch { case e: Throwable =>
         Files.writeString(Paths.get(s"$outDir/$name.txt"),
           s"plan unavailable: ${e.getMessage}\n")
