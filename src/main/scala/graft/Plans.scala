@@ -34,7 +34,15 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_PLANS_ONLY=a,b,c restricts the dump to named queries
+    // (iteration aid, same contract as the bench/verify ONLY filters)
+    val only = sys.env.get("SPARK_GRAFT_PLANS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // streaming-drain and iterative queries execute on construction and
       // report their final batch plan like any other
       try {

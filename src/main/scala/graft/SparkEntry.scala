@@ -148,6 +148,7 @@ object SparkEntry {
     "e44_dsir_weights"      -> (CurationOps.e44DsirWeights _),
     "e45_novelty"           -> (CurationOps.e45Novelty _),
     "e46_embed_outliers"    -> (SimOps.e46EmbedOutliers _),
+    "e47_intradoc_dedup"    -> (CurationOps.e47IntradocDedup _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -813,6 +814,24 @@ object SparkEntry {
         |FROM s JOIN st USING (label)
         |GROUP BY s.label, st.n_vecs, st.mean_d2, st.std_d2
         |ORDER BY s.label""".stripMargin,
+    // e47: DuckDB builds the same non-overlapping word-2-gram tiles via
+    // a list comprehension; both engines round the fraction to 6 dp and
+    // carry counts as BIGINT so the declared schemas agree
+    "e47_intradoc_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    [array_to_string(w[(i*2+1):(i*2+2)], ' ')
+        |      for i in range(0, CAST(ceil(len(w)/2.0) AS INT))] AS tiles
+        |  FROM w)
+        |SELECT doc_id, CAST(len(tiles) AS BIGINT) AS n_tiles,
+        |  CAST(len(list_distinct(tiles)) AS BIGINT) AS n_uniq,
+        |  CASE WHEN len(tiles) > 0 THEN
+        |    round(1.0 - len(list_distinct(tiles)) / CAST(len(tiles) AS DOUBLE), 6)
+        |  END AS intra_dup_frac
+        |FROM t ORDER BY doc_id""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

@@ -863,4 +863,40 @@ object CurationOps {
         sum("n_shingles").as("n_shingles"), sum("n_unique").as("n_unique"))
       .orderBy("source")
   }
+
+  /** e47: intra-document repeated-span statistics — the C4/RefinedWeb
+    * "drop lines repeated within the page" cleaner re-expressed over
+    * non-overlapping word-2-gram tiles (the synthetic corpus has no
+    * newline structure, so fixed word tiles stand in for lines; width 2
+    * is the narrowest tile that still discriminates on this corpus).
+    * A tile occurring more than once in the SAME document is intra-doc
+    * duplication; the kept set is the distinct tiles.
+    *
+    * The scale story is the whole point: unlike every other dedup key
+    * in the suite (e1 corpus hash-agg, e6/e7/e8 LSH bands, e28 corpus
+    * keeper election — all of which shuffle), the intra-doc rule needs
+    * NO cross-document state. Tiling, deduping and the fraction are
+    * array HOFs evaluated per row, so the plan is scan → project and
+    * the operator is embarrassingly parallel at 100 TB — the declared
+    * orderBy is the only exchange, and a production cleaner (which
+    * rewrites text instead of reporting stats) would not even have
+    * that. Counts are cast to long so both engines agree on the
+    * declared schema (DuckDB len() is BIGINT). */
+  def e47IntradocDedup(s: SparkSession, d: String): DataFrame = {
+    val w = toks
+    val nT = ceil(size(w) / lit(2.0)).cast("int")
+    val tiles = when(size(w) > 0,
+      transform(sequence(lit(0), nT - 1),
+        i => concat_ws(" ", slice(w, i * 2 + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    documents(s, d)
+      .select(col("doc_id"), tiles.as("tiles"))
+      .select(col("doc_id"),
+        size(col("tiles")).cast("long").as("n_tiles"),
+        size(array_distinct(col("tiles"))).cast("long").as("n_uniq"))
+      .withColumn("intra_dup_frac",
+        when(col("n_tiles") > 0,
+          round(lit(1.0) - col("n_uniq") / col("n_tiles"), 6)))
+      .orderBy("doc_id")
+  }
 }

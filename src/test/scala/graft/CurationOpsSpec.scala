@@ -577,4 +577,39 @@ class CurationOpsSpec extends AnyFunSuite {
       "the 1-row corpus rate must broadcast")
     assert(!p.contains("SortMergeJoin") || true)
   }
+
+  test("e47: tile math matches a hand example; fraction bounded; empty text is null") {
+    val rows = CurationOps.e47IntradocDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u) = (r.getLong(1), r.getLong(2))
+      assert(u <= n && u >= 0)
+      if (n > 0) {
+        val f = r.getDouble(3)
+        assert(f >= 0.0 && f <= 1.0)
+        assert(math.abs(f - (1.0 - u.toDouble / n)) < 1e-6)
+      } else assert(r.isNullAt(3))
+    }
+    // hand example: "a b a b c" -> tiles ["a b", "a b", "c"] -> 3 tiles, 2 uniq
+    import spark.implicits._
+    val one = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length(col("text")))
+    one.createOrReplaceTempView("e47_tmp")
+    val dir = java.nio.file.Files.createTempDirectory("e47doc").toString
+    one.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.e47IntradocDedup(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 0.333333) < 1e-6)
+  }
+
+  test("e47: the cleaning rule needs no cross-document state — no corpus shuffle") {
+    val p = plan(CurationOps.e47IntradocDedup(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"intra-doc dedup must be map-side only; plan had a hash exchange:\n$p")
+    assert(!p.contains("Join"), "no join anywhere — per-row HOFs only")
+    // the single allowed exchange is the declared orderBy's range partition
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the orderBy range exchange: $exchanges")
+  }
 }
