@@ -64,9 +64,18 @@ object Tables {
     * nothing before any reduction. Gating on the scan's actual
     * partition count keeps the local fixtures wide AND keeps the
     * 100 TB plan exchange-free; reading the count only plans the scan,
-    * it runs no job. */
+    * it runs no job.
+    *
+    * The partition count is passed EXPLICITLY: a bare `repartition(key)`
+    * plans an AQE-coalescible exchange, and because the spread exists
+    * precisely when shuffle bytes are small but downstream per-row CPU
+    * is huge (HOF tokenization, shingle fan-outs), AQE's byte-count
+    * heuristic collapses it right back to ~1 partition — measured at
+    * sfx10, where a one-row-group 78 MB file serialized e44 to 250 s.
+    * An explicit numPartitions is a user-pinned width AQE respects. */
   def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 2)
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(key)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
   }
 }

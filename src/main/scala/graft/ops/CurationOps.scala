@@ -393,7 +393,7 @@ object CurationOps {
     * oracle rank the identical number; ties break on doc_id. */
   def e35Bm25Topk(s: SparkSession, d: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val docs = documents(s, d)
+    val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
     val lens = docs.select(col("doc_id"), size(toks).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
@@ -534,8 +534,10 @@ object CurationOps {
     * BEFORE ranking so engine and oracle rank the identical number;
     * ties break on (a, b), which is unique. */
   def e37PmiCooc(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.spreadIfNarrow(
-      documents(s, d).select(col("doc_id"), toks.as("w")), col("doc_id"))
+    // spread the RAW scan, then tokenize: spreading the tokenized frame
+    // would run the split itself on the narrow pre-exchange stage
+    val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w"))
     // persisted: both aggregates are consumed more than once (pairs by
     // the total and the scored join; unigrams by the total and both
     // endpoint joins) and both are DISTINCT-key-sized — vocabulary and
@@ -583,7 +585,8 @@ object CurationOps {
     * round to 6 dp before the boundary comparison so engine and
     * oracle bucket the identical number. */
   def e38LmQuality(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), toks.as("w"))
+    val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) > 0)
     val dt = docs.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
@@ -679,7 +682,7 @@ object CurationOps {
     // numerator is an int — far below 2^53)
     val nChunks =
       (floor((greatest(size(col("w")) - W, lit(0)) + S - 1) / S) + 1).cast("int")
-    documents(s, d)
+    graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) > 0)
       .withColumn("n_tok", size(col("w")))
@@ -717,7 +720,7 @@ object CurationOps {
     val grp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
     val bucket = conv(substring(md5(concat(col("h"), lit(":split"))), 1, 8), 16, 10)
       .cast("long") % 10
-    val groups = documents(s, d)
+    val groups = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(grp.as("h"), col("n_chars"))
       .groupBy("h")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
@@ -804,7 +807,8 @@ object CurationOps {
     * excluded by declaration. */
   def e44DsirWeights(s: SparkSession, d: String): DataFrame = {
     val B = 1024
-    val docs = documents(s, d).select(col("doc_id"), col("lang"), toks.as("w"))
+    val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("lang"), toks.as("w"))
       .where(size(col("w")) > 0)
     val feats = docs
       .select(col("doc_id"), col("lang"),
@@ -878,10 +882,12 @@ object CurationOps {
     * NO cross-document state. Tiling, deduping and the fraction are
     * array HOFs evaluated per row, so the plan is scan → project and
     * the operator is embarrassingly parallel at 100 TB — the declared
-    * orderBy is the only exchange, and a production cleaner (which
-    * rewrites text instead of reporting stats) would not even have
-    * that. Counts are cast to long so both engines agree on the
-    * declared schema (DuckDB len() is BIGINT). */
+    * orderBy is the only exchange a many-split production corpus sees
+    * (the gated staging spread fires only on few-split fixture scans),
+    * and a production cleaner (which rewrites text instead of
+    * reporting stats) would not even have that. Counts are cast to
+    * long so both engines agree on the declared schema (DuckDB len()
+    * is BIGINT). */
   def e47IntradocDedup(s: SparkSession, d: String): DataFrame = {
     // materialize the token array in its own projection: built inline,
     // CollapseProject would substitute the filter(split(lower(text)))
@@ -894,7 +900,7 @@ object CurationOps {
       transform(sequence(lit(0), nT - 1),
         i => concat_ws(" ", slice(w, i * 2 + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    documents(s, d)
+    graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), tiles.as("tiles"))
       .select(col("doc_id"),

@@ -875,7 +875,8 @@ object SimOps {
   private[graft] def kmeansTrain(s: SparkSession, d: String, iters: Int): DataFrame = {
     require(iters >= 1, s"kmeansTrain needs at least one iteration, got $iters")
     val k = 8
-    val e = vectors(embeddings(s, d)).select(col("vec_id"), col("v"))
+    val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
+      .select(col("vec_id"), col("v"))
     // k × dim rounded doubles as a literal array-of-structs column: the
     // "broadcast" side of the assignment, without even a broadcast —
     // it rides the task closure like any literal
@@ -940,7 +941,7 @@ object SimOps {
     * compare, so both engines flag on the identical doubles; σ uses
     * the sample stddev with a 1-vector label coalesced to 0. */
   def e46EmbedOutliers(s: SparkSession, d: String): DataFrame = {
-    val e = vectors(embeddings(s, d))
+    val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
     val cents = e.groupBy("label")
       .agg(graft.functions.VectorCentroid.centroid(col("v")).as("c"))
     val scored = e.join(broadcast(cents), "label")

@@ -76,9 +76,13 @@ class ChunkSplitDiffSpec extends AnyFunSuite {
   test("e41 plan is shuffle-free except the declared ordering") {
     val p = plan(CurationOps.e41ChunkOverlap(spark, sf))
     assert(!p.contains("Join"), p)
+    // allowed: the declared sort + the fixture-gated staging spread
+    // (spreadIfNarrow fires on the test fixture's 1-split scan; a
+    // many-split production corpus sees only the sort)
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1,
-      s"chunking must not shuffle (only the final sort may): $exchanges\n$p")
+    assert(exchanges <= 2,
+      s"chunking must not shuffle (only the gated spread + final sort): $exchanges\n$p")
+    assert(!p.contains("HashAggregate"), "no aggregation — chunking is per-row")
   }
 
   test("e42 split partitions the corpus with zero cross-split duplicate groups") {
