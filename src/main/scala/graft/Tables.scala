@@ -62,20 +62,56 @@ object Tables {
     * but at real scale the parquet scan already carries thousands of
     * splits and the same exchange would ship the whole table for
     * nothing before any reduction. Gating on the scan's actual
-    * partition count keeps the local fixtures wide AND keeps the
-    * 100 TB plan exchange-free; reading the count only plans the scan,
-    * it runs no job.
+    * effective-split count keeps the local fixtures wide AND keeps the
+    * 100 TB plan exchange-free; reading footers runs no Spark job.
     *
-    * The partition count is passed EXPLICITLY: a bare `repartition(key)`
-    * plans an AQE-coalescible exchange, and because the spread exists
-    * precisely when shuffle bytes are small but downstream per-row CPU
-    * is huge (HOF tokenization, shingle fan-outs), AQE's byte-count
-    * heuristic collapses it right back to ~1 partition — measured at
-    * sfx10, where a one-row-group 78 MB file serialized e44 to 250 s.
-    * An explicit numPartitions is a user-pinned width AQE respects. */
+    * Two traps shaped this gate, both measured at sfx10 (500 k docs in
+    * one 78 MB single-row-group file):
+    *
+    *  1. PLANNED splits lie. Spark's bytesPerCore sizing cuts that file
+    *     into ~20 byte-range splits — more than the target, so a
+    *     `getNumPartitions` gate stands down — but a parquet split only
+    *     yields the row groups whose MIDPOINT it contains, so 19 splits
+    *     are empty and every row lands in one task (e44 ran 250 s on
+    *     one core). The unit of parquet scan parallelism is the ROW
+    *     GROUP, so the gate counts row groups from file footers
+    *     (`df.inputFiles` + a footer read per file, capped: it stops as
+    *     soon as the target is met, and skips footers entirely when the
+    *     file count alone clears it — a production corpus with
+    *     thousands of files never reads one).
+    *  2. AQE un-spreads a bare `repartition(key)`. The spread exists
+    *     precisely when shuffle BYTES are tiny but downstream per-row
+    *     CPU is huge (HOF tokenization, shingle fan-outs), which is the
+    *     regime where AQE's byte-count heuristic coalesces the exchange
+    *     right back to ~1 partition. An explicit numPartitions is a
+    *     user-pinned width AQE respects. */
   def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val target = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 2)
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    val sc = df.sparkSession.sparkContext
+    val target = math.max(2, sc.defaultParallelism / 2)
+    if (effectiveSplits(df, target) >= target) df
+    else df.repartition(sc.defaultParallelism, key)
+  }
+
+  /** Number of independently-scannable parquet row groups feeding `df`,
+    * counted only far enough to decide against `target`. Non-parquet
+    * inputs (memory relations, streaming sources) fall back to the
+    * planned partition count. */
+  private def effectiveSplits(df: DataFrame, target: Int): Int = {
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty) return df.rdd.getNumPartitions
+    if (files.length >= target) return files.length
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var groups = 0
+    val it = files.iterator
+    while (groups < target && it.hasNext) {
+      val f = it.next()
+      groups += (try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      } catch { case _: Throwable => 1 }) // unreadable footer: count the file
+    }
+    groups
   }
 }
