@@ -149,6 +149,8 @@ object SparkEntry {
     "e45_novelty"           -> (CurationOps.e45Novelty _),
     "e46_embed_outliers"    -> (SimOps.e46EmbedOutliers _),
     "e47_intradoc_dedup"    -> (CurationOps.e47IntradocDedup _),
+    "e48_bpe_merge"         -> (CurationOps.e48BpeMerge _),
+    "e49_semantic_decon"    -> (SimOps.e49SemanticDecon _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -832,6 +834,73 @@ object SparkEntry {
         |    round(1.0 - len(list_distinct(tiles)) / CAST(len(tiles) AS DOUBLE), 6)
         |  END AS intra_dup_frac
         |FROM t ORDER BY doc_id""".stripMargin,
+    // e48: the greedy BPE rewrite is a LITERAL string replace in both
+    // engines (non-overlapping left-to-right in Spark and DuckDB alike)
+    // over the '||'-bounded token encoding, so the merge semantics are
+    // identical by construction; DuckDB's range(1, len) is 1..len-1,
+    // exactly the 1-based adjacent-pair index set
+    "e48_bpe_merge" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> regexp_matches(x, '^[a-z0-9]+$')) AS w
+        |  FROM documents),
+        |docs1 AS (SELECT doc_id, w FROM d0 WHERE len(w) > 0),
+        |p1 AS (SELECT w[CAST(i.i AS INTEGER)] AS a,
+        |    w[CAST(i.i AS INTEGER) + 1] AS b, count(*) AS n
+        |  FROM docs1, UNNEST(range(1, len(w))) AS i(i) GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        |v1 AS (SELECT count(*) AS vocab_pairs FROM p1),
+        |t1 AS (SELECT CAST(sum(len(w)) AS BIGINT) AS toks_before FROM docs1),
+        |m1 AS (SELECT doc_id,
+        |    list_filter(string_split(
+        |      replace('||' || array_to_string(w, '||') || '||',
+        |        '|' || b1.a || '||' || b1.b || '|',
+        |        '|' || b1.a || '_' || b1.b || '|'), '||'),
+        |      x -> x <> '') AS w
+        |  FROM docs1, b1),
+        |t1a AS (SELECT CAST(sum(len(w)) AS BIGINT) AS toks_after FROM m1),
+        |r1 AS (SELECT 1 AS iter, b1.a, b1.b, b1.n AS n_occ,
+        |    t1.toks_before - t1a.toks_after AS n_merged,
+        |    t1.toks_before, t1a.toks_after, v1.vocab_pairs
+        |  FROM b1, v1, t1, t1a),
+        |p2 AS (SELECT w[CAST(i.i AS INTEGER)] AS a,
+        |    w[CAST(i.i AS INTEGER) + 1] AS b, count(*) AS n
+        |  FROM m1, UNNEST(range(1, len(w))) AS i(i) GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        |v2 AS (SELECT count(*) AS vocab_pairs FROM p2),
+        |m2 AS (SELECT doc_id,
+        |    list_filter(string_split(
+        |      replace('||' || array_to_string(w, '||') || '||',
+        |        '|' || b2.a || '||' || b2.b || '|',
+        |        '|' || b2.a || '_' || b2.b || '|'), '||'),
+        |      x -> x <> '') AS w
+        |  FROM m1, b2),
+        |t2a AS (SELECT CAST(sum(len(w)) AS BIGINT) AS toks_after FROM m2),
+        |r2 AS (SELECT 2 AS iter, b2.a, b2.b, b2.n AS n_occ,
+        |    t1a.toks_after - t2a.toks_after AS n_merged,
+        |    t1a.toks_after AS toks_before, t2a.toks_after, v2.vocab_pairs
+        |  FROM b2, v2, t1a, t2a)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY iter""".stripMargin,
+    // e49: cosine rounds 6 dp INSIDE the max on both engines (the
+    // Spark side's codegen cosine already rounds), and the p99 bar is
+    // exact quantile_cont for parity (the e38/e17 stance)
+    "e49_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 97 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+        |m AS (SELECT c.vec_id, c.label,
+        |    max(round(list_dot_product(c.v, b.bv) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(b.bv, b.bv))), 6)) AS max_cos
+        |  FROM c CROSS JOIN b GROUP BY 1, 2),
+        |p AS (SELECT round(quantile_cont(max_cos, 0.99), 6) AS p99 FROM m)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN max_cos >= p.p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  round(avg(max_cos), 6) AS mean_max_cos, p.p99
+        |FROM m, p GROUP BY label, p.p99 ORDER BY label""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

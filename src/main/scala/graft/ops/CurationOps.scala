@@ -911,4 +911,96 @@ object CurationOps {
           round(lit(1.0) - col("n_uniq") / col("n_tiles"), 6)))
       .orderBy("doc_id")
   }
+
+  /** e48: BPE merge training — two unrolled iterations of the
+    * byte-pair-encoding trainer's inner loop (count adjacent token
+    * pairs → adopt the most frequent pair as a new vocabulary symbol →
+    * rewrite the corpus, greedy left-to-right, non-overlapping →
+    * repeat). e37 SCORES candidate merges (PMI); this key EXECUTES the
+    * merge, which is the step a tokenizer-training pipeline actually
+    * runs over the corpus. The merge alphabet is `[a-z0-9]+` tokens
+    * only — the standard pre-tokenizer split, and what makes the `|`
+    * / `_` encoding below collision-free.
+    *
+    * The greedy rewrite is the classic sequential step, and BOTH
+    * engines run it as a LITERAL string replace, which has exactly the
+    * greedy left-to-right non-overlapping semantics BPE needs: the
+    * token array round-trips through `"||" + join(w,"||") + "||"`, the
+    * winning pair (a,b) becomes the pattern `|a||b|` → `|a_b|`, and
+    * boundary pipes on both flanks make a match start and end only at
+    * token boundaries while still admitting back-to-back occurrences
+    * (`||a||b||a||b||` → `||a_b||a_b||`; a run `||a||a||a||` merges
+    * once, at the left — the BPE rule). Parity is by construction:
+    * `replace` is non-overlapping left-to-right in Spark and DuckDB
+    * alike, so the oracle reproduces the rewrite bit-for-bit instead
+    * of approximating a fold.
+    *
+    * 100 TB path: each iteration is (per-row pair build → one
+    * partial-agg'd vocab²-bounded exchange → TakeOrdered(1) → 1-row
+    * broadcast → map-side rewrite). Nothing corpus-sized shuffles —
+    * the rewrite is embarrassingly parallel, and the argmax relation
+    * is ONE row. The corpus is deliberately NOT cached between
+    * iterations: each pass re-derives tokens from the scan (scan-bound,
+    * ~2 scans per iteration); a production trainer running hundreds of
+    * merges would persist the working arrays DISK_ONLY instead — same
+    * plan shape, amortized scan.
+    *
+    * Declared output: one row per iteration — the adopted pair, its
+    * adjacent-pair count (overlapping, the standard BPE statistic),
+    * corpus token totals before/after, merges applied
+    * (= before − after), and the distinct-pair vocabulary the argmax
+    * scanned. All scalars (driver-gate sortable). */
+  def e48BpeMerge(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w0"))
+      .select(col("doc_id"),
+        filter(col("w0"), t => t.rlike("^[a-z0-9]+$")).as("w"))
+      .where(size(col("w")) > 0)
+
+    def pairCounts(docs: DataFrame): DataFrame = docs
+      .select(explode(skipPairs(1)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+
+    // the adopted merge: most frequent adjacent pair, ties lexicographic
+    def best(pairs: DataFrame): DataFrame = pairs
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+
+    def stats(pairs: DataFrame): DataFrame = pairs
+      .agg(count(lit(1)).as("vocab_pairs"))
+
+    def total(docs: DataFrame): DataFrame = docs
+      .agg(sum(size(col("w"))).cast("long").as("t"))
+
+    // greedy left-to-right rewrite of the winning pair, map-side:
+    // the 1-row argmax relation broadcasts, the replace is per-row
+    def merge(docs: DataFrame, b: DataFrame): DataFrame = docs
+      .crossJoin(broadcast(b.select(col("a").as("ba"), col("b").as("bb"))))
+      .withColumn("str",
+        concat(lit("||"), concat_ws("||", col("w")), lit("||")))
+      .withColumn("m", expr(
+        "replace(str, concat('|', ba, '||', bb, '|')," +
+          " concat('|', ba, '_', bb, '|'))"))
+      .select(col("doc_id"),
+        filter(split(col("m"), "\\|\\|"), t => length(t) > 0).as("w"))
+
+    def iterRow(iter: Int, docs: DataFrame): (DataFrame, DataFrame) = {
+      val pairs = pairCounts(docs)
+      val b = best(pairs)
+      val merged = merge(docs, b)
+      val row = b
+        .crossJoin(broadcast(stats(pairs)))
+        .crossJoin(broadcast(total(docs).select(col("t").as("toks_before"))))
+        .crossJoin(broadcast(total(merged).select(col("t").as("toks_after"))))
+        .select(lit(iter).as("iter"), col("a"), col("b"),
+          col("n").as("n_occ"),
+          (col("toks_before") - col("toks_after")).as("n_merged"),
+          col("toks_before"), col("toks_after"), col("vocab_pairs"))
+      (row, merged)
+    }
+
+    val (r1, m1) = iterRow(1, base)
+    val (r2, _) = iterRow(2, m1)
+    r1.unionAll(r2).orderBy("iter")
+  }
 }

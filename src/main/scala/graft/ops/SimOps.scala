@@ -957,4 +957,50 @@ object SimOps {
       .select("label", "n_vecs", "mean_d2", "std_d2", "n_outliers", "outlier_rate")
       .orderBy("label")
   }
+
+  /** e49: semantic decontamination — flag corpus vectors whose nearest
+    * BENCHMARK vector by cosine clears an adaptive bar. Completes the
+    * decontamination family along the third axis: e20 catches exact
+    * n-gram overlap, e20b the same through a Bloom sketch, e49 catches
+    * PARAPHRASED leakage that shares no surface n-grams — the reason
+    * modern pipelines decontaminate in embedding space at all.
+    *
+    * The bar is the 99th percentile of the per-vector max-cosine
+    * distribution rather than a fixed constant: this corpus's
+    * max-cosines top out near 0.47, so any production-style 0.9+
+    * threshold would declare a constant-zero key, and a hand-picked
+    * absolute bar would silently drift across scales (the e30 lesson).
+    * Exact `percentile` is used ONLY for bit-level oracle parity (the
+    * e38/e17 stance) — the 100 TB swap is `percentile_approx`, same
+    * plan otherwise.
+    *
+    * 100 TB path: the benchmark side is an EXTERNAL eval suite — fixed
+    * size by nature (the e20 stance; the fixture derives it from
+    * `vec_id % 97` only so the oracle scales) — so it broadcasts and
+    * scoring is a map-side O(N·B) scan, the e31 shape. The per-vector
+    * max partial-aggregates BEFORE its exchange (every bench candidate
+    * for a vector is produced in that vector's own partition, so the
+    * map-side combine collapses N·B rows to N); the label rollup and
+    * 1-row p99 relation are label-/constant-sized. Nothing quadratic,
+    * nothing driver-side. */
+  def e49SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
+    val bench = e.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val maxCos = e.where(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(cosine(col("v"), col("bv"))).as("max_cos"))
+    val bar = maxCos.agg(
+      round(expr("percentile(max_cos, 0.99)"), 6).as("p99"))
+    maxCos.crossJoin(broadcast(bar))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("max_cos") >= col("p99"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        round(avg("max_cos"), 6).as("mean_max_cos"),
+        first(col("p99")).as("p99"))
+      .select("label", "n_vecs", "n_flagged", "mean_max_cos", "p99")
+      .orderBy("label")
+  }
 }
