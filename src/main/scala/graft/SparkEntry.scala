@@ -151,6 +151,7 @@ object SparkEntry {
     "e47_intradoc_dedup"    -> (CurationOps.e47IntradocDedup _),
     "e48_bpe_merge"         -> (CurationOps.e48BpeMerge _),
     "e49_semantic_decon"    -> (SimOps.e49SemanticDecon _),
+    "e50_filter_attribution" -> (CurationOps.e50FilterAttribution _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -901,6 +902,40 @@ object SparkEntry {
         |    AS n_flagged,
         |  round(avg(max_cos), 6) AS mean_max_cos, p.p99
         |FROM m, p GROUP BY label, p.p99 ORDER BY label""".stripMargin,
+    // e50: shares are double division of the same longs on both
+    // engines (DuckDB's *1.0 forces the identical IEEE path)
+    "e50_filter_attribution" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w FROM documents),
+        |f AS (SELECT
+        |    len(w) < 20 AS fs,
+        |    len(list_distinct(w)) * 1.0 / len(w) < 0.45 AS fl,
+        |    NOT list_contains(w, 'the') AS fn,
+        |    list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) > 4.8 AS fm
+        |  FROM d WHERE len(w) > 0),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN fs THEN 1 ELSE 0 END) AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS l,
+        |    CAST(sum(CASE WHEN fn THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN fm THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN fs AND NOT fl AND NOT fn AND NOT fm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ss,
+        |    CAST(sum(CASE WHEN fl AND NOT fs AND NOT fn AND NOT fm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sl,
+        |    CAST(sum(CASE WHEN fn AND NOT fs AND NOT fl AND NOT fm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sn,
+        |    CAST(sum(CASE WHEN fm AND NOT fs AND NOT fl AND NOT fn
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sm,
+        |    CAST(sum(CASE WHEN fs OR fl OR fn OR fm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |    count(*) AS n_docs
+        |  FROM f)
+        |SELECT 'lowttr' AS filter, l AS n_flagged, sl AS n_sole,
+        |    round(l * 1.0 / dropped, 6) AS drop_share, dropped, n_docs FROM a
+        |UNION ALL SELECT 'mtl', m, sm, round(m * 1.0 / dropped, 6), dropped, n_docs FROM a
+        |UNION ALL SELECT 'nostop', n, sn, round(n * 1.0 / dropped, 6), dropped, n_docs FROM a
+        |UNION ALL SELECT 'short', s, ss, round(s * 1.0 / dropped, 6), dropped, n_docs FROM a
+        |ORDER BY filter""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),

@@ -618,4 +618,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"expected at most the gated spread + the orderBy range exchange: $exchanges\n$p")
   }
+
+  test("e50: attribution matches an independent Scala recompute of all four filters") {
+    val rows = CurationOps.e50FilterAttribution(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("lowttr", "mtl", "nostop", "short"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).map(tokensOf).filter(_.nonEmpty)
+    def flags(w: Seq[String]) = (
+      w.size < 20,
+      w.distinct.size.toDouble / w.size < 0.45,
+      !w.contains("the"),
+      w.map(_.length).sum.toDouble / w.size > 4.8)
+    val f = docs.map(flags)
+    val dropped = f.count { case (a, b, c, dd) => a || b || c || dd }
+    val exp = Map(
+      "short"  -> (f.count(_._1), f.count { case (a, b, c, dd) => a && !b && !c && !dd }),
+      "lowttr" -> (f.count(_._2), f.count { case (a, b, c, dd) => b && !a && !c && !dd }),
+      "nostop" -> (f.count(_._3), f.count { case (a, b, c, dd) => c && !a && !b && !dd }),
+      "mtl"    -> (f.count(_._4), f.count { case (a, b, c, dd) => dd && !a && !b && !c }))
+    rows.foreach { r =>
+      val (nf, ns) = exp(r.getString(0))
+      assert(r.getLong(1) == nf.toLong, s"${r.getString(0)} n_flagged")
+      assert(r.getLong(2) == ns.toLong, s"${r.getString(0)} n_sole")
+      assert(r.getLong(4) == dropped.toLong, "dropped")
+      assert(r.getLong(5) == f.length.toLong, "n_docs")
+      assert(math.abs(r.getDouble(3) - nf.toDouble / dropped) < 1e-6, "drop_share")
+    }
+    assert(rows.exists(_.getLong(1) > 0), "at least one filter must fire on the fixture")
+  }
+
+  test("e50: one corpus pass — a single aggregate exchange, no joins, no window") {
+    val p = plan(CurationOps.e50FilterAttribution(spark, sf))
+    assert(!p.contains("Join"), "attribution must not join — flags are per-row")
+    assert(!p.contains("Window"))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected the gated spread, the single-row aggregate exchange, and the " +
+        s"4-row orderBy only: $exchanges\n$p")
+  }
 }
