@@ -101,6 +101,7 @@ object SparkEntry {
     "e8_ngram_jaccard"  -> (SimOps.e8NgramJaccard _),
     "e8h_posting_histogram" -> (SimOps.e8hPostingHistogram _),
     "e33h_candidate_volume" -> (EventOps.e33hCandidateVolume _),
+    "e51_event_transitions" -> (EventOps.e51EventTransitions _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -889,8 +890,9 @@ object SparkEntry {
     "e49_semantic_decon" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
-        |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 97 = 0),
-        |c AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+        |b AS (SELECT vec_id AS b_id, v AS bv
+        |  FROM e WHERE vec_id % 97 = 0 AND vec_id < 100000),
+        |c AS (SELECT * FROM e WHERE NOT (vec_id % 97 = 0 AND vec_id < 100000)),
         |m AS (SELECT c.vec_id, c.label,
         |    max(round(list_dot_product(c.v, b.bv) /
         |      (sqrt(list_dot_product(c.v, c.v)) *
@@ -963,6 +965,19 @@ object SparkEntry {
         |SELECT CAST(length(bin(cand)) - 1 AS BIGINT) AS cand_bucket,
         |  count(*) AS n_buckets, CAST(sum(cand) AS BIGINT) AS candidate_volume
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e51: (ts, event_id) tie-break makes the per-user sequence — and
+    // therefore every transition count — identical on both engines
+    "e51_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  round(count(*) * 1.0 / sum(count(*))
+        |    OVER (PARTITION BY from_type), 6) AS p_to
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY from_type, event_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "p1_key_extract" ->
       """SELECT o_orderkey,
         |  (string_split('https://example.org/d/ord-' || CAST(o_orderkey AS VARCHAR), '/'))[-1] AS id

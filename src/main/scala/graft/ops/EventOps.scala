@@ -187,4 +187,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_buckets"), sum("cand").as("candidate_volume"))
       .orderBy("cand_bucket")
   }
+
+  /** E51: user-journey transition matrix — first-order Markov
+    * statistics over each user's time-ordered event sequence: for every
+    * (from_type, to_type) pair, how many transitions occurred and the
+    * conditional probability p(to | from). The sequence-mining
+    * primitive behind session-quality heuristics, bot detection
+    * (impossible transition rates), and synthetic-journey generation —
+    * and the lag()-window surface the window family (W) had not yet
+    * exercised (e14b/d1 rank, e10/e17 aggregate windows).
+    *
+    * Order within a user is (ts, event_id) — the event id breaks
+    * same-microsecond ties deterministically, so both engines see the
+    * SAME sequence and the transition counts are exact, not
+    * tie-dependent.
+    *
+    * 100 TB path: the ONLY corpus exchange is the user-keyed window
+    * sort (user_id partitioning — the natural key, reused unchanged by
+    * the lag), transition pairs partial-aggregate to at most
+    * |event types|² rows before the final exchange, and the
+    * probability normalization is a second window over that k²-row
+    * relation — constant-sized regardless of corpus. A per-user
+    * sequence never materializes as an array, so a power-user with
+    * millions of events costs sort time, not memory. */
+  def e51EventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(byUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_to", round(
+        col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -975,9 +975,14 @@ object SimOps {
     * plan otherwise.
     *
     * 100 TB path: the benchmark side is an EXTERNAL eval suite — fixed
-    * size by nature (the e20 stance; the fixture derives it from
-    * `vec_id % 97` only so the oracle scales) — so it broadcasts and
-    * scoring is a map-side O(N·B) scan, the e31 shape. The per-vector
+    * size by nature (the e20 stance), which is why its fixture
+    * membership rule is CAPPED at a bounded id range
+    * (`vec_id % 97 = 0 AND vec_id < 100000`), not a corpus-
+    * proportional slice: the first uncapped form measured 20.8× for
+    * ×10 data at sfx10 because B grew with N and the O(N·B) scan went
+    * quadratic — the exact failure the r7 tail bench caught in e20.
+    * Capped, the suite broadcasts at constant size and scoring is a
+    * map-side O(N·const) scan, the e31 shape. The per-vector
     * max partial-aggregates BEFORE its exchange (every bench candidate
     * for a vector is produced in that vector's own partition, so the
     * map-side combine collapses N·B rows to N); the label rollup and
@@ -985,9 +990,10 @@ object SimOps {
     * nothing driver-side. */
   def e49SemanticDecon(s: SparkSession, d: String): DataFrame = {
     val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
-    val bench = e.where(col("vec_id") % 97 === 0)
+    val benchMember = col("vec_id") % 97 === 0 && col("vec_id") < 100000L
+    val bench = e.where(benchMember)
       .select(col("vec_id").as("b_id"), col("v").as("bv"))
-    val maxCos = e.where(col("vec_id") % 97 =!= 0)
+    val maxCos = e.where(!benchMember)
       .crossJoin(broadcast(bench))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(cosine(col("v"), col("bv"))).as("max_cos"))

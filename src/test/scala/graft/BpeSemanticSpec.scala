@@ -105,8 +105,8 @@ class BpeSemanticSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Double](2).toArray))
-    val bench = vecs.filter(_._1 % 97 == 0)
-    val corpus = vecs.filter(_._1 % 97 != 0)
+    val bench = vecs.filter(v => v._1 % 97 == 0 && v._1 < 100000L)
+    val corpus = vecs.filter(v => !(v._1 % 97 == 0 && v._1 < 100000L))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

@@ -291,6 +291,37 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e51: transition counts match a per-user sequential recompute; rows sum to n-1 per user") {
+    val rows = EventOps.e51EventTransitions(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(_._4).toSeq
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    assert(rows.length == exp.size, "transition pair set must match")
+    val fromTotals = exp.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == exp(k), s"transition $k count")
+      assert(math.abs(r.getDouble(3) -
+        exp(k).toDouble / fromTotals(k._1)) < 1e-6, s"transition $k probability")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val nUsersWithEvents = ev.groupBy(_._1).size
+    assert(total == ev.length - nUsersWithEvents,
+      "every user contributes exactly (n_events - 1) transitions")
+  }
+
+  test("e51: the user-keyed window sort is the only corpus exchange; no join") {
+    val p = plan(EventOps.e51EventTransitions(spark, sf))
+    assert(!p.contains("Join"), "transition mining must not self-join the log")
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges >= 1, "the lag window must partition by user_id")
+  }
+
   test("e25: one hash exchange on user_id carries the whole as-of; no range join") {
     val p = plan(EventOps.e25AsofJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
