@@ -153,6 +153,7 @@ object SparkEntry {
     "e48_bpe_merge"         -> (CurationOps.e48BpeMerge _),
     "e49_semantic_decon"    -> (SimOps.e49SemanticDecon _),
     "e50_filter_attribution" -> (CurationOps.e50FilterAttribution _),
+    "e52_temp_upsample"     -> (CurationOps.e52TempUpsample _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -965,6 +966,27 @@ object SparkEntry {
         |SELECT CAST(length(bin(cand)) - 1 AS BIGINT) AS cand_bucket,
         |  count(*) AS n_buckets, CAST(sum(cand) AS BIGINT) AS candidate_volume
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // e52: r is rounded to 6 dp before floor/frac on BOTH engines so
+    // the extra-copy threshold is the identical double
+    "e52_temp_upsample" ->
+      """WITH p AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |n1 AS (SELECT source, n_src, n_src * 1.0 / sum(n_src) OVER () AS nat FROM p),
+        |n2 AS (SELECT source, nat, sqrt(nat) AS sq FROM n1),
+        |pol AS (SELECT source,
+        |    round(least((sq / sum(sq) OVER ()) / nat, 4.0), 6) AS r FROM n2),
+        |d2 AS (SELECT d.source, d.n_chars, pol.r,
+        |    CAST(('0x' || substring(md5('up:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents d JOIN pol USING (source)),
+        |c AS (SELECT source, r, n_chars,
+        |    CAST(floor(r) AS BIGINT)
+        |      + (CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM d2)
+        |SELECT source, count(*) AS n_docs, max(r) AS r_target,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_copies,
+        |  round(sum(n_copies) * 1.0 / count(*), 6) AS realized_rate,
+        |  CAST(sum(n_copies * n_chars) AS BIGINT) AS chars_out
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // e51: (ts, event_id) tie-break makes the per-user sequence — and
     // therefore every transition count — identical on both engines
     "e51_event_transitions" ->

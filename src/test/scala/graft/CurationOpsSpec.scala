@@ -678,6 +678,57 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(1) > 0), "at least one filter must fire on the fixture")
   }
 
+  test("e52: replication factors follow the T=2 rule and copy counts match a recompute") {
+    val rows = CurationOps.e52TempUpsample(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    assert(rows.length == bySrc.size)
+    val total = docs.length.toDouble
+    val sqSum = bySrc.values.map(ds => math.sqrt(ds.size / total)).sum
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val n = bySrc(src).size
+      val nat = n / total
+      val expR = round6(math.min(math.sqrt(nat) / sqSum / nat, 4.0))
+      assert(r.getLong(1) == n.toLong, s"$src n_docs")
+      assert(math.abs(r.getDouble(2) - expR) < 1e-9, s"$src r_target")
+      // recompute every doc's deterministic copy count
+      val frac = expR - math.floor(expR)
+      val copies = bySrc(src).map { case (id, _, _) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"up:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(hex, 16) / 4294967296.0
+        math.floor(expR).toLong + (if (u < frac) 1L else 0L)
+      }
+      assert(r.getLong(3) == copies.sum, s"$src n_copies")
+      val chars = bySrc(src).map(_._3).zip(copies).map { case (c, k) => c * k }.sum
+      assert(r.getLong(5) == chars, s"$src chars_out")
+      // the realized rate must track the target within sampling noise
+      assert(math.abs(r.getLong(3).toDouble / n - expR) < 0.5,
+        s"$src realized rate wildly off target")
+    }
+    // T=2 pushes toward uniform: under-represented sources replicate
+    // (r > 1), over-represented ones thin out (r < 1) — both sides
+    // should appear on a corpus with unequal source sizes
+    assert(rows.forall(r => r.getDouble(2) > 0))
+    if (bySrc.values.map(_.size).toSet.size > 1)
+      assert(rows.exists(_.getDouble(2) > 1.0) && rows.exists(_.getDouble(2) < 1.0),
+        "unequal source sizes must produce both up- and down-weighted sources")
+  }
+
+  test("e52: policy derives from one partial-agg exchange and broadcasts back") {
+    val p = plan(CurationOps.e52TempUpsample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the source-sized policy must broadcast onto the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "joining the corpus to a ~20-row policy via shuffle is the anti-pattern")
+  }
+
   test("e50: one corpus pass — a single aggregate exchange, no joins, no window") {
     val p = plan(CurationOps.e50FilterAttribution(spark, sf))
     assert(!p.contains("Join"), "attribution must not join — flags are per-row")
