@@ -102,6 +102,7 @@ object SparkEntry {
     "e8h_posting_histogram" -> (SimOps.e8hPostingHistogram _),
     "e33h_candidate_volume" -> (EventOps.e33hCandidateVolume _),
     "e51_event_transitions" -> (EventOps.e51EventTransitions _),
+    "e51s_transitions_stream" -> (graft.streaming.StatefulOps.e51sTransitionsStream _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -990,6 +991,19 @@ object SparkEntry {
     // e51: (ts, event_id) tie-break makes the per-user sequence — and
     // therefore every transition count — identical on both engines
     "e51_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  round(count(*) * 1.0 / sum(count(*))
+        |    OVER (PARTITION BY from_type), 6) AS p_to
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY from_type, event_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    // e51s: the incremental (one-row-of-state-per-user) path must
+    // converge to the batch window's answer — same oracle as e51
+    "e51s_transitions_stream" ->
       """WITH s AS (SELECT user_id, event_id, ts, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS from_type

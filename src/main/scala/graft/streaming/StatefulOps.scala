@@ -61,4 +61,60 @@ object StatefulOps {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .orderBy("user_id")
   }
+
+  /** One emitted row per observed transition. */
+  case class Transition(from_type: String, to_type: String)
+
+  /** E51 streaming: incremental transition mining with LAST-EVENT state.
+    * Where the batch form (EventOps.e51EventTransitions) sorts each
+    * user's whole history in one window pass, the streaming form holds
+    * exactly ONE row of state per user — the (ts_us, event_id, type) of
+    * the last event seen — and emits a transition per arriving event:
+    * the state-bound contrast to e1s's grow-forever seen-set and e1sb's
+    * watermark-evicted variant. State never grows with history length,
+    * only with the user population.
+    *
+    * Ordering contract: a micro-batch's group iterator is UNORDERED, so
+    * the batch's rows are sorted by (ts, event_id) inside the fold;
+    * ACROSS batches the time-bucketed landing replays disjoint
+    * time-ordered ranges (the e29 protocol), so the carried state is
+    * always the true predecessor and the drained transitions equal the
+    * batch window's — which is exactly what the shared oracle checks. */
+  def userTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = EventStreams.eventsStreamBucketed(s, dir, 6, 3)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var prev = state.getOption // (ts_us, event_id, type) of the last event
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { case (_, id, ts, typ) =>
+            prev.foreach(p => out += Transition(p._3, typ))
+            prev = Some((ts, id, typ))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Declared-query form (`e51s_transitions_stream`): drain the
+    * append-mode transition rows, then aggregate batch-side to the SAME
+    * shape — and the same DuckDB oracle — as the batch key e51: the
+    * incremental path must converge to the full-history answer. */
+  def e51sTransitionsStream(s: SparkSession, dir: String): DataFrame = {
+    val name = EventStreams.drainToTable(s, userTransitions(s, dir),
+      "e51s_trans_table", "append")
+    s.table(name)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_to", round(
+        col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -129,6 +129,23 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("E51 streaming transitions with one-row-per-user state equal the batch window") {
+    val streamed = graft.streaming.StatefulOps.e51sTransitionsStream(spark, sf)
+    val batch = EventOps.e51EventTransitions(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+    // the 6-bucket / 3-files-per-trigger replay guarantees at least one
+    // batch BOUNDARY inside the timeline, so the parity above proves the
+    // carried last-event state produces the cross-boundary transitions —
+    // a single-batch drain could not distinguish state carry from resort
+    val total = streamed.agg(sum("n")).head().getLong(0)
+    val events = graft.Tables.events(spark, sf)
+    val nUsers = events.select("user_id").distinct().count()
+    assert(total == events.count() - nUsers,
+      "every user contributes exactly (n_events - 1) transitions")
+  }
+
   test("C5 dead-letter decode never throws: malformed props become error rows") {
     import spark.implicits._
     val df = Seq(
