@@ -103,6 +103,7 @@ object SparkEntry {
     "e33h_candidate_volume" -> (EventOps.e33hCandidateVolume _),
     "e51_event_transitions" -> (EventOps.e51EventTransitions _),
     "e51s_transitions_stream" -> (graft.streaming.StatefulOps.e51sTransitionsStream _),
+    "e53_rate_anomaly"      -> (EventOps.e53RateAnomaly _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -988,6 +989,22 @@ object SparkEntry {
         |  round(sum(n_copies) * 1.0 / count(*), 6) AS realized_rate,
         |  CAST(sum(n_copies * n_chars) AS BIGINT) AS chars_out
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // e53: z is rounded to 6 dp before the |z| >= 3 threshold; a null
+    // z (sub-2-row baseline) is not-anomalous on both engines
+    "e53_rate_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type,
+        |    CASE WHEN stddev_samp(n) OVER w > 0
+        |      THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6)
+        |    END AS z
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  max(z) AS max_z, min(z) AS min_z
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e51: (ts, event_id) tie-break makes the per-user sequence — and
     // therefore every transition count — identical on both engines
     "e51_event_transitions" ->

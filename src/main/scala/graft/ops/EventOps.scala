@@ -188,6 +188,48 @@ object EventOps {
       .orderBy("cand_bucket")
   }
 
+  /** E53: rolling-baseline rate anomaly detection — per event type,
+    * each hour's arrival count scored against the TRAILING 24 hours
+    * (`rowsBetween(-24, -1)`: the current row never contaminates its
+    * own baseline), z = (n − μ₂₄)/σ₂₄, anomalous when |z| ≥ 3. The
+    * ops-side primitive behind ingest-pipeline monitoring (a scraper
+    * burst, a dead source, a replayed shard all surface here), and the
+    * bounded-trailing-frame window surface the window family had not
+    * yet exercised (e22/e25 use running unbounded frames).
+    *
+    * Declared shape is the per-type summary (hours scored, anomalies,
+    * extreme z both directions) — informative even when a scale's
+    * series happens to be calm. z is rounded to 6 dp BEFORE the |z|
+    * threshold so both engines compare the identical double; the first
+    * hours of each series have a sub-2-row baseline, their z is null,
+    * and null counts as not-anomalous on both engines.
+    *
+    * 100 TB path: the ONLY corpus exchange is the partial-agg'd hourly
+    * count; the window runs over the AGGREGATED series (hours × types
+    * rows — thousands per year, regardless of event volume), so the
+    * rolling baseline costs nothing at any scale. Raw events are never
+    * sorted. */
+  def e53RateAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    hourly
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      // a CONSTANT baseline (sd = 0) leaves z undefined, exactly like
+      // the sub-2-row baseline: null, not-anomalous, on both engines
+      // (and ANSI mode would otherwise fault the division)
+      .withColumn("z", when(col("sd") > 0,
+        round((col("n") - col("mu")) / col("sd"), 6)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(abs(col("z")) >= 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        max(col("z")).as("max_z"), min(col("z")).as("min_z"))
+      .orderBy("event_type")
+  }
+
   /** E51: user-journey transition matrix — first-order Markov
     * statistics over each user's time-ordered event sequence: for every
     * (from_type, to_type) pair, how many transitions occurred and the

@@ -315,6 +315,47 @@ class CurationOpsSpec extends AnyFunSuite {
       "every user contributes exactly (n_events - 1) transitions")
   }
 
+  test("e53: z-scores match a sequential trailing-24 recompute per type") {
+    val rows = EventOps.e53RateAnomaly(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val hourly = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((typ, series) <- hourly.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2.getTime).map(_._3.toDouble)
+      val zs = ordered.indices.flatMap { i =>
+        val frame = ordered.slice(math.max(0, i - 24), i)
+        if (frame.length < 2) None
+        else {
+          val mu = frame.sum / frame.length
+          val sd = math.sqrt(frame.map(x => (x - mu) * (x - mu)).sum / (frame.length - 1))
+          if (sd > 0) Some(round6((ordered(i) - mu) / sd)) else None
+        }
+      }
+      val r = rows(typ)
+      assert(r.getLong(1) == ordered.length.toLong, s"$typ n_hours")
+      assert(r.getLong(2) == zs.count(z => math.abs(z) >= 3.0).toLong,
+        s"$typ n_anomalies")
+      if (zs.nonEmpty) {
+        assert(math.abs(r.getDouble(3) - zs.max) < 1e-6, s"$typ max_z")
+        assert(math.abs(r.getDouble(4) - zs.min) < 1e-6, s"$typ min_z")
+      } else assert(r.isNullAt(3) && r.isNullAt(4), s"$typ all-null z")
+    }
+  }
+
+  test("e53: the window runs over the aggregated hourly series, not raw events") {
+    val p = plan(EventOps.e53RateAnomaly(spark, sf))
+    assert(p.contains("Window"), "the rolling baseline is a window frame")
+    val winAt = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winAt)
+    assert(aggBelow > winAt,
+      "a partial-agg'd hourly count must feed the window (plans print top-down): " +
+        "sorting raw events for a per-hour baseline is the scale anti-pattern\n" + p)
+  }
+
   test("e51: the user-keyed window sort is the only corpus exchange; no join") {
     val p = plan(EventOps.e51EventTransitions(spark, sf))
     assert(!p.contains("Join"), "transition mining must not self-join the log")
