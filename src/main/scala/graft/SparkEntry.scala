@@ -104,6 +104,7 @@ object SparkEntry {
     "e51_event_transitions" -> (EventOps.e51EventTransitions _),
     "e51s_transitions_stream" -> (graft.streaming.StatefulOps.e51sTransitionsStream _),
     "e53_rate_anomaly"      -> (EventOps.e53RateAnomaly _),
+    "e54_cms_heavy_hitters" -> (CurationOps.e54CmsHeavyHitters _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -362,6 +363,20 @@ object SparkEntry {
         |  ELSE [] END) AS bg FROM t)
         |SELECT bg, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM bg GROUP BY bg ORDER BY n_occur DESC, bg LIMIT 50""".stripMargin,
+    // e54: the oracle cannot run a CMS — it recomputes the exact counts
+    // and expects within_bounds literally true, so any sketch-bound
+    // violation in the engine is a hash mismatch at the driver gate
+    "e54_cms_heavy_hitters" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bgs AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM t),
+        |e AS (SELECT bg, count(*) AS n_exact FROM bgs GROUP BY bg
+        |  ORDER BY n_exact DESC, bg LIMIT 20)
+        |SELECT bg, n_exact, TRUE AS within_bounds FROM e
+        |ORDER BY n_exact DESC, bg""".stripMargin,
     // r8 curation stages: DuckDB's native ASOF JOIN oracles the Spark
     // union-and-carry as-of idiom; shard/tfidf/passage recompute exactly
     "e25_asof_join" ->

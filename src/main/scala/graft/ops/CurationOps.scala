@@ -1065,6 +1065,62 @@ object CurationOps {
       .orderBy("filter")
   }
 
+  /** E54: Count-Min-Sketch heavy hitters with an ORACLE-GATED accuracy
+    * contract — the frequency-sketch member of the approximation family
+    * (e18 sketches distinct counts with HLL; this sketches per-item
+    * counts), declared in the e2r/e8h/e20b stance: never assume an
+    * approximation, gate it. The corpus bigram stream folds into ONE
+    * `count_min_sketch` aggregate (eps 1e-4, confidence 0.99, fixed
+    * seed — partial-aggregated per partition, merged to a single
+    * ~0.5 MB binary row), the exact top-20 is computed beside it, and
+    * every heavy hitter's sketch estimate is checked against the CMS
+    * guarantee `n ≤ est ≤ n + ⌈eps·total⌉` IN the declared output: the
+    * DuckDB oracle recomputes the exact counts and expects
+    * `within_bounds = true`, so a sketch that ever violates its bound
+    * is a driver-gate hash mismatch, not a silent drift.
+    *
+    * 100 TB path: the sketch pass is the scale lever — one scan,
+    * constant memory per partition, NO vocab-sized exchange (the
+    * sketch replaces the groupBy a 10¹¹-bigram vocabulary could not
+    * afford). The exact side exists only to gate the contract at
+    * fixture scale and is itself partial-agg'd + TakeOrdered. The
+    * driver-side work is ONE sketch row plus 20 `estimateCount` probes
+    * — bounded regardless of corpus size (the OrdApi golden-scale
+    * collect precedent). The bigram relation feeds both passes and is
+    * persisted for the query's lifetime (e6/e8 reuse discipline);
+    * at production scale the exact gate would run on a sampled slice
+    * and the persist would be dropped with it. */
+  def e54CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 1e-4
+    val bg = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .withColumn("w", toks)
+      .select(explode(bigramsArr).as("bg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = bg.agg(
+        expr(s"count_min_sketch(bg, ${eps}d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("total")).head()
+      val sketch = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+      val total = row.getAs[Long]("total")
+      val bound = math.ceil(eps * total).toLong
+      val top = bg.groupBy("bg").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("bg")).limit(20)
+        .collect()
+      import s.implicits._
+      top.toSeq
+        .map { r =>
+          val (b, n) = (r.getString(0), r.getLong(1))
+          val est = sketch.estimateCount(b)
+          (b, n, est >= n && est <= n + bound)
+        }
+        .toDF("bg", "n_exact", "within_bounds")
+        .orderBy(col("n_exact").desc, col("bg"))
+    } finally bg.unpersist()
+  }
+
   /** E52: temperature-based mixture REBALANCING manifest — the
     * materialization step e24 (fixed down-sampling weights) stops
     * short of: derive per-source replication factors from the T=2
