@@ -105,6 +105,7 @@ object SparkEntry {
     "e51s_transitions_stream" -> (graft.streaming.StatefulOps.e51sTransitionsStream _),
     "e53_rate_anomaly"      -> (EventOps.e53RateAnomaly _),
     "e54_cms_heavy_hitters" -> (CurationOps.e54CmsHeavyHitters _),
+    "e55_bpe_encode"        -> (CurationOps.e55BpeEncode _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -363,6 +364,28 @@ object SparkEntry {
         |  ELSE [] END) AS bg FROM t)
         |SELECT bg, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM bg GROUP BY bg ORDER BY n_occur DESC, bg LIMIT 50""".stripMargin,
+    // e55: replace() is left-to-right non-overlapping on both engines,
+    // so the frozen-merge rewrite is identical by construction (e48)
+    "e55_bpe_encode" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |f AS (SELECT source, w,
+        |    '||' || array_to_string(w, '||') || '||' AS s0 FROM t
+        |  WHERE len(w) > 0),
+        |m AS (SELECT source, len(w) AS n_in,
+        |    replace(replace(replace(s0,
+        |      '|table||hash|', '|table_hash|'),
+        |      '|part||filter|', '|part_filter|'),
+        |      '|customer||join|', '|customer_join|') AS s3 FROM f),
+        |c AS (SELECT source, n_in,
+        |    len(list_filter(string_split(s3, '||'), x -> len(x) > 0)) AS n_out
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_in) AS BIGINT) AS toks_in,
+        |  CAST(sum(n_out) AS BIGINT) AS toks_out,
+        |  round(sum(n_out) * 1.0 / sum(n_in), 6) AS compression
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // e54: the oracle cannot run a CMS — it recomputes the exact counts
     // and expects within_bounds literally true, so any sketch-bound
     // violation in the engine is a hash mismatch at the driver gate

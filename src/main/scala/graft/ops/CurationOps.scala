@@ -1121,6 +1121,45 @@ object CurationOps {
     } finally bg.unpersist()
   }
 
+  /** E55: BPE ENCODE under a frozen merge table — the inference half
+    * of the tokenizer pair (e48 trains merges; this applies them).
+    * Three previously-trained merges, frozen as ordered literals,
+    * rewrite every document via the same `||`-bounded literal-replace
+    * encoding e48's trainer uses (left-to-right non-overlapping in
+    * Spark and DuckDB alike — BpeSemanticSpec proved the rewrite
+    * equals sequential greedy BPE), applied in merge-priority order so
+    * later merges see earlier merges' output, exactly as a trained
+    * tokenizer does. Declared output: the per-source token compression
+    * the frozen vocab achieves — the number a pipeline watches to
+    * decide when a tokenizer needs retraining on drifted data.
+    *
+    * 100 TB path: where e48 pays an argmax + broadcast per iteration
+    * (training has to look at the corpus), encoding is a PURE
+    * projection — the merge table is baked into the plan as literal
+    * replaces, so the op is scan-bound, shuffle-free up to the
+    * source-sized rollup, and embarrassingly parallel: the e47
+    * contrast, applied to tokenization. */
+  def e55BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = Seq(("table", "hash"), ("part", "filter"), ("customer", "join"))
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("str",
+        concat(lit("||"), concat_ws("||", col("w")), lit("||")))
+    val enc = merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("str",
+        expr(s"replace(str, '|$a||$b|', '|${a}_$b|')"))
+    }
+    enc
+      .select(col("source"), size(col("w")).as("n_in"),
+        size(filter(split(col("str"), "\\|\\|"), t => length(t) > 0)).as("n_out"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_in").as("toks_in"), sum("n_out").as("toks_out"))
+      .withColumn("compression", round(col("toks_out") / col("toks_in"), 6))
+      .orderBy("source")
+  }
+
   /** E52: temperature-based mixture REBALANCING manifest — the
     * materialization step e24 (fixed down-sampling weights) stops
     * short of: derive per-source replication factors from the T=2

@@ -794,6 +794,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(cms.estimateCount("zz qq") >= 0L)
   }
 
+  test("e55: frozen-merge encoding matches a sequential greedy BPE apply") {
+    val rows = CurationOps.e55BpeEncode(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val merges = Seq(("table", "hash"), ("part", "filter"), ("customer", "join"))
+    def applyMerge(w: List[String], a: String, b: String): List[String] = w match {
+      case x :: y :: rest if x == a && y == b => s"${a}_$b" :: applyMerge(rest, a, b)
+      case x :: rest                          => x :: applyMerge(rest, a, b)
+      case Nil                                => Nil
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokensOf(r.getString(1)).toList))
+      .filter(_._2.nonEmpty)
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val pairs = ds.map { case (_, w) =>
+        val out = merges.foldLeft(w) { case (cur, (a, b)) => applyMerge(cur, a, b) }
+        (w.size.toLong, out.size.toLong)
+      }
+      src -> ((pairs.size.toLong, pairs.map(_._1).sum, pairs.map(_._2).sum))
+    }
+    assert(rows.size == exp.size)
+    for ((src, (nd, tin, tout)) <- exp) {
+      val r = rows(src)
+      assert(r.getLong(1) == nd && r.getLong(2) == tin && r.getLong(3) == tout,
+        s"$src: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}), want ($nd,$tin,$tout)")
+    }
+    assert(rows.values.exists(r => r.getLong(3) < r.getLong(2)),
+      "the frozen merges must actually fire somewhere on the fixture")
+  }
+
+  test("e55: encoding is a pure projection — no join, no window, source-sized agg only") {
+    val p = plan(CurationOps.e55BpeEncode(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "a frozen merge table is baked into the plan; encoding must not look anything up")
+  }
+
   test("e52: policy derives from one partial-agg exchange and broadcasts back") {
     val p = plan(CurationOps.e52TempUpsample(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
