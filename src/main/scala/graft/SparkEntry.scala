@@ -106,6 +106,7 @@ object SparkEntry {
     "e53_rate_anomaly"      -> (EventOps.e53RateAnomaly _),
     "e54_cms_heavy_hitters" -> (CurationOps.e54CmsHeavyHitters _),
     "e55_bpe_encode"        -> (CurationOps.e55BpeEncode _),
+    "e56_source_overlap"    -> (CurationOps.e56SourceOverlap _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
     "e10_quality_score" -> (TextOps.e10QualityScore _),
     "e11_fingerprint"   -> (TextOps.e11Fingerprint _),
@@ -364,6 +365,27 @@ object SparkEntry {
         |  ELSE [] END) AS bg FROM t)
         |SELECT bg, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM bg GROUP BY bg ORDER BY n_occur DESC, bg LIMIT 50""".stripMargin,
+    // e56: the oracle states the overlap as a shingle-keyed self-join;
+    // the engine's collect_set formulation must produce identical pairs
+    "e56_source_overlap" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT source, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS sh FROM w),
+        |ss AS (SELECT DISTINCT sh, source FROM sh0),
+        |tot AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+        |c AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |  FROM ss a JOIN ss b USING (sh) WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(n_shared * 1.0 / ta.n_sh, 6) AS share_a,
+        |  round(n_shared * 1.0 / tb.n_sh, 6) AS share_b
+        |FROM c JOIN tot ta ON ta.source = c.src_a
+        |  JOIN tot tb ON tb.source = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // e55: replace() is left-to-right non-overlapping on both engines,
     // so the frozen-merge rewrite is identical by construction (e48)
     "e55_bpe_encode" ->

@@ -1160,6 +1160,40 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** E56: cross-source shingle-overlap matrix — corpus cartography:
+    * for every pair of sources, how many distinct word-3-gram shingles
+    * they share, and what fraction of each source's shingle vocabulary
+    * that overlap is. The diagnostic behind domain weighting and
+    * contamination triage (two "independent" sources sharing half
+    * their vocabulary are one source for mixture purposes), and the
+    * set-valued-aggregate plan pattern the dedup family doesn't use.
+    *
+    * 100 TB path: the ONLY corpus-sized exchange is the distinct
+    * (shingle, source) relation; `collect_set` per shingle is bounded
+    * by the SOURCE COUNT (≤ tens), the pair explode by source², and
+    * the output matrix by source²/2 — all constants. No shingle-keyed
+    * self-join (the oracle's formulation) ever runs in the engine:
+    * the set aggregation replaces it with one exchange plus a
+    * constant-width explode. */
+  def e56SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ss = SimOps.shingleRows(s, d).select("sh", "source").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = ss.groupBy("sh").agg(collect_set(col("source")).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("ta"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("tb"))), "src_b")
+      .withColumn("share_a", round(col("n_shared") / col("ta"), 6))
+      .withColumn("share_b", round(col("n_shared") / col("tb"), 6))
+      .select("src_a", "src_b", "n_shared", "share_a", "share_b")
+      .orderBy("src_a", "src_b")
+  }
+
   /** E52: temperature-based mixture REBALANCING manifest — the
     * materialization step e24 (fixed down-sampling weights) stops
     * short of: derive per-source replication factors from the T=2

@@ -830,6 +830,41 @@ class CurationOpsSpec extends AnyFunSuite {
       "a frozen merge table is baked into the plan; encoding must not look anything up")
   }
 
+  test("e56: the overlap matrix matches a brute-force set-intersection recompute") {
+    val rows = CurationOps.e56SourceOverlap(spark, sf).collect()
+    val bySrc = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokensOf(r.getString(1))))
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> ds.flatMap { case (_, w) =>
+          if (w.size < 3) Seq.empty
+          else w.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+    val srcs = bySrc.keys.toSeq.sorted
+    val exp = for {
+      a <- srcs; b <- srcs if a < b
+      n = (bySrc(a) intersect bySrc(b)).size if n > 0
+    } yield ((a, b), n)
+    val expMap = exp.toMap
+    assert(rows.length == expMap.size, "pair set must match the brute recompute")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expMap(k).toLong, s"pair $k n_shared")
+      assert(math.abs(r.getDouble(3) - expMap(k).toDouble / bySrc(k._1).size) < 1e-6)
+      assert(math.abs(r.getDouble(4) - expMap(k).toDouble / bySrc(k._2).size) < 1e-6)
+    }
+  }
+
+  test("e56: no shingle-keyed self-join — the set aggregation replaces it") {
+    val p = plan(CurationOps.e56SourceOverlap(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      "the oracle's self-join formulation must NOT appear in the engine plan; " +
+        "collect_set per shingle + a constant-width explode replaces it")
+    assert(p.contains("BroadcastHashJoin"),
+      "the source-sized totals must broadcast onto the constant-sized pair matrix")
+  }
+
   test("e52: policy derives from one partial-agg exchange and broadcasts back") {
     val p = plan(CurationOps.e52TempUpsample(spark, sf))
     assert(p.contains("BroadcastHashJoin"),

@@ -102,4 +102,38 @@ class PropertySpec extends AnyFunSuite {
     assert(df.where($"kind" === "none").count() == 0)
     assert(df.count() == 100)
   }
+
+  test("VectorCentroid partial state is associative and split-invariant on random data") {
+    // the partial-agg contract the 100 TB story rests on: ANY partition
+    // split of the input, merged in ANY association order, must finish
+    // to the same centroid the sequential fold produces
+    import graft.functions.{CentroidBuf, VectorCentroid => VC}
+    for (trial <- 1 to 20) {
+      val dim = 1 + rnd.nextInt(8)
+      val n = 2 + rnd.nextInt(40)
+      val vecs = Seq.fill(n)(Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+      def fold(vs: Seq[Array[Double]]): CentroidBuf =
+        vs.foldLeft(VC.zero)((b, v) => VC.reduce(b, v))
+      val sequential = VC.finish(fold(vecs)).toSeq
+      // random split into 1..5 partitions, then a random merge tree
+      val cuts = (Seq(0, n) ++ Seq.fill(rnd.nextInt(4))(rnd.nextInt(n + 1)))
+        .distinct.sorted
+      var bufs = cuts.zip(cuts.tail).map { case (a, b) => fold(vecs.slice(a, b)) }
+        .filter(_.n > 0)
+      while (bufs.size > 1) {
+        val i = rnd.nextInt(bufs.size - 1)
+        bufs = bufs.patch(i, Seq(VC.merge(bufs(i), bufs(i + 1))), 2)
+      }
+      val merged = VC.finish(bufs.head).toSeq
+      // finish() rounds to 6 dp; reassociation drift is absorbed there
+      assert(merged == sequential, s"trial $trial: $merged != $sequential")
+    }
+  }
+
+  test("VectorCentroid rejects mixed dimensions in merge, not just reduce") {
+    import graft.functions.{VectorCentroid => VC}
+    val a = VC.reduce(VC.zero, Array(1.0, 2.0))
+    val b = VC.reduce(VC.zero, Array(1.0, 2.0, 3.0))
+    intercept[IllegalArgumentException](VC.merge(a, b))
+  }
 }
