@@ -150,6 +150,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Evidence-chain hygiene (r9 ask: no unexplained [error] lines in the
+    // captured tail): every StreamingQuery.stop() cancels its run's job
+    // group AFTER processAllAvailable() drained it, so the DAGScheduler
+    // always WARNs "Cancel job group <uuid>. Cannot find active jobs for
+    // it." — benign by construction here, but it lands on stderr mid-tail
+    // and reads like a failure. Streaming keys repeat 4+ times each, so
+    // the bench tail collected dozens. Silence that one logger for the
+    // bench process only; real failures still surface as exceptions via
+    // the run() sentinel and the FAILED attempt marker.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR)
     // Pre-set the checkpoint dir so ClusterOps.ensureCheckpointDir keeps
     // it; GRAFT_CHECKPOINT_DIR still wins for explicit placement. Only a
     // dir the bench itself chose is cleaned up at exit — an explicit env

@@ -138,6 +138,7 @@ object SparkEntry {
     "e28_passage_dedup"     -> (CurationOps.e28PassageDedup _),
     "e20b_bloom_decon"      -> (CurationOps.e20bBloomDecon _),
     "e29_stream_join"       -> (graft.streaming.EventStreams.e29StreamToTable _),
+    "e29b_stream_left_join" -> (graft.streaming.EventStreams.e29bStreamLeftToTable _),
     "e30_sparse_cosine"     -> (SimOps.e30SparseCosine _),
     "e31_quant_ann"         -> (SimOps.e31QuantAnn _),
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
@@ -149,13 +150,16 @@ object SparkEntry {
     "e39_domain_gate"       -> (CurationOps.e39DomainGate _),
     "e40_kmeans_train"      -> (SimOps.e40KmeansTrain _),
     "e41_chunk_overlap"     -> (CurationOps.e41ChunkOverlap _),
+    "e41b_chunk_generator"  -> (CurationOps.e41bChunkGenerator _),
     "e42_split_leakage"     -> (CurationOps.e42SplitLeakage _),
     "e43_snapshot_diff"     -> (CurationOps.e43SnapshotDiff _),
+    "e57_scd2_merge"        -> (CurationOps.e57Scd2Merge _),
     "e44_dsir_weights"      -> (CurationOps.e44DsirWeights _),
     "e45_novelty"           -> (CurationOps.e45Novelty _),
     "e46_embed_outliers"    -> (SimOps.e46EmbedOutliers _),
     "e47_intradoc_dedup"    -> (CurationOps.e47IntradocDedup _),
     "e48_bpe_merge"         -> (CurationOps.e48BpeMerge _),
+    "e48b_bpe_train"        -> (CurationOps.e48bBpeTrain _),
     "e49_semantic_decon"    -> (SimOps.e49SemanticDecon _),
     "e50_filter_attribution" -> (CurationOps.e50FilterAttribution _),
     "e52_temp_upsample"     -> (CurationOps.e52TempUpsample _),
@@ -196,6 +200,80 @@ object SparkEntry {
        |    CAST(u.p AS INTEGER) AS tab_pos, u.t.tab_name AS tab_name,
        |    unnest(u.t.components) AS comp
        |  FROM t)""".stripMargin
+
+  /** DuckDB oracle for e48b: `n` chained greedy-merge iterations
+    * generated from one CTE template — the same four relations the
+    * 2-iteration e48 oracle spells out by hand (adjacent pairs, argmax,
+    * aggregate stats, literal-replace rewrite), chained m0 → m`n`.
+    * Token totals use the engine's Σlen = Σpairs + n_docs identity so
+    * each iteration needs only its pair aggregate, keeping every m_k
+    * referenced exactly twice (p_{k+1} and m_{k+1}). The corpus-sized
+    * CTEs are AS MATERIALIZED: DuckDB's default inlining re-expands
+    * the doubly-referenced chain exponentially (measured 29.7 s →
+    * 0.96 s at sf0.01, 10.1 s at 500k docs, identical rows). */
+  private[graft] def e48bOracleSql(n: Int): String = {
+    val header =
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> regexp_matches(x, '^[a-z0-9]+$')) AS w
+        |  FROM documents),
+        |m0 AS MATERIALIZED (SELECT doc_id, w FROM d0 WHERE len(w) > 0),
+        |nd AS (SELECT count(*) AS n_docs FROM m0)""".stripMargin
+    val iters = (1 to n + 1).flatMap { k =>
+      val p =
+        s"""p$k AS MATERIALIZED (SELECT w[CAST(i.i AS INTEGER)] AS a,
+           |    w[CAST(i.i AS INTEGER) + 1] AS b, count(*) AS n
+           |  FROM m${k - 1}, UNNEST(range(1, len(w))) AS i(i) GROUP BY 1, 2)""".stripMargin
+      val agg =
+        s"""a$k AS (SELECT CAST(sum(n) AS BIGINT) AS occ,
+           |  count(*) AS vocab_pairs FROM p$k)""".stripMargin
+      if (k <= n) {
+        val b = s"b$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1)"
+        val m =
+          s"""m$k AS MATERIALIZED (SELECT doc_id,
+             |    list_filter(string_split(
+             |      replace('||' || array_to_string(w, '||') || '||',
+             |        '|' || b$k.a || '||' || b$k.b || '|',
+             |        '|' || b$k.a || '_' || b$k.b || '|'), '||'),
+             |      x -> x <> '') AS w
+             |  FROM m${k - 1}, b$k)""".stripMargin
+        Seq(p, b, agg, m)
+      } else Seq(p, agg)
+    }
+    val rows = (1 to n).map { k =>
+      s"""SELECT $k AS iter, b$k.a, b$k.b, b$k.n AS n_occ,
+         |  a$k.occ - a${k + 1}.occ AS n_merged,
+         |  a$k.occ + nd.n_docs AS toks_before,
+         |  a${k + 1}.occ + nd.n_docs AS toks_after,
+         |  a$k.vocab_pairs
+         |FROM b$k, a$k, a${k + 1}, nd""".stripMargin
+    }
+    (header +: iters).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+  }
+
+  /** Shared by e41 (HOF build) and e41b (native Generator): both
+    * declared forms must hash-match the SAME chunk recomputation —
+    * the generator is an execution-strategy change, not a semantics
+    * change, and the shared oracle states that. */
+  private val e41OracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n_tok,
+      |    CAST((greatest(len(w) - 16, 0) + 11) // 12 + 1 AS INTEGER) AS n_chunks
+      |  FROM w WHERE len(w) > 0),
+      |ch AS (SELECT doc_id, w, n_tok, n_chunks, CAST(u.c AS INTEGER) AS chunk_id,
+      |    CAST(u.c * 12 AS INTEGER) AS start_tok,
+      |    CAST(least(16, n_tok - u.c * 12) AS INTEGER) AS n_tok_chunk
+      |  FROM t, UNNEST(range(n_chunks)) AS u(c))
+      |SELECT doc_id, chunk_id, start_tok, n_tok_chunk,
+      |  CAST(('0x' || substr(md5(array_to_string(
+      |    list_slice(w, start_tok + 1, start_tok + n_tok_chunk), ' ')), 1, 8))
+      |    AS BIGINT) AS chunk_fp,
+      |  n_tok, n_chunks
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (s6_json_sink) get the
@@ -387,10 +465,14 @@ object SparkEntry {
         |  JOIN tot tb ON tb.source = c.src_b
         |ORDER BY src_a, src_b""".stripMargin,
     // e55: replace() is left-to-right non-overlapping on both engines,
-    // so the frozen-merge rewrite is identical by construction (e48)
+    // so the frozen-merge rewrite is identical by construction (e48);
+    // the e48 alphabet filter runs before encoding (r9 advisory: the
+    // encoding is collision-free only over [a-z0-9]+ tokens)
     "e55_bpe_encode" ->
       """WITH t AS (SELECT source,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  list_filter(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0),
+        |    x -> regexp_matches(x, '^[a-z0-9]+$')) AS w
         |  FROM documents),
         |f AS (SELECT source, w,
         |    '||' || array_to_string(w, '||') || '||' AS s0 FROM t
@@ -408,9 +490,11 @@ object SparkEntry {
         |  CAST(sum(n_out) AS BIGINT) AS toks_out,
         |  round(sum(n_out) * 1.0 / sum(n_in), 6) AS compression
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
-    // e54: the oracle cannot run a CMS — it recomputes the exact counts
-    // and expects within_bounds literally true, so any sketch-bound
-    // violation in the engine is a hash mismatch at the driver gate
+    // e54: the oracle cannot run a CMS — it recomputes the exact
+    // top-20 over the SAME deterministic 1/16 md5 vocabulary sample and
+    // expects gate_ok literally true; the engine's gate passes on a
+    // >=19/20 quorum (one excursion is the sketch's priced confidence,
+    // two is drift and flips every declared row)
     "e54_cms_heavy_hitters" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -418,9 +502,11 @@ object SparkEntry {
         |bgs AS (SELECT unnest(CASE WHEN len(w) >= 2
         |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
         |  ELSE [] END) AS bg FROM t),
-        |e AS (SELECT bg, count(*) AS n_exact FROM bgs GROUP BY bg
+        |sam AS (SELECT bg FROM bgs
+        |  WHERE CAST(('0x' || substr(md5('cms:' || bg), 1, 8)) AS BIGINT) % 16 = 0),
+        |e AS (SELECT bg, count(*) AS n_exact FROM sam GROUP BY bg
         |  ORDER BY n_exact DESC, bg LIMIT 20)
-        |SELECT bg, n_exact, TRUE AS within_bounds FROM e
+        |SELECT bg, n_exact, TRUE AS gate_ok FROM e
         |ORDER BY n_exact DESC, bg""".stripMargin,
     // r8 curation stages: DuckDB's native ASOF JOIN oracles the Spark
     // union-and-carry as-of idiom; shard/tfidf/passage recompute exactly
@@ -501,6 +587,30 @@ object SparkEntry {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // e29b: the left join's null rows are the WATERMARK-EMISSION
+    // contract, reproduced exactly: an unmatched click appears iff the
+    // final global watermark (min of both sides' MILLISECOND-truncated
+    // max event time — Spark tracks watermarks in ms — minus the
+    // 10-minute delay) strictly cleared its 6-hour join window —
+    // clicks later than that are still in join state when the replay
+    // ends and correctly emit nothing. NULLS FIRST pins DuckDB to
+    // Spark's ascending null ordering.
+    "e29b_stream_left_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS cus FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS pus FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (SELECT (least((SELECT max(cus) FROM c),
+        |    (SELECT max(pus) FROM p)) // 1000 - 600000) * 1000 AS w)
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  c.cus AS click_ts_us, p.pus AS purchase_ts_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 21600000000
+        |WHERE p.purchase_id IS NOT NULL
+        |   OR c.cus + 21600000000 < (SELECT w FROM wm)
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     "e30_sparse_cosine" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -736,23 +846,10 @@ object SparkEntry {
     // e41: chunk arithmetic via BIGINT `//`; the fingerprint slices the
     // token list 1-based inclusive (list_slice) to the same span Spark's
     // slice(w, start+1, len) takes, then the e36 hex-prefix idiom
-    "e41_chunk_overlap" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |t AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n_tok,
-        |    CAST((greatest(len(w) - 16, 0) + 11) // 12 + 1 AS INTEGER) AS n_chunks
-        |  FROM w WHERE len(w) > 0),
-        |ch AS (SELECT doc_id, w, n_tok, n_chunks, CAST(u.c AS INTEGER) AS chunk_id,
-        |    CAST(u.c * 12 AS INTEGER) AS start_tok,
-        |    CAST(least(16, n_tok - u.c * 12) AS INTEGER) AS n_tok_chunk
-        |  FROM t, UNNEST(range(n_chunks)) AS u(c))
-        |SELECT doc_id, chunk_id, start_tok, n_tok_chunk,
-        |  CAST(('0x' || substr(md5(array_to_string(
-        |    list_slice(w, start_tok + 1, start_tok + n_tok_chunk), ' ')), 1, 8))
-        |    AS BIGINT) AS chunk_fp,
-        |  n_tok, n_chunks
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "e41_chunk_overlap" -> e41OracleSql,
+    // e41b: the native-Generator twin is oracle-checked against the
+    // IDENTICAL recomputation — same rows, same fingerprints
+    "e41b_chunk_generator" -> e41OracleSql,
     // e42: the split bucket is a pure function of the normalized-content
     // group hash, so the leak audit's 0 is measured in both engines
     "e42_split_leakage" ->
@@ -947,6 +1044,42 @@ object SparkEntry {
         |    t1a.toks_after AS toks_before, t2a.toks_after, v2.vocab_pairs
         |  FROM b2, v2, t1a, t2a)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY iter""".stripMargin,
+    // e48b: the generalized trainer — 8 chained iterations of the same
+    // template, generated (e48bOracleSql); token totals derived via the
+    // shared Σlen = Σpairs + n_docs identity
+    "e48b_bpe_train" -> e48bOracleSql(8),
+    // e57: both engines derive the identical snapshot pair (the e43
+    // rule) and merge it; (doc_id, valid_from) keys the output, so the
+    // declared ordering is total. valid_to is a nullable INTEGER on
+    // both sides (pandas lifts each to float64 + NaN identically)
+    "e57_scd2_merge" ->
+      """WITH a AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS dig,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |bs AS (SELECT max(doc_id) + 1 AS base FROM documents),
+        |bt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + bs.base, text FROM documents, bs WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS dig,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM bt),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    a.dig AS dig_a, a.len AS len_a, b.dig AS dig_b, b.len AS len_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, 1 AS version, dig_a AS digest, len_a AS n_chars,
+        |  1 AS valid_from,
+        |  CASE WHEN dig_b IS NULL OR dig_b <> dig_a THEN 2 END AS valid_to,
+        |  (dig_b IS NOT NULL AND dig_b = dig_a) AS is_current
+        |FROM j WHERE dig_a IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id, CASE WHEN dig_a IS NULL THEN 1 ELSE 2 END, dig_b, len_b,
+        |  2, NULL, TRUE
+        |FROM j WHERE dig_b IS NOT NULL AND (dig_a IS NULL OR dig_a <> dig_b)
+        |ORDER BY doc_id, valid_from""".stripMargin,
     // e49: cosine rounds 6 dp INSIDE the max on both engines (the
     // Spark side's codegen cosine already rounds), and the p99 bar is
     // exact quantile_cont for parity (the e38/e17 stance)
@@ -1050,7 +1183,11 @@ object SparkEntry {
         |  CAST(sum(n_copies * n_chars) AS BIGINT) AS chars_out
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // e53: z is rounded to 6 dp before the |z| >= 3 threshold; a null
-    // z (sub-2-row baseline) is not-anomalous on both engines
+    // z (sub-2-row baseline) is not-anomalous on both engines. The
+    // frame is the trailing 24 OBSERVED hourly rows (ROWS BETWEEN, not
+    // RANGE): hour gaps stretch it back in wall time and silent hours
+    // are never scored — burst/replay detection, not dead-source
+    // detection (see the e53 docstring for the densified variant)
     "e53_rate_anomaly" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
         |  FROM events GROUP BY 1, 2),

@@ -701,6 +701,35 @@ object CurationOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** E41b: the NATIVE-GENERATOR twin of e41 — identical declared
+    * output (shared oracle), produced by the custom Catalyst UDTF
+    * [[graft.functions.SlidingChunks]] instead of the
+    * `posexplode(transform(sequence(...)))` HOF build. The §2.11
+    * escape-hatch demonstration for table-valued functions: the plan
+    * is scan → project → Generate(sliding_chunks) with the chunk
+    * build fused into one call per row (no per-chunk HOF evaluation,
+    * no intermediate chunk array on the expression stack), and
+    * `GenerateExec` consumes the collection inside whole-stage
+    * codegen (ChunkGeneratorSpec asserts the Generate node, the
+    * generator class, and bit-equality to e41). Same 100 TB story as
+    * e41: embarrassingly parallel, shuffle-free up to the declared
+    * ordering. */
+  def e41bChunkGenerator(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    val S = 12
+    graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("n_tok", size(col("w")))
+      .withColumn("n_chunks",
+        (floor((greatest(size(col("w")) - W, lit(0)) + S - 1) / S) + 1).cast("int"))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        graft.functions.SlidingChunks.chunks(col("w"), W, S))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok_chunk"), col("chunk_fp"), col("n_tok"), col("n_chunks"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** E42: leakage-safe train/val/test SPLIT — the assignment is made at
     * the exact-duplicate-GROUP level (normalized-content hash, the e39
     * keeper key), not per document, so two copies of the same text can
@@ -784,6 +813,78 @@ object CurationOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("len_b"), col("len_a"))).as("n_chars"))
       .orderBy("status", "source")
+  }
+
+  /** E57: SCD2 snapshot-merge APPLY — the write path e43 stops short
+    * of: e43 *classifies* the drift between two corpus snapshots;
+    * this op *applies* it, reconciling snapshot B into a
+    * current+history dimension with validity windows (slowly-changing
+    * dimension type 2 — the standard warehouse shape for "keep every
+    * version, know which one is live"). Snapshots A and B are the
+    * SAME deterministic pair e43 diffs (B = A minus `id%7=0`, with
+    * `id%5=0` survivors revised and `id%11=0` docs cloned past
+    * max id), so both engines merge identical corpora.
+    *
+    * Merge semantics, per doc_id over the full-outer join:
+    *   unchanged → the v1 row stays open (valid_to NULL, current);
+    *   changed   → v1 CLOSES at batch 2, a v2 row opens;
+    *   removed   → v1 closes at batch 2, nothing opens;
+    *   added     → a v1 row opens AT batch 2.
+    * Batch ids (1, 2) are the validity stamps — deterministic, no
+    * wall clock, exactly reproducible by the oracle.
+    *
+    * 100 TB path (the e43 discipline, applied to a write): each side
+    * projects to `(doc_id, digest, length)` BEFORE the full-outer
+    * equi-join, so the ONE corpus-sized shuffle ships an 8-byte
+    * digest prefix and a scalar per doc — never text; version rows
+    * are then built MAP-SIDE (a 2-slot struct array, null-filtered
+    * and inlined — no second join, no window), and the only other
+    * exchange is the declared ordering's range partition. A real
+    * incremental refresh appends exactly these rows to the dimension
+    * table; nothing here grows state beyond the snapshot pair. */
+  def e57Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def digested(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("digest"),
+        length(col("text")).cast("long").as("len"))
+    val a = digested(docs)
+    val base = docs.agg((max("doc_id") + 1).as("base"))
+    val b = digested(
+      docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .crossJoin(broadcast(base))
+          .select((col("doc_id") + col("base")).as("doc_id"), col("text"))))
+    val j = a.select(col("doc_id"), col("digest").as("dig_a"), col("len").as("len_a"))
+      .join(b.select(col("doc_id"), col("digest").as("dig_b"), col("len").as("len_b")),
+        Seq("doc_id"), "full_outer")
+    val survives = col("dig_b").isNotNull && col("dig_b") === col("dig_a")
+    val opens = col("dig_b").isNotNull &&
+      (col("dig_a").isNull || col("dig_a") =!= col("dig_b"))
+    j.select(col("doc_id"), explode(filter(array(
+        // the version-1 row: every doc present in A has one; it stays
+        // open iff B carries the identical digest
+        when(col("dig_a").isNotNull, struct(
+          lit(1).as("version"),
+          col("dig_a").as("digest"), col("len_a").as("n_chars"),
+          lit(1).as("valid_from"),
+          when(!survives, lit(2)).otherwise(lit(null).cast("int")).as("valid_to"),
+          survives.as("is_current"))),
+        // the row batch 2 opens: v2 for a changed doc, v1 for an added one
+        when(opens, struct(
+          when(col("dig_a").isNull, lit(1)).otherwise(lit(2)).as("version"),
+          col("dig_b").as("digest"), col("len_b").as("n_chars"),
+          lit(2).as("valid_from"), lit(null).cast("int").as("valid_to"),
+          lit(true).as("is_current")))),
+        x => x.isNotNull)).as("r"))
+      .select(col("doc_id"), col("r.version"), col("r.digest"), col("r.n_chars"),
+        col("r.valid_from"), col("r.valid_to"), col("r.is_current"))
+      // (doc_id, valid_from) is a key of the merged dimension — at most
+      // one row opens per batch per doc — so the ordering is total
+      .orderBy("doc_id", "valid_from")
   }
 
   /** E44: DSIR-style importance weights — hashed n-gram (unigram +
@@ -1015,6 +1116,124 @@ object CurationOps {
     r1.unionAll(r2).orderBy("iter")
   }
 
+  /** E48b: the GENERALIZED BPE trainer — e48's 2 unrolled iterations
+    * demonstrated that the `||`-bounded literal-replace rewrite IS
+    * sequential greedy BPE (BpeSemanticSpec proves bit-equality); this
+    * is the production form: a parameterized merge LOOP (8 merges
+    * declared) whose per-iteration cost is one linear pass over the
+    * working corpus, independent of how many merges preceded it.
+    *
+    * Loop mechanics, and why each piece is the scalable choice:
+    *
+    *  - the working corpus lives as the `||`-encoded string per doc,
+    *    PERSISTED per iteration (MEMORY_AND_DISK) with the previous
+    *    generation unpersisted as soon as its successor is
+    *    materialized — a rolling window of ≤2 corpus generations on
+    *    executors, never a lineage chain that re-derives k rewrites
+    *    from the scan (e48's lazy form pays exactly that, which is
+    *    fine for 2 iterations and quadratic past it);
+    *  - ONE job per iteration: the adjacent-pair relation partial-
+    *    aggregates (map-side combine, exchange bounded by the distinct
+    *    pair vocabulary, never the corpus), and a single final
+    *    aggregate computes argmax + vocabulary size + total pair
+    *    occurrences together — `min(struct(-n, a, b))` is the
+    *    `ORDER BY n DESC, a, b LIMIT 1` argmax as one partial-agg'd
+    *    expression, no sort, no second pass;
+    *  - the 1-row argmax is COLLECTED (the k-means/e40 precedent:
+    *    driver state bounded by the merge count, never the data) and
+    *    baked into the next rewrite as a LITERAL replace — the rewrite
+    *    is a pure map-side projection, embarrassingly parallel;
+    *  - token totals are DERIVED, not re-scanned: every doc holds
+    *    len(w)−1 adjacent pairs, so Σlen = Σn + n_docs — iteration
+    *    k's toks_before/toks_after come from the pair aggregates of
+    *    iterations k and k+1 (one extra pair pass after the last
+    *    merge closes the final row). No separate count jobs.
+    *
+    * Per-iteration cost is therefore scan(persisted corpus) + one
+    * bounded exchange + a 1-row collect: linear in the corpus, flat in
+    * the iteration index — the r9 verdict's "at/below linear per
+    * merge" contract, measured per-merge in SCALE.md. A 32k-merge
+    * production trainer would add incremental pair-count DELTAS (only
+    * pairs adjacent to a rewrite site change counts between
+    * iterations) to drop the per-merge cost below a full pass; the
+    * loop shape, state rotation, and argmax-broadcast here are that
+    * trainer's skeleton with the delta optimization still available
+    * inside the `pairStats` seam.
+    *
+    * Declared output: one row per merge, identical schema/semantics to
+    * e48 (adopted pair, overlapping occurrence count, tokens
+    * before/after, merges applied, pair-vocabulary size), 8 rows. The
+    * DuckDB oracle replays the same 8 chained iterations as CTEs
+    * generated from one template (SparkEntry.e48bOracleSql). */
+  def e48bBpeTrain(s: SparkSession, d: String): DataFrame =
+    e48bBpeTrainN(s, d, 8)
+
+  private[graft] def e48bBpeTrainN(
+      s: SparkSession, d: String, merges: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w0"))
+      .select(col("doc_id"),
+        filter(col("w0"), t => t.rlike("^[a-z0-9]+$")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"),
+        concat(lit("||"), concat_ws("||", col("w")), lit("||")).as("str"))
+
+    // n_docs once: the Σlen = Σpairs + n_docs identity needs it, and it
+    // is invariant under merging (a rewrite never empties a document)
+    val nDocs = base.agg(count(lit(1))).head().getLong(0)
+
+    /** One job over the current corpus: (best pair, its count, distinct
+      * pair vocabulary, total pair occurrences). */
+    def pairStats(cur: DataFrame): (String, String, Long, Long, Long) = {
+      val r = cur
+        .select(filter(split(col("str"), "\\|\\|"), t => length(t) > 0).as("w"))
+        .select(explode(skipPairs(1)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .agg(min(struct((col("n") * -1).as("negN"), col("a"), col("b"))).as("best"),
+          count(lit(1)).as("vocab_pairs"), sum(col("n")).as("occ"))
+        .head()
+      require(!r.isNullAt(0),
+        "e48b: the corpus ran out of adjacent pairs before the declared " +
+          "merge count — every fixture corpus is orders of magnitude away " +
+          "from this; a real trainer would stop early here")
+      val best = r.getStruct(0)
+      (best.getString(1), best.getString(2), -best.getLong(0),
+        r.getLong(1), r.getLong(2))
+    }
+
+    var cur = base.persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
+    val adopted = Seq.newBuilder[(Int, String, String, Long, Long)] // iter, a, b, n_occ, vocab
+    val occs = Seq.newBuilder[Long] // total pair occurrences per generation
+    for (k <- 1 to merges + 1) {
+      val (a, b, nOcc, vocab, occ) = pairStats(cur) // materializes `cur`
+      prev.foreach(_.unpersist())                   // rotate: ≤2 generations live
+      occs += occ
+      if (k <= merges) {
+        adopted += ((k, a, b, nOcc, vocab))
+        val next = cur
+          .withColumn("str", org.apache.spark.sql.functions.replace(col("str"),
+            lit(s"|$a||$b|"), lit(s"|${a}_$b|")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = Some(cur)
+        cur = next
+      }
+    }
+    cur.unpersist(); prev.foreach(_.unpersist())
+
+    val occArr = occs.result()
+    import s.implicits._
+    adopted.result().map { case (k, a, b, nOcc, vocab) =>
+      val before = occArr(k - 1) + nDocs
+      val after = occArr(k) + nDocs
+      (k, a, b, nOcc, before - after, before, after, vocab)
+    }.toDF("iter", "a", "b", "n_occ", "n_merged",
+      "toks_before", "toks_after", "vocab_pairs")
+      .orderBy("iter")
+  }
+
   /** E50: filter-attribution audit — the ablation table a curation
     * pipeline needs BEFORE committing to a filter stack (the
     * FineWeb/RefinedWeb methodology: measure what each rule kills, not
@@ -1072,12 +1291,15 @@ object CurationOps {
     * approximation, gate it. The corpus bigram stream folds into ONE
     * `count_min_sketch` aggregate (eps 1e-4, confidence 0.99, fixed
     * seed — partial-aggregated per partition, merged to a single
-    * ~0.5 MB binary row), the exact top-20 is computed beside it, and
-    * every heavy hitter's sketch estimate is checked against the CMS
-    * guarantee `n ≤ est ≤ n + ⌈eps·total⌉` IN the declared output: the
-    * DuckDB oracle recomputes the exact counts and expects
-    * `within_bounds = true`, so a sketch that ever violates its bound
-    * is a driver-gate hash mismatch, not a silent drift.
+    * ~1 MB binary row at confidence 0.9999), the exact gate runs on a
+    * deterministic md5 1/16 VOCABULARY sample (sampling by value keeps
+    * each sampled bigram's count exact), its top-20 probes the sketch
+    * against the CMS guarantee `n ≤ est ≤ n + ⌈eps·total⌉`, and the
+    * declared `gate_ok` passes on a ≥19/20 QUORUM: the DuckDB oracle
+    * recomputes the sampled top-20 and expects `gate_ok = true`, so
+    * two-or-more bound violations (real drift) flip every declared row,
+    * while a single excursion — the sketch behaving exactly as its
+    * confidence prices — does not masquerade as a correctness bug.
     *
     * 100 TB path: the sketch pass is the scale lever — one scan,
     * constant memory per partition, NO vocab-sized exchange (the
@@ -1087,9 +1309,7 @@ object CurationOps {
     * driver-side work is ONE sketch row plus 20 `estimateCount` probes
     * — bounded regardless of corpus size (the OrdApi golden-scale
     * collect precedent). The bigram relation feeds both passes and is
-    * persisted for the query's lifetime (e6/e8 reuse discipline);
-    * at production scale the exact gate would run on a sampled slice
-    * and the persist would be dropped with it. */
+    * persisted for the query's lifetime (e6/e8 reuse discipline). */
   def e54CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.util.sketch.CountMinSketch
@@ -1099,24 +1319,46 @@ object CurationOps {
       .select(explode(bigramsArr).as("bg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // confidence 0.9999 (r9 advisory): the gate probes 20 values, so
+      // per-probe 99% leaves a ~18% chance SOME probe legitimately
+      // exceeds its bound on fresh data; 4 nines puts a full-quorum
+      // pass at ~99.8% while doubling sketch depth 5 → 10 (still ~1 MB)
       val row = bg.agg(
-        expr(s"count_min_sketch(bg, ${eps}d, 0.99d, 42)").as("cms"),
+        expr(s"count_min_sketch(bg, ${eps}d, 0.9999d, 42)").as("cms"),
         count(lit(1)).as("total")).head()
       val sketch = CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
       val total = row.getAs[Long]("total")
       val bound = math.ceil(eps * total).toLong
-      val top = bg.groupBy("bg").agg(count(lit(1)).as("n_exact"))
+      // SAMPLED exact gate (r9 ask #6, now real instead of promised):
+      // the gate's exact counts run over a deterministic 1/16 slice of
+      // the bigram VOCABULARY (md5 of the value — every occurrence of a
+      // sampled bigram is in the slice, so its "sampled" count IS its
+      // exact corpus count and the CMS bound contract is unchanged).
+      // The filter is map-side, BEFORE the groupBy exchange: the gate's
+      // vocab-sized aggregation ships 1/16 of the vocabulary, the
+      // scale-relevant cost of keeping an exact gate at all (measured
+      // beside the full gate in SCALE.md).
+      val top = bg
+        .where(conv(substring(md5(concat(lit("cms:"), col("bg"))), 1, 8), 16, 10)
+          .cast("long") % 16 === 0)
+        .groupBy("bg").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("bg")).limit(20)
         .collect()
+      // QUORUM gate (r9 advisory): >= 19/20 probes in bounds passes —
+      // one probabilistic excursion is the sketch behaving as priced,
+      // not a correctness failure; two is a real drift and flips every
+      // declared row against the oracle's literal TRUE
+      val inBounds = top.count { r =>
+        val (b, n) = (r.getString(0), r.getLong(1))
+        val est = sketch.estimateCount(b)
+        est >= n && est <= n + bound
+      }
+      val gateOk = inBounds >= top.length - 1
       import s.implicits._
       top.toSeq
-        .map { r =>
-          val (b, n) = (r.getString(0), r.getLong(1))
-          val est = sketch.estimateCount(b)
-          (b, n, est >= n && est <= n + bound)
-        }
-        .toDF("bg", "n_exact", "within_bounds")
+        .map(r => (r.getString(0), r.getLong(1), gateOk))
+        .toDF("bg", "n_exact", "gate_ok")
         .orderBy(col("n_exact").desc, col("bg"))
     } finally bg.unpersist()
   }
@@ -1142,7 +1384,16 @@ object CurationOps {
   def e55BpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = Seq(("table", "hash"), ("part", "filter"), ("customer", "join"))
     val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
-      .select(col("doc_id"), col("source"), toks.as("w"))
+      .select(col("doc_id"), col("source"), toks.as("w0"))
+      // same ^[a-z0-9]+$ alphabet filter as the e48 trainer (r9
+      // advisory): the '||'/'_' encoding's collision-freedom argument
+      // REQUIRES tokens that cannot contain '|' or '_' — a corpus token
+      // like 'table_hash' or one carrying a pipe would make engine and
+      // oracle identically miscount, a hazard the parity gate cannot
+      // see. Encoder and trainer must share one alphabet anyway (a
+      // real tokenizer normalizes identically at train and inference).
+      .select(col("doc_id"), col("source"),
+        filter(col("w0"), t => t.rlike("^[a-z0-9]+$")).as("w"))
       .where(size(col("w")) > 0)
       .withColumn("str",
         concat(lit("||"), concat_ws("||", col("w")), lit("||")))

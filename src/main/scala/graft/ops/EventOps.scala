@@ -189,13 +189,27 @@ object EventOps {
   }
 
   /** E53: rolling-baseline rate anomaly detection — per event type,
-    * each hour's arrival count scored against the TRAILING 24 hours
-    * (`rowsBetween(-24, -1)`: the current row never contaminates its
-    * own baseline), z = (n − μ₂₄)/σ₂₄, anomalous when |z| ≥ 3. The
-    * ops-side primitive behind ingest-pipeline monitoring (a scraper
-    * burst, a dead source, a replayed shard all surface here), and the
+    * each hour's arrival count scored against the trailing 24
+    * OBSERVED hourly rows (`rowsBetween(-24, -1)`: the current row
+    * never contaminates its own baseline), z = (n − μ)/σ over that
+    * frame, anomalous when |z| ≥ 3. The ops-side primitive behind
+    * ingest-pipeline monitoring (a scraper burst or a replayed shard
+    * surfaces as a spike against its own recent history), and the
     * bounded-trailing-frame window surface the window family had not
     * yet exercised (e22/e25 use running unbounded frames).
+    *
+    * Frame semantics, stated precisely (r9 advisory): the baseline is
+    * ROW-based, not time-based — hours with zero arrivals produce no
+    * row, so a gap STRETCHES the 24-row frame arbitrarily far back in
+    * wall time, and a fully silent hour is never itself scored (no
+    * row exists to score). This detector therefore surfaces bursts
+    * and replays, NOT dead sources; a dead-source monitor needs the
+    * densified variant (per-type `sequence()` of hours, zero-filled,
+    * then the same window) whose frame is guaranteed calendar-24h.
+    * The declared key keeps the observed-rows form deliberately: it
+    * is the exact semantics of the oracle SQL (which windows the same
+    * aggregated series), and the fixture's generator emits every hour
+    * so the two frames coincide on this data.
     *
     * Declared shape is the per-type summary (hours scored, anomalies,
     * extreme z both directions) — informative even when a scale's

@@ -132,6 +132,69 @@ object EventStreams {
         unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
+  /** E29b: LEFT-OUTER stream-stream interval join — the production
+    * shape of e29 ("every click, with its following purchases IF any"):
+    * clicks that never see a purchase inside their 6-hour window must
+    * still emit, with null purchase columns. In a stream that row can
+    * only be produced when the engine can PROVE no match is coming —
+    * i.e. when the global watermark passes the click's join window
+    * (click_ts + 6h): Spark holds the click in join state until then,
+    * and emits the null row on state expiry. Two consequences the
+    * declared key states honestly:
+    *
+    *  - nulls are emitted LATE (at watermark passage), so clicks whose
+    *    window the final watermark never clears — the last ~6h10m of
+    *    the replayed timeline — remain in state and emit NOTHING. The
+    *    batch oracle reproduces exactly that truncation: unmatched
+    *    clicks filter on `click_ts + 6h < min(max click ts, max
+    *    purchase ts) - 10min` (the final global watermark: min across
+    *    both sides' per-stream watermarks). This is not a fudge — it
+    *    is the bit-level emission contract of watermark-bounded outer
+    *    joins, and StreamLeftJoinSpec pins it on a hand-built timeline
+    *    (null emitted once the watermark passes; withheld while it
+    *    hasn't; matched pairs never withheld);
+    *  - state stays bounded for exactly the same reason as e29: both
+    *    sides evict at watermark + interval, the null emission IS the
+    *    eviction. At 100 TB the state high-water mark is one join
+    *    window's worth of events per side, unchanged from inner.
+    *
+    * Reference analogue: v2's range-scrape correlating two incremental
+    * cursors where the second cursor may have no row for the first's
+    * key (web_scrpaer_2.py:291-354 — absent matches surface as
+    * explicit misses, not silence). */
+  def e29bStreamLeftJoin(
+      s: SparkSession, dir: String, filesPerTrigger: Int = 1): DataFrame = {
+    val clicks = eventsStreamBucketed(s, dir, 6, filesPerTrigger)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventsStreamBucketed(s, dir, 6, filesPerTrigger)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
+  /** Declared-query form of e29b: 3 files per trigger (two data
+    * micro-batches — the watermark advances between them, so
+    * mid-stream null emission is exercised, not just the final
+    * no-data batch), parquet drain (row count scales with data). */
+  def e29bStreamLeftToTable(s: SparkSession, dir: String): DataFrame = {
+    val path = drainToParquet(s,
+      e29bStreamLeftJoin(s, dir, filesPerTrigger = 3), "e29b_stream_out")
+    s.read.parquet(path)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** Declared-query form of the E29 stream-stream join, with two
     * scale-honesty changes over the r8 form (VERDICT r8 item 4):
     *

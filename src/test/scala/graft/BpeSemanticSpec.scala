@@ -88,6 +88,34 @@ class BpeSemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("e48b: eight looped merges match the sequential greedy reference exactly") {
+    val rows = CurationOps.e48bBpeTrainN(spark, sf, 8).collect()
+    assert(rows.length == 8)
+    var corpus = fixtureTokens()
+    for (it <- 1 to 8) {
+      val r = rows(it - 1)
+      val ((a, b), n) = bestPair(corpus)
+      val before = corpus.map(_.length.toLong).sum
+      val merged = corpus.map(greedyMerge(_, a, b))
+      val after = merged.map(_.length.toLong).sum
+      assert(r.getInt(0) == it)
+      assert((r.getString(1), r.getString(2)) == ((a, b)), s"iter $it adopted pair")
+      assert(r.getLong(3) == n, s"iter $it n_occ")
+      assert(r.getLong(4) == before - after,
+        s"iter $it greedy merge count — the replace-encoding claim, looped")
+      assert(r.getLong(5) == before && r.getLong(6) == after,
+        s"iter $it token totals via the Σlen = Σpairs + n_docs identity")
+      corpus = merged
+    }
+  }
+
+  test("e48b: bit-identical to e48's unrolled form at the same merge count") {
+    val unrolled = CurationOps.e48BpeMerge(spark, sf).collect().map(_.toSeq).toSeq
+    val looped = CurationOps.e48bBpeTrainN(spark, sf, 2).collect().map(_.toSeq).toSeq
+    assert(looped == unrolled,
+      "the looped trainer and the lazy unrolled trainer are the same operator")
+  }
+
   test("e48: no corpus-sized join — the argmax relation broadcasts") {
     val p = plan(CurationOps.e48BpeMerge(spark, sf))
     assert(!p.contains("SortMergeJoin"),

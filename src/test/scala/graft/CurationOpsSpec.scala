@@ -762,11 +762,21 @@ class CurationOpsSpec extends AnyFunSuite {
         "unequal source sizes must produce both up- and down-weighted sources")
   }
 
-  test("e54: heavy hitters match an exact Scala recount and every bound holds") {
+  test("e54: sampled heavy hitters match an exact Scala recount; the quorum gate holds") {
     val rows = CurationOps.e54CmsHeavyHitters(spark, sf).collect()
     assert(rows.length == 20)
     assert(rows.forall(_.getBoolean(2)),
-      "a CMS estimate outside [n, n + ceil(eps*total)] breaks the sketch contract")
+      "gate_ok must pass: >=19/20 sketch estimates inside [n, n + ceil(eps*total)]")
+    // the r10 sampled gate: exact counts over the deterministic 1/16 md5
+    // VOCABULARY slice — recompute the sample membership bit-exactly
+    // (first 4 md5 bytes of 'cms:'+bigram as an unsigned 32-bit value)
+    def sampled(bg: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("cms:" + bg).getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v % 16 == 0
+    }
     val counts = graft.Tables.documents(spark, sf)
       .select("text").collect().map(_.getString(0))
       .flatMap { t =>
@@ -774,7 +784,10 @@ class CurationOpsSpec extends AnyFunSuite {
         if (w.size < 2) Seq.empty else w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
       }
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val expTop = counts.toSeq.sortBy { case (b, n) => (-n, b) }.take(20)
+    // sampling by VALUE: a sampled bigram's count over the slice IS its
+    // full-corpus count — assert against the unsliced recount
+    val expTop = counts.toSeq.filter(kv => sampled(kv._1))
+      .sortBy { case (b, n) => (-n, b) }.take(20)
     rows.zip(expTop).foreach { case (r, (b, n)) =>
       assert(r.getString(0) == b && r.getLong(1) == n,
         s"rank mismatch: got (${r.getString(0)},${r.getLong(1)}), want ($b,$n)")
