@@ -258,14 +258,29 @@ object Amplify {
           .where(col("vec_id") >= 8 && col("vec_id") < 8 + nCent)
           .select(col("vec_id").as("cid"),
             col("embedding").cast("array<double>").as("cv"))
+        // argmax as ONE hash-aggregable primitive: max(struct(cos,-cid))
+        // is not a mutable-buffer aggregation type, so Spark planned a
+        // SortAggregate that SORTED the N×C cross-join relation — at
+        // the sfx100 build (2M rows × 10k centroids = 2e10 rows) that
+        // sort spilled 77 GB and killed the box. Packing quantized
+        // cosine and centroid id into one long keeps the argmax in
+        // HashAggregate with map-side partials (the cross join streams,
+        // nothing materializes). Quantization is 1e-9 over cos∈[-1,1] —
+        // far below any real cell margin; ties resolve to the LOWEST
+        // cid exactly as the struct form did (larger packed = smaller
+        // cid at equal quantized cosine).
+        val M = 1000000L
+        require(8L + nCent < M, s"packed argmax assumes cid < $M (got $nCent cells)")
         val labels = noised
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            graft.functions.GraftFunctions.cosine(col("v"), col("cv")).as("cos"))
+          .select(col("vec_id"),
+            (((graft.functions.GraftFunctions.cosine(col("v"), col("cv")) + 1.0)
+              * 1e9).cast("long") * M - col("cid")).as("packed"))
           .groupBy("vec_id")
-          .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc") - 8).cast("int").as("label"))
+          .agg(max(col("packed")).as("p"))
+          .select(col("vec_id"),
+            (pmod(lit(M) - pmod(col("p"), lit(M)), lit(M)) - 8).cast("int").as("label"))
         writeSingleFile(
           noised.drop("label").join(labels, "vec_id")
             .select("vec_id", "embedding", "label"),

@@ -1126,7 +1126,8 @@ object CurationOps {
     * Loop mechanics, and why each piece is the scalable choice:
     *
     *  - the working corpus lives as the `||`-encoded string per doc,
-    *    PERSISTED per iteration (MEMORY_AND_DISK) with the previous
+    *    PERSISTED per iteration (DISK_ONLY — see the loop body for the
+    *    measured reason) with the previous
     *    generation unpersisted as soon as its successor is
     *    materialized — a rolling window of ≤2 corpus generations on
     *    executors, never a lineage chain that re-derives k rewrites
@@ -1203,7 +1204,17 @@ object CurationOps {
         r.getLong(1), r.getLong(2))
     }
 
-    var cur = base.persist(StorageLevel.MEMORY_AND_DISK)
+    // DISK_ONLY, not MEMORY_AND_DISK (measured at the sfx100 probe,
+    // 5M docs under an 8 GiB driver): two memory-cached corpus
+    // generations filled the unified-memory storage pool and the
+    // pair-aggregation hash maps could not acquire a page while the
+    // blocks were task-pinned — UNABLE_TO_ACQUIRE_MEMORY. The working
+    // corpus is re-read ONCE per iteration, sequentially — exactly the
+    // access pattern disk serves well — and at production scale the
+    // working set never fits executor memory anyway; a disk-resident
+    // generation keeps execution memory whole at every scale. Fixture
+    // cost of the swap: within noise (re-measured ladder in SCALE.md).
+    var cur = base.persist(StorageLevel.DISK_ONLY)
     var prev: Option[DataFrame] = None
     val adopted = Seq.newBuilder[(Int, String, String, Long, Long)] // iter, a, b, n_occ, vocab
     val occs = Seq.newBuilder[Long] // total pair occurrences per generation
@@ -1216,7 +1227,7 @@ object CurationOps {
         val next = cur
           .withColumn("str", org.apache.spark.sql.functions.replace(col("str"),
             lit(s"|$a||$b|"), lit(s"|${a}_$b|")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.DISK_ONLY)
         prev = Some(cur)
         cur = next
       }
@@ -1339,9 +1350,12 @@ object CurationOps {
       // vocab-sized aggregation ships 1/16 of the vocabulary, the
       // scale-relevant cost of keeping an exact gate at all (measured
       // beside the full gate in SCALE.md).
-      val top = bg
-        .where(conv(substring(md5(concat(lit("cms:"), col("bg"))), 1, 8), 16, 10)
-          .cast("long") % 16 === 0)
+      val gateInput = // bench-probe hook: full-vocab gate arm (SCALE.md)
+        if (sys.env.contains("GRAFT_E54_FULLGATE")) bg
+        else bg.where(
+          conv(substring(md5(concat(lit("cms:"), col("bg"))), 1, 8), 16, 10)
+            .cast("long") % 16 === 0)
+      val top = gateInput
         .groupBy("bg").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("bg")).limit(20)
         .collect()

@@ -71,8 +71,29 @@ class StreamLeftJoinSpec extends AnyFunSuite {
     (dir, wmUs, boundary, end)
   }
 
+  /** Remove the temp fixture AND its staged bucket landing (keyed by
+    * the fixture path, so every spec run would otherwise leave a new
+    * landing under target/fixtures). */
+  private def cleanup(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-events-bucketed", graft.util.PathKeys.keyedName(dir) + "-6")
+    Seq(java.nio.file.Paths.get(dir), landing).foreach { root =>
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+    }
+  }
+
   test("e29b: nulls emit only once the watermark clears the join window (µs-exact)") {
     val (dir, wmUs, boundary, _) = writeFixture()
+    try testBody(dir, wmUs) finally cleanup(dir)
+  }
+
+  private def testBody(dir: String, wmUs: Long): Unit = {
     val out = EventStreams.e29bStreamLeftToTable(spark, dir).collect()
     val byClick = out.groupBy(_.getLong(0))
 
