@@ -118,6 +118,7 @@ object SparkEntry {
     "e18_distinct_sketch" -> (EventOps.e18DistinctSketch _),
     "m1_multimodal_meta" -> (TextOps.m1MultimodalMeta _),
     "m2_frame_sample"    -> (TextOps.m2FrameSample _),
+    "m4_image_resize"    -> (TextOps.m4ImageResize _),
     "m3_wav_meta"        -> (TextOps.m3WavMeta _),
     "x3_salted_agg"      -> (graft.plans.ScaleJoins.x3SaltedAgg _),
     "x4_bucketed_join"   -> (graft.plans.ScaleJoins.bucketedJoinDemo _),
@@ -164,6 +165,13 @@ object SparkEntry {
     "e50_filter_attribution" -> (CurationOps.e50FilterAttribution _),
     "e52_temp_upsample"     -> (CurationOps.e52TempUpsample _),
     "e33_range_join"        -> (EventOps.e33RangeJoin _),
+    // §2.10 LLM-pipeline: curation stages (r10, second wave)
+    "e48c_bpe_delta"        -> (CurationOps.e48cBpeDelta _),
+    "e53b_dead_hours"       -> (EventOps.e53bDeadHours _),
+    "e58_domain_cap"        -> (CurationOps.e58DomainCap _),
+    "e59_priority_sample"   -> (CurationOps.e59PrioritySample _),
+    "e60_edit_confirm"      -> (SimOps.e60EditConfirm _),
+    "e61_retention_cohorts" -> (EventOps.e61RetentionCohorts _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -1048,6 +1056,9 @@ object SparkEntry {
     // template, generated (e48bOracleSql); token totals derived via the
     // shared Σlen = Σpairs + n_docs identity
     "e48b_bpe_train" -> e48bOracleSql(8),
+    // e48c: the delta-maintained trainer must be INVISIBLE in the
+    // result — same 8-merge trace, same oracle as the recount loop
+    "e48c_bpe_delta" -> e48bOracleSql(8),
     // e57: both engines derive the identical snapshot pair (the e43
     // rule) and merge it; (doc_id, valid_from) keys the output, so the
     // declared ordering is total. valid_to is a nullable INTEGER on
@@ -1202,6 +1213,110 @@ object SparkEntry {
         |    AS n_anomalies,
         |  max(z) AS max_z, min(z) AS min_z
         |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e53b: the spine is built from the UNFILTERED bounds so blanked
+    // boundary hours cannot shrink the frame; epoch-hour // is integer
+    // division on both engines (Spark `div`, DuckDB `//`)
+    "e53b_dead_hours" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events),
+        |bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM b),
+        |h AS (SELECT event_type, hr, count(*) AS n_obs FROM b
+        |  WHERE (CAST(epoch(hr) AS BIGINT) // 3600) % 97 NOT IN (13, 50)
+        |  GROUP BY 1, 2),
+        |spine AS (SELECT t.event_type, s.hr
+        |  FROM (SELECT DISTINCT event_type FROM b) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        |    FROM bounds) s),
+        |d AS (SELECT spine.event_type, spine.hr, coalesce(h.n_obs, 0) AS n
+        |  FROM spine LEFT JOIN h ON spine.event_type = h.event_type
+        |    AND spine.hr = h.hr),
+        |sc AS (SELECT event_type, n, avg(n) OVER w AS mu,
+        |    CASE WHEN stddev_samp(n) OVER w > 0
+        |      THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6)
+        |    END AS z
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |  CAST(sum(CASE WHEN n = 0 AND mu > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead,
+        |  CAST(sum(CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  max(z) AS max_z, min(z) AS min_z
+        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e58: e10's quality grids (6 dp ratios, 7 dp blend) so both
+    // engines rank the identical double; zero-token docs are
+    // unscoreable and excluded on both sides
+    "e58_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    CAST(length(text) AS INTEGER) AS n_chars_obs,
+        |    CAST(len(w) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        |      AS INTEGER) AS n_alpha,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+        |      AS INTEGER) AS n_stop
+        |  FROM t),
+        |q AS (SELECT source, doc_id,
+        |    round(round(n_stop / n_tokens, 6) * 0.5 +
+        |      round(n_alpha / n_chars_obs, 6) * 0.5, 7) AS quality
+        |  FROM m WHERE n_tokens > 0 AND n_chars_obs > 0),
+        |r AS (SELECT source, doc_id, quality, CAST(row_number() OVER
+        |    (PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM q)
+        |SELECT source, doc_id, quality, rnk FROM r WHERE rnk <= 8
+        |ORDER BY source, rnk""".stripMargin,
+    // e59: the race key lives at ~1e-5, so it rounds on a 12 dp grid
+    // (6 dp would collapse the race); ties break on doc_id
+    "e59_priority_sample" ->
+      """WITH q AS (SELECT doc_id, source, n_chars AS w,
+        |    round(-ln((CAST(('0x' || substring(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 1) / 4294967296.0) / n_chars, 12) AS skey
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, w, skey, CAST(row_number() OVER
+        |    (ORDER BY skey, doc_id) AS INTEGER) AS rnk FROM q)
+        |SELECT rnk, doc_id, source, w, skey FROM s WHERE rnk <= 40
+        |ORDER BY rnk""".stripMargin,
+    // e60: block cap and length prune applied identically so the pair
+    // set — not just the scores — is oracle-pinned
+    "e60_edit_confirm" ->
+      """WITH t AS (SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:3],
+        |      ' ')) AS blk,
+        |    substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 400) AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, blk, t, CAST(length(t) AS INTEGER) AS len
+        |  FROM t WHERE length(t) > 0),
+        |ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) BETWEEN 2 AND 32),
+        |s AS (SELECT b.* FROM b JOIN ok USING (blk)),
+        |p AS (SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+        |    a.len AS la, c.len AS lb,
+        |    CAST(levenshtein(a.t, c.t) AS INTEGER) AS lev
+        |  FROM s a JOIN s c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |  WHERE abs(a.len - c.len) * 5 <= greatest(a.len, c.len) * 2)
+        |SELECT a_id, b_id, la, lb, lev,
+        |  round(1.0 - lev / greatest(la, lb), 6) AS sim,
+        |  CAST(CASE WHEN round(1.0 - lev / greatest(la, lb), 6) >= 0.6
+        |    THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+        |FROM p ORDER BY a_id, b_id""".stripMargin,
+    // e61: Monday-start week truncation on both engines; the offset
+    // divides an exact multiple of 7 days
+    "e61_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+        |c AS (SELECT cohort,
+        |    CAST(date_diff('day', cohort, wk) // 7 AS INTEGER) AS wk_offset,
+        |    count(*) AS n_active
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT *, max(CASE WHEN wk_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort) AS cohort_size FROM c)
+        |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_start, wk_offset,
+        |  n_active, cohort_size,
+        |  round(n_active * 1.0 / cohort_size, 6) AS retention
+        |FROM s ORDER BY cohort_start, wk_offset""".stripMargin,
     // e51: (ts, event_id) tie-break makes the per-user sequence — and
     // therefore every transition count — identical on both engines
     "e51_event_transitions" ->
@@ -1996,6 +2111,44 @@ object SparkEntry {
         |  ('0x' || substring(row_hex, 1, 2))::INT AS px0,
         |  md5(row_hex) AS frame_sig
         |FROM rw ORDER BY doc_id, frame_idx""".stripMargin,
+    // m4: the resize gathers source pixel (2x,2y) per target (x,y)
+    // from the SAME synthesized bytes the m2 oracle re-parses
+    "m4_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 13 + 4 AS INT) AS w, CAST(doc_id % 11 + 3 AS INT) AS h
+        |  FROM documents),
+        |pp AS (SELECT doc_id,
+        |  'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) AS hdr,
+        |  substring(array_to_string(list_transform(range(0, w*h*3//16 + 1),
+        |    k -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR))), ''),
+        |    1, w*h*3*2) AS pixhex
+        |  FROM p),
+        |pay AS (SELECT doc_id, hdr::BLOB || unhex(pixhex) AS payload FROM pp),
+        |hx AS (SELECT doc_id, hex(payload) AS hx FROM pay),
+        |hdr AS (SELECT doc_id, hx,
+        |  regexp_extract(hx, '^(50360A(?:3[0-9])+20(?:3[0-9])+0A3235350A)', 1) AS hdr_hex,
+        |  CAST(regexp_replace(regexp_extract(hx,
+        |    '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 1),
+        |    '3([0-9])', '\1', 'g') AS INT) AS width,
+        |  CAST(regexp_replace(regexp_extract(hx,
+        |    '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 2),
+        |    '3([0-9])', '\1', 'g') AS INT) AS height
+        |  FROM hx WHERE hdr_hex <> ''),
+        |dim AS (SELECT doc_id, hx, width, height,
+        |  length(hdr_hex) // 2 AS hdr_len,
+        |  CAST(width // 2 AS INT) AS w2, CAST(height // 2 AS INT) AS h2
+        |  FROM hdr WHERE width // 2 > 0 AND height // 2 > 0),
+        |px AS (SELECT doc_id, width, height, w2, h2,
+        |  list_transform(range(0, w2*h2), i -> substring(hx,
+        |    CAST((hdr_len + ((i // w2) * 2 * width + (i % w2) * 2) * 3) * 2 + 1 AS INT),
+        |    6)) AS pxs
+        |  FROM dim)
+        |SELECT doc_id, width, height, w2, h2,
+        |  CAST(w2 * h2 * 3 AS BIGINT) AS resized_len,
+        |  md5(array_to_string(pxs, '')) AS resized_sig,
+        |  round(list_sum(list_transform(pxs, q -> ('0x' || substring(q, 1, 2))::INT))
+        |    * 1.0 / (w2 * h2), 6) AS mean_red
+        |FROM px ORDER BY doc_id""".stripMargin,
     "m3_wav_meta" ->
       """WITH p AS (SELECT doc_id,
         |  CAST(doc_id % 2 + 1 AS INT) AS ch,

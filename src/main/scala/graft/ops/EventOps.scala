@@ -279,4 +279,105 @@ object EventOps {
         col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
       .orderBy("from_type", "to_type")
   }
+
+  /** E53b: DEAD-SOURCE detection over a densified hourly series — the
+    * calendar-frame variant the e53 docstring names as the thing the
+    * observed-rows form cannot do (r9 advisory). The hourly count
+    * series is zero-filled against a full hour spine (per-type cross
+    * join with `sequence(min_hr, max_hr)`), so the trailing-24-row
+    * window IS a trailing-24-HOUR window, a silent hour produces a
+    * scoreable n=0 row, and "dead while the baseline was active"
+    * becomes a first-class verdict instead of an invisible gap.
+    *
+    * The fixture's generator emits every hour, so outages are DERIVED
+    * in-plan (the e43 snapshot-B stance: both engines transform the
+    * identical corpus, no second fixture): hours whose epoch-hour index
+    * ≡ 13 or 50 (mod 97) are blanked before densification. The spine is
+    * built from the UNFILTERED bounds, so blanked boundary hours can
+    * never shrink the frame.
+    *
+    * Dead = n = 0 with a baseline mean > 0 (the source WAS active);
+    * anomaly = |z| ≥ 3 as in e53 (a dead hour under an active baseline
+    * is typically both). z rounds to 6 dp BEFORE thresholding — e53's
+    * identical-double stance — and sub-2-row or constant baselines
+    * leave z null = not-anomalous on both engines.
+    *
+    * 100 TB path: identical to e53 — the only corpus exchange is the
+    * partial-agg'd hourly rollup; the spine is |types| × |hours|
+    * (thousands of rows per year regardless of event volume), built
+    * from a 1-row broadcast bounds aggregate; the window and the
+    * left join both run on that aggregated series. Raw events are
+    * never sorted, and densification costs spine-size, not data. */
+  def e53bDeadHours(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+    // integer epoch-hour (`div`, not `/` — Column `/` is float division)
+    val outage = expr("(unix_timestamp(hr) div 3600) % 97")
+    val hourly = base
+      .where(outage =!= 13L && outage =!= 50L)
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"))
+    val bounds = base.agg(min("hr").as("mn"), max("hr").as("mx"))
+    val spine = base.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("z", when(col("sd") > 0,
+        round((col("n") - col("mu")) / col("sd"), 6)))
+      .withColumn("dead", (col("n") === 0 && col("mu") > 0).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_silent"),
+        sum(col("dead")).as("n_dead"),
+        sum(when(abs(col("z")) >= 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        max(col("z")).as("max_z"), min(col("z")).as("min_z"))
+      .orderBy("event_type")
+  }
+
+  /** E61: retention COHORT matrix — users bucketed by the week of
+    * their first event (the cohort), then counted in every week they
+    * return; the (cohort, week-offset) grid with per-cohort retention
+    * rates is THE standard user-analytics rollup (and the last big
+    * events-family shape the suite lacked: a self-referential
+    * first-touch attribution feeding a bounded matrix).
+    *
+    * Week = `date_trunc('week')` — Monday-start on both engines; the
+    * offset divides an exact multiple of 7 days, so integer division
+    * is lossless. A user is active in their own cohort week by
+    * construction (their first event is in it), so offset-0 cells are
+    * the cohort sizes and `cohort_size` is never null.
+    *
+    * 100 TB path: TWO corpus-keyed exchanges, both partial-agg'd —
+    * the distinct (user, week) activity relation, and (derived FROM
+    * that relation, which is persisted and users×weeks-bounded, never
+    * corpus-sized) the per-user first-week aggregate; the join
+    * reuses the user_id key. The matrix past them is weeks²-sized,
+    * and the cohort-size spread is a window over THAT relation. Raw
+    * events are touched exactly once. */
+  def e61RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = active.groupBy("user_id").agg(min("wk").as("cohort"))
+    active.join(first, "user_id")
+      .withColumn("wk_offset",
+        (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy("cohort", "wk_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("wk_offset") === 0, col("n_active"))).over(
+          Window.partitionBy("cohort")))
+      .withColumn("retention", round(col("n_active") / col("cohort_size"), 6))
+      .select(unix_timestamp(col("cohort")).as("cohort_start"),
+        col("wk_offset"), col("n_active"), col("cohort_size"), col("retention"))
+      .orderBy("cohort_start", "wk_offset")
+  }
 }

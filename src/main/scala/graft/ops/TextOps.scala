@@ -405,6 +405,73 @@ object TextOps {
       .select(col("doc_id"), ppmPayload.as("payload")))
       .orderBy("doc_id", "frame_idx")
 
+  /** The PPM nearest-neighbor RESIZER — same contract as
+    * [[decodePpmFrames]]: a real byte-format transform in pure
+    * codegen'd expressions over the hex image (no UDF, no driver
+    * loop), runnable over in-plan payloads and binaryFile-sourced
+    * .ppm files alike. Parses the header structurally (malformed
+    * payloads are DROPPED, not faked), halves each dimension, and
+    * gathers source pixel (2x, 2y) for every target pixel (x, y) — a
+    * single flattened `transform` over target pixel index i with
+    * y = i / w2, x = i % w2, each gather one 6-hex-char `substr` at
+    * the computed byte offset. Emits the resized geometry, a checksum
+    * of the resized pixel stream, and the mean red channel over the
+    * resized image (the feature-extract verb, via an `aggregate` HOF
+    * over the same gather list — decode-sum-divide, no second pass
+    * over the payload). */
+  private[graft] def resizePpm(payloads: DataFrame): DataFrame = {
+    val hdrPat = "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A"
+    def digits(g: Int) = regexp_replace(
+      regexp_extract(col("hx"), hdrPat, g), "3([0-9])", "$1")
+    val parsed = payloads
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("hdr_hex", regexp_extract(col("hx"),
+        "^(50360A(?:3[0-9])+20(?:3[0-9])+0A3235350A)", 1))
+      .where(col("hdr_hex") =!= "")
+      .withColumn("width", digits(1).cast("int"))
+      .withColumn("height", digits(2).cast("int"))
+      .withColumn("hdr_len", (length(col("hdr_hex")) / 2).cast("long"))
+      .withColumn("w2", (col("width") / 2).cast("int"))
+      .withColumn("h2", (col("height") / 2).cast("int"))
+      .where(col("w2") > 0 && col("h2") > 0)
+    val gather = transform(
+      sequence(lit(0), col("w2") * col("h2") - 1),
+      i => col("hx").substr(
+        ((col("hdr_len") +
+          (floor(i / col("w2")).cast("long") * 2 * col("width") +
+            (i % col("w2")) * 2) * 3) * 2 + 1).cast("int"),
+        lit(6)))
+    parsed
+      .withColumn("pxs", gather)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("w2"), col("h2"),
+        (col("w2") * col("h2") * lit(3)).cast("long").as("resized_len"),
+        md5(array_join(col("pxs"), "").cast("binary")).as("resized_sig"),
+        round(
+          aggregate(col("pxs"), lit(0L),
+            (acc, p) => acc + conv(p.substr(lit(1), lit(2)), 16, 10).cast("long"))
+            / (col("w2") * col("h2")), 6).as("mean_red"))
+  }
+
+  /** M4: multimodal IMAGE RESIZE + feature extraction — the remaining
+    * multimodal verbs (m1 metadata, m2 frame-sample, m3 audio decode
+    * were rounds 6-8): nearest-neighbor 2× downsample of each doc's
+    * synthesized PPM with a per-image mean-red feature, all in the
+    * same hex-domain expression family as m2 so the DuckDB oracle
+    * re-parses and re-gathers the identical bytes.
+    *
+    * 100 TB path: pure per-row work — the gather list is w2·h2 small
+    * strings built and consumed inside one projection (checksum + one
+    * aggregate HOF), no exchange at all before the declared orderBy;
+    * a production resize over real images swaps the expression for a
+    * mapInPandas batch with the SAME schema contract (binary in,
+    * geometry + checksum + features out), which is the plumbing this
+    * key pins. */
+  def m4ImageResize(s: SparkSession, d: String): DataFrame =
+    resizePpm(documents(s, d)
+      .select(col("doc_id"), ppmPayload.as("payload")))
+      .orderBy("doc_id")
+
   /** Deterministic REAL-FORMAT audio payloads: each doc gets a valid
     * RIFF/WAVE (PCM) file — `RIFF<size>WAVE fmt <16> <hdr fields>
     * data<size><samples>` with all multi-byte fields LITTLE-ENDIAN per

@@ -68,5 +68,51 @@ class PpmGoldenSpec extends AnyFunSuite {
       (11L, "P6\n12x9\n255\nrest".getBytes("US-ASCII")))
       .toDF("doc_id", "payload")
     assert(TextOps.decodePpmFrames(bad).count() == 0)
+    assert(TextOps.resizePpm(bad).count() == 0)
+  }
+
+  test("resizePpm halves golden .ppm files: geometry, gather, checksum, feature") {
+    val dir = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "ppm-golden-resize")
+    java.nio.file.Files.createDirectories(dir)
+    // odd and even dimensions: the halving truncates, the gather must
+    // never read past a row
+    val golden = Seq((1L, 5, 4), (2L, 16, 13), (3L, 4, 3), (4L, 7, 7))
+    golden.foreach { case (id, w, h) =>
+      java.nio.file.Files.write(dir.resolve(s"img-$id.ppm"),
+        s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pixels(id, w, h))
+    }
+    val payloads = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "img-(\\d+)\\.ppm$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val got = TextOps.resizePpm(payloads).orderBy("doc_id").collect()
+
+    val expect = golden.map { case (id, w, h) =>
+      val px = pixels(id, w, h)
+      val (w2, h2) = (w / 2, h / 2)
+      val gathered = for {
+        i <- 0 until w2 * h2
+        y = i / w2; x = i % w2
+        b <- 0 until 3
+      } yield px(((2 * y) * w + 2 * x) * 3 + b)
+      val hexStr = gathered.map(b => f"${b & 0xff}%02X").mkString
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(hexStr.getBytes("US-ASCII"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val reds = (0 until w2 * h2).map { i =>
+        px(((2 * (i / w2)) * w + 2 * (i % w2)) * 3) & 0xff }
+      val mean = BigDecimal.valueOf(reds.sum.toDouble / (w2 * h2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w, h, w2, h2, (w2 * h2 * 3).toLong, sig, mean)
+    }
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert((g.getLong(0), g.getInt(1), g.getInt(2), g.getInt(3),
+        g.getInt(4), g.getLong(5), g.getString(6), g.getDouble(7)) == e)
+    }
   }
 }
