@@ -172,6 +172,13 @@ object SparkEntry {
     "e59_priority_sample"   -> (CurationOps.e59PrioritySample _),
     "e60_edit_confirm"      -> (SimOps.e60EditConfirm _),
     "e61_retention_cohorts" -> (EventOps.e61RetentionCohorts _),
+    // §2.10 LLM-pipeline: curation stages (r10, third wave)
+    "e62_zorder_scan"       -> (graft.sources.ZOrderLayout.e62ZorderScan _),
+    "e63_incr_agg"          -> (EventOps.e63IncrAgg _),
+    "e64_pagerank"          -> (ClusterOps.e64Pagerank _),
+    "e65_pq_ann"            -> (SimOps.e65PqAnn _),
+    "e66_hll_state_merge"   -> (EventOps.e66HllStateMerge _),
+    "m5_audio_energy"       -> (TextOps.m5AudioEnergy _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
     "ord_f1_tabs"          -> (OrdPipeline.ordF1Tabs _),
@@ -319,6 +326,72 @@ object SparkEntry {
       |JOIN counts c1 ON c1.doc_id = p.d1
       |JOIN counts c2 ON c2.doc_id = p.d2
       |ORDER BY p.d1, p.d2""".stripMargin
+
+  /** m3's full payload-synthesis + structural-parse SQL, shared
+    * verbatim by the m5 sample-domain continuation (both consume the
+    * `ok` CTE's validated data_hex). */
+  private val m3WavSql: String =
+    """WITH p AS (SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |  [8000,11025,16000,22050][CAST(doc_id % 4 AS INT) + 1] AS rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+        |  CAST(doc_id % 40 + 10 AS INT) AS nsamp
+        |  FROM documents),
+        |q AS (SELECT doc_id, ch, rate, bits, nsamp,
+        |  ch * bits // 8 AS ba FROM p),
+        |r AS (SELECT doc_id, ch, rate, bits, ba,
+        |  nsamp * ba AS dsz, rate * ba AS brate FROM q),
+        |le AS (SELECT *,
+        |  substr(printf('%08X', dsz + 36), 7, 2) || substr(printf('%08X', dsz + 36), 5, 2) ||
+        |    substr(printf('%08X', dsz + 36), 3, 2) || substr(printf('%08X', dsz + 36), 1, 2) AS riff_le,
+        |  substr(printf('%08X', rate), 7, 2) || substr(printf('%08X', rate), 5, 2) ||
+        |    substr(printf('%08X', rate), 3, 2) || substr(printf('%08X', rate), 1, 2) AS rate_le,
+        |  substr(printf('%08X', brate), 7, 2) || substr(printf('%08X', brate), 5, 2) ||
+        |    substr(printf('%08X', brate), 3, 2) || substr(printf('%08X', brate), 1, 2) AS brate_le,
+        |  substr(printf('%08X', dsz), 7, 2) || substr(printf('%08X', dsz), 5, 2) ||
+        |    substr(printf('%08X', dsz), 3, 2) || substr(printf('%08X', dsz), 1, 2) AS dsz_le,
+        |  substr(printf('%04X', ch), 3, 2) || substr(printf('%04X', ch), 1, 2) AS ch_le,
+        |  substr(printf('%04X', ba), 3, 2) || substr(printf('%04X', ba), 1, 2) AS ba_le,
+        |  substr(printf('%04X', bits), 3, 2) || substr(printf('%04X', bits), 1, 2) AS bits_le,
+        |  substring(array_to_string(list_transform(range(0, dsz//16 + 1),
+        |    k -> md5(CAST(doc_id AS VARCHAR) || ':wav:' || CAST(k AS VARCHAR))), ''),
+        |    1, dsz*2) AS datahex
+        |  FROM r),
+        |pay AS (SELECT doc_id, unhex(upper(
+        |  '52494646' || riff_le || '57415645' || '666D7420' || '10000000' ||
+        |  '0100' || ch_le || rate_le || brate_le || ba_le || bits_le ||
+        |  '64617461' || dsz_le || datahex)) AS payload FROM le),
+        |hx AS (SELECT doc_id, hex(payload) AS hx FROM pay),
+        |hdr AS (SELECT doc_id, hx,
+        |  ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2) || substr(hx, 11, 2) || substr(hx, 9, 2))::BIGINT AS riff_size,
+        |  ('0x' || substr(hx, 39, 2) || substr(hx, 37, 2) || substr(hx, 35, 2) || substr(hx, 33, 2))::BIGINT AS fmt_size,
+        |  ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2))::BIGINT AS audio_format,
+        |  ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INT AS channels,
+        |  ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT AS sample_rate,
+        |  ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::INT AS block_align,
+        |  ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INT AS bits_per_sample
+        |  FROM hx),
+        |dat AS (SELECT *, 20 + fmt_size AS data_off FROM hdr),
+        |dsz AS (SELECT *,
+        |  ('0x' || substr(hx, CAST((data_off+7)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+6)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+5)*2+1 AS INT), 2) ||
+        |          substr(hx, CAST((data_off+4)*2+1 AS INT), 2))::BIGINT AS data_size
+        |  FROM dat
+        |  WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+        |    AND substr(hx, 25, 8) = '666D7420' AND audio_format = 1
+        |    AND substr(hx, CAST(data_off*2+1 AS INT), 8) = '64617461'
+        |    AND block_align > 0 AND sample_rate > 0),
+        |ok AS (SELECT *, data_size // block_align AS n_samples,
+        |  substr(hx, CAST(data_off*2+17 AS INT), CAST(data_size*2 AS INT)) AS data_hex
+        |  FROM dsz
+        |  WHERE length(hx) = (data_off + 8 + data_size) * 2
+        |    AND riff_size = data_off + data_size)
+        |SELECT doc_id, channels, sample_rate, bits_per_sample, block_align,
+        |  data_size, n_samples, n_samples * 1000000 // sample_rate AS duration_us,
+        |  ('0x' || substr(data_hex, 1, 2))::INT AS s0,
+        |  md5(data_hex) AS data_sig
+        |FROM ok ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
@@ -1317,6 +1390,147 @@ object SparkEntry {
         |  n_active, cohort_size,
         |  round(n_active * 1.0 / cohort_size, 6) AS retention
         |FROM s ORDER BY cohort_start, wk_offset""".stripMargin,
+    // e62: the oracle recomputes the Morton interleave with DuckDB's own
+    // integer bit ops over the RAW events table — the result is
+    // layout-invariant, so a z-layout that stored wrong z-values or
+    // dropped rows in the rewrite hash-mismatches here. epoch() is
+    // fraction-free only after date_trunc('second') (unix_timestamp
+    // floors to the second on the engine side).
+    "e62_zorder_scan" ->
+      """WITH q AS (SELECT user_id AS u,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 65536 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id BETWEEN 4 AND 79
+        |    AND ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |s0 AS (SELECT u, cents, u & 65535 AS ub, h & 65535 AS hb FROM q),
+        |s1 AS (SELECT u, cents, (ub | (ub << 8)) & 16711935 AS ub,
+        |  (hb | (hb << 8)) & 16711935 AS hb FROM s0),
+        |s2 AS (SELECT u, cents, (ub | (ub << 4)) & 252645135 AS ub,
+        |  (hb | (hb << 4)) & 252645135 AS hb FROM s1),
+        |s3 AS (SELECT u, cents, (ub | (ub << 2)) & 858993459 AS ub,
+        |  (hb | (hb << 2)) & 858993459 AS hb FROM s2),
+        |s4 AS (SELECT u, cents, (ub | (ub << 1)) & 1431655765 AS ub,
+        |  (hb | (hb << 1)) & 1431655765 AS hb FROM s3),
+        |z AS (SELECT u, cents, (ub | (hb << 1)) >> 20 AS z_tile FROM s4)
+        |SELECT z_tile, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(u) AS min_user, max(u) AS max_user
+        |FROM z GROUP BY z_tile ORDER BY z_tile""".stripMargin,
+    // e63: the oracle is the FULL recompute the incremental engine path
+    // exists to avoid — grouped through the same (type, day) partial
+    // grain so the algebraic merge is what's being checked
+    "e63_incr_agg" ->
+      """WITH p AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |  min(min_cents) AS min_cents, max(max_cents) AS max_cents,
+        |  count(*) AS n_day_partials,
+        |  round(CAST(sum(sum_cents) AS DOUBLE) / sum(n), 6) AS avg_cents
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // e66: the exact side is the recomputable contract (e18 convention —
+    // the oracle cannot build a DataSketches HLL, so it pins the gate);
+    // n_day_sketches is the state grain count, recomputed relationally
+    "e66_hll_state_merge" ->
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type,
+        |  (SELECT count(*) FROM g WHERE g.event_type = e.event_type)
+        |    AS n_day_sketches,
+        |  count(DISTINCT e.user_id) AS exact_users, TRUE AS hll_ok
+        |FROM events e GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // e64: six power-iteration rounds unrolled as CTE chains (the e48
+    // oracle convention); every iterate rounded to 12 dp on both engines
+    // (the e40 float-parity discipline) so summation order cannot drift
+    // the hash. json_valid guards DuckDB's erroring json_extract (the
+    // c5 convention — the fixture contains invalid props rows).
+    "e64_pagerank" -> {
+      val base =
+        """WITH ev AS (SELECT user_id, ts, event_id,
+          |    CAST(json_extract(props, '$.k') AS BIGINT) AS node
+          |  FROM events
+          |  WHERE json_valid(props)
+          |    AND json_extract(props, '$.k') IS NOT NULL),
+          |ed AS (SELECT src, node AS dst, count(*) AS w FROM (
+          |    SELECT node, lag(node) OVER (
+          |      PARTITION BY user_id ORDER BY ts, event_id) AS src
+          |    FROM ev) WHERE src IS NOT NULL GROUP BY 1, 2),
+          |nodes AS (SELECT DISTINCT node FROM ev),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY 1),
+          |pe AS (SELECT ed.src, ed.dst, CAST(ed.w AS DOUBLE) / ow.outw AS p
+          |  FROM ed JOIN ow USING (src)),
+          |sn AS (SELECT DISTINCT src FROM pe),
+          |r0 AS (SELECT node,
+          |  round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12) AS rank
+          |  FROM nodes)""".stripMargin
+      val iter = (1 to 6).map { k =>
+        s"""d$k AS (SELECT round(coalesce(sum(rank), 0), 12) AS dang
+           |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM sn)),
+           |c$k AS (SELECT pe.dst, round(sum(pe.p * r.rank), 12) AS m
+           |  FROM pe JOIN r${k - 1} r ON pe.src = r.node GROUP BY 1),
+           |r$k AS (SELECT nodes.node,
+           |  round(round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn), 12)
+           |    + CAST(0.85 AS DOUBLE) * (coalesce(c$k.m, 0)
+           |      + (SELECT dang FROM d$k) / (SELECT n FROM nn)), 12) AS rank
+           |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.dst)""".stripMargin
+      }.mkString(",\n")
+      val tail =
+        """SELECT r6.node, r6.rank,
+          |  CAST(coalesce(ind.in_deg, 0) AS BIGINT) AS in_deg
+          |FROM r6 LEFT JOIN (SELECT dst, count(*) AS in_deg
+          |  FROM pe GROUP BY 1) ind ON r6.node = ind.dst
+          |ORDER BY node""".stripMargin
+      s"$base,\n$iter\n$tail"
+    },
+    // e65: PQ encode + asymmetric distance, recomputed relationally —
+    // the engine's per-subspace when-chain over literal codewords and
+    // the oracle's (m, code) lookup-table join are the same arithmetic
+    // over the same 6-dp-rounded codebooks and sub-distances
+    "e65_pq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(v, x -> round(x, 6)) AS c
+        |  FROM e WHERE vec_id < 4),
+        |sub AS (SELECT ms.m, cb.cid,
+        |    cb.c[CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS cw
+        |  FROM cb CROSS JOIN range(4) ms(m)),
+        |dist AS (SELECT e.vec_id, s.m, s.cid,
+        |    round(list_sum(list_transform(range(16), i ->
+        |      (v[CAST(s.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)])
+        |      * (v[CAST(s.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)]))), 6) AS d2
+        |  FROM e CROSS JOIN sub s),
+        |enc AS (SELECT vec_id, m, cid FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        |  WHERE vec_id >= 10 AND vec_id < 13),
+        |qd AS (SELECT q.q_id, s.m, s.cid,
+        |    round(list_sum(list_transform(range(16), i ->
+        |      (qv[CAST(s.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)])
+        |      * (qv[CAST(s.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)]))), 6) AS d2
+        |  FROM q CROSS JOIN sub s),
+        |adc AS (SELECT qd.q_id, enc.vec_id AS cand_id,
+        |    round(sum(qd.d2), 6) AS adc_d2
+        |  FROM enc JOIN qd ON enc.m = qd.m AND enc.cid = qd.cid
+        |  WHERE enc.vec_id <> qd.q_id GROUP BY 1, 2),
+        |exact AS (SELECT q.q_id, e.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i ->
+        |      (qv[CAST(i+1 AS INT)] - v[CAST(i+1 AS INT)])
+        |      * (qv[CAST(i+1 AS INT)] - v[CAST(i+1 AS INT)]))), 6) AS exact_d2
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+        |rk AS (SELECT q_id, cand_id, adc_d2, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rank
+        |  FROM adc)
+        |SELECT rk.q_id, CAST(rk.rank AS INT) AS rank, rk.cand_id,
+        |  rk.adc_d2, exact.exact_d2
+        |FROM rk JOIN exact USING (q_id, cand_id)
+        |WHERE rk.rank <= 5 ORDER BY q_id, rank""".stripMargin,
     // e51: (ts, event_id) tie-break makes the per-user sequence — and
     // therefore every transition count — identical on both engines
     "e51_event_transitions" ->
@@ -2149,68 +2363,34 @@ object SparkEntry {
         |  round(list_sum(list_transform(pxs, q -> ('0x' || substring(q, 1, 2))::INT))
         |    * 1.0 / (w2 * h2), 6) AS mean_red
         |FROM px ORDER BY doc_id""".stripMargin,
-    "m3_wav_meta" ->
-      """WITH p AS (SELECT doc_id,
-        |  CAST(doc_id % 2 + 1 AS INT) AS ch,
-        |  [8000,11025,16000,22050][CAST(doc_id % 4 AS INT) + 1] AS rate,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
-        |  CAST(doc_id % 40 + 10 AS INT) AS nsamp
-        |  FROM documents),
-        |q AS (SELECT doc_id, ch, rate, bits, nsamp,
-        |  ch * bits // 8 AS ba FROM p),
-        |r AS (SELECT doc_id, ch, rate, bits, ba,
-        |  nsamp * ba AS dsz, rate * ba AS brate FROM q),
-        |le AS (SELECT *,
-        |  substr(printf('%08X', dsz + 36), 7, 2) || substr(printf('%08X', dsz + 36), 5, 2) ||
-        |    substr(printf('%08X', dsz + 36), 3, 2) || substr(printf('%08X', dsz + 36), 1, 2) AS riff_le,
-        |  substr(printf('%08X', rate), 7, 2) || substr(printf('%08X', rate), 5, 2) ||
-        |    substr(printf('%08X', rate), 3, 2) || substr(printf('%08X', rate), 1, 2) AS rate_le,
-        |  substr(printf('%08X', brate), 7, 2) || substr(printf('%08X', brate), 5, 2) ||
-        |    substr(printf('%08X', brate), 3, 2) || substr(printf('%08X', brate), 1, 2) AS brate_le,
-        |  substr(printf('%08X', dsz), 7, 2) || substr(printf('%08X', dsz), 5, 2) ||
-        |    substr(printf('%08X', dsz), 3, 2) || substr(printf('%08X', dsz), 1, 2) AS dsz_le,
-        |  substr(printf('%04X', ch), 3, 2) || substr(printf('%04X', ch), 1, 2) AS ch_le,
-        |  substr(printf('%04X', ba), 3, 2) || substr(printf('%04X', ba), 1, 2) AS ba_le,
-        |  substr(printf('%04X', bits), 3, 2) || substr(printf('%04X', bits), 1, 2) AS bits_le,
-        |  substring(array_to_string(list_transform(range(0, dsz//16 + 1),
-        |    k -> md5(CAST(doc_id AS VARCHAR) || ':wav:' || CAST(k AS VARCHAR))), ''),
-        |    1, dsz*2) AS datahex
-        |  FROM r),
-        |pay AS (SELECT doc_id, unhex(upper(
-        |  '52494646' || riff_le || '57415645' || '666D7420' || '10000000' ||
-        |  '0100' || ch_le || rate_le || brate_le || ba_le || bits_le ||
-        |  '64617461' || dsz_le || datahex)) AS payload FROM le),
-        |hx AS (SELECT doc_id, hex(payload) AS hx FROM pay),
-        |hdr AS (SELECT doc_id, hx,
-        |  ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2) || substr(hx, 11, 2) || substr(hx, 9, 2))::BIGINT AS riff_size,
-        |  ('0x' || substr(hx, 39, 2) || substr(hx, 37, 2) || substr(hx, 35, 2) || substr(hx, 33, 2))::BIGINT AS fmt_size,
-        |  ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2))::BIGINT AS audio_format,
-        |  ('0x' || substr(hx, 47, 2) || substr(hx, 45, 2))::INT AS channels,
-        |  ('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || substr(hx, 51, 2) || substr(hx, 49, 2))::BIGINT AS sample_rate,
-        |  ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2))::INT AS block_align,
-        |  ('0x' || substr(hx, 71, 2) || substr(hx, 69, 2))::INT AS bits_per_sample
-        |  FROM hx),
-        |dat AS (SELECT *, 20 + fmt_size AS data_off FROM hdr),
-        |dsz AS (SELECT *,
-        |  ('0x' || substr(hx, CAST((data_off+7)*2+1 AS INT), 2) ||
-        |          substr(hx, CAST((data_off+6)*2+1 AS INT), 2) ||
-        |          substr(hx, CAST((data_off+5)*2+1 AS INT), 2) ||
-        |          substr(hx, CAST((data_off+4)*2+1 AS INT), 2))::BIGINT AS data_size
-        |  FROM dat
-        |  WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
-        |    AND substr(hx, 25, 8) = '666D7420' AND audio_format = 1
-        |    AND substr(hx, CAST(data_off*2+1 AS INT), 8) = '64617461'
-        |    AND block_align > 0 AND sample_rate > 0),
-        |ok AS (SELECT *, data_size // block_align AS n_samples,
-        |  substr(hx, CAST(data_off*2+17 AS INT), CAST(data_size*2 AS INT)) AS data_hex
-        |  FROM dsz
-        |  WHERE length(hx) = (data_off + 8 + data_size) * 2
-        |    AND riff_size = data_off + data_size)
-        |SELECT doc_id, channels, sample_rate, bits_per_sample, block_align,
-        |  data_size, n_samples, n_samples * 1000000 // sample_rate AS duration_us,
-        |  ('0x' || substr(data_hex, 1, 2))::INT AS s0,
-        |  md5(data_hex) AS data_sig
-        |FROM ok ORDER BY doc_id""".stripMargin,
+    "m3_wav_meta" -> m3WavSql,
+    // m5: the m3 payload/parse chain continued into the SAMPLE domain —
+    // the oracle re-decodes every PCM value (8-bit unsigned re-centered,
+    // 16-bit LE two's-complemented) and re-folds the exact integer
+    // energy features; no float grid anywhere in the compare.
+    "m5_audio_energy" -> {
+      // replace the m3 SELECT tail with the sample-domain continuation
+      val chain = m3WavSql.substring(0, m3WavSql.lastIndexOf("SELECT doc_id,"))
+      chain.stripSuffix("\n") + ",\n" +
+        """v AS (SELECT doc_id, channels, bits_per_sample,
+          |  CAST(data_size // (bits_per_sample // 8) AS BIGINT) AS n_values,
+          |  data_hex AS dh FROM ok),
+          |a AS (SELECT doc_id, channels, bits_per_sample, n_values,
+          |  list_transform(range(0, n_values), i ->
+          |    CASE WHEN bits_per_sample = 8
+          |      THEN ('0x' || substr(dh, CAST(i*2+1 AS INT), 2))::BIGINT - 128
+          |      ELSE ('0x' || substr(dh, CAST(i*4+3 AS INT), 2)
+          |             || substr(dh, CAST(i*4+1 AS INT), 2))::BIGINT
+          |        - CASE WHEN ('0x' || substr(dh, CAST(i*4+3 AS INT), 2)
+          |                      || substr(dh, CAST(i*4+1 AS INT), 2))::BIGINT
+          |                    >= 32768 THEN 65536 ELSE 0 END
+          |    END) AS amps FROM v)
+          |SELECT doc_id, channels, bits_per_sample, n_values,
+          |  CAST(list_sum(list_transform(amps, x -> abs(x))) AS BIGINT) AS sum_abs,
+          |  CAST(list_sum(list_transform(amps, x -> x * x)) AS BIGINT) AS sum_sq,
+          |  CAST(list_max(list_transform(amps, x -> abs(x))) AS BIGINT) AS peak
+          |FROM a ORDER BY doc_id""".stripMargin
+    },
     "ord_envelope_check" ->
       s"""SELECT file, dataset_id, total_reactions_scraped,
          |  CAST(len(reactions) AS INTEGER) AS n_rx,

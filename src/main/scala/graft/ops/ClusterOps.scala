@@ -388,4 +388,89 @@ object ClusterOps {
           .as("delay_s"))
       .orderBy("user_id")
   }
+
+  /** E64: PageRank power iteration over the event-category transition
+    * graph — the second iterative-fixpoint family beside e16's connected
+    * components (CC propagates labels to convergence; PageRank iterates
+    * a LINEAR operator a fixed number of rounds). Nodes are the `props.k`
+    * categories; edges are per-user consecutive-event transitions
+    * (the e51 sequence derivation), weighted by count.
+    *
+    * Iteration discipline (the e40 float-parity convention): every
+    * per-iteration quantity that feeds the next round — the incoming
+    * mass per node, the dangling mass, the resulting rank — is rounded
+    * to 12 dp in BOTH engines, so each round starts from bit-identical
+    * doubles and summation order can never drift the hash. Dangling
+    * nodes (no out-edges) redistribute their rank uniformly.
+    *
+    * 100 TB path: the heavy work is the edge extraction — one shuffle
+    * by user for the lag + one partial-agg'd count by (src, dst); the
+    * iteration itself joins the edge relation (partitioned once on src,
+    * persisted) against a rank relation of O(nodes) rows and reduces by
+    * dst — partial aggregation keeps each round one exchange of
+    * O(nodes) rows, and the loop never collects anything but the two
+    * 1-row scalars (N, dangling mass). At web scale the rank side stays
+    * a distributed relation; nothing here assumes it fits anywhere. */
+  def e64Pagerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val iters = 6
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .where(col("node").isNotNull)
+    val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = ev
+      .withColumn("src", lag("node", 1).over(seqW))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("node").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist(MEMORY_AND_DISK)
+    val nodes = ev.select("node").distinct().persist(MEMORY_AND_DISK)
+    val n = nodes.count() // O(|categories|) scalar, bounds every round
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    // per-edge probability: exact integer operands -> identical IEEE
+    // division on both engines; repartitioned once on the probe key so
+    // all six joins reuse the same layout
+    val probs = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw")).as("p"))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
+    probs.count() // settle, then release the upstream edge cache
+    edges.unpersist(blocking = false)
+    val srcNodes = probs.select("src").distinct().persist(MEMORY_AND_DISK)
+    val jump = BigDecimal(0.15 / n)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r0 = BigDecimal(1.0 / n)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val dang = ranks
+        .join(srcNodes, ranks("node") === srcNodes("src"), "left_anti")
+        .agg(round(coalesce(sum("rank"), lit(0.0)), 12).as("dang"))
+        .head().getDouble(0) // 1-row scalar, the e16 loop convention
+      val inMass = probs.join(ranks, probs("src") === ranks("node"))
+        .groupBy("dst")
+        .agg(round(sum(col("p") * col("rank")), 12).as("in_mass"))
+      val next = nodes
+        .join(inMass, nodes("node") === inMass("dst"), "left")
+        .select(col("node"),
+          round(lit(jump) + lit(0.85) *
+            (coalesce(col("in_mass"), lit(0.0)) + lit(dang) / n), 12)
+            .as("rank"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize before dropping the parent
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    val inDeg = probs.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    val result = ranks
+      .join(inDeg, ranks("node") === inDeg("dst"), "left")
+      .select(col("node"), col("rank"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy("node")
+    result
+  }
 }

@@ -380,4 +380,154 @@ object EventOps {
         col("wk_offset"), col("n_active"), col("cohort_size"), col("retention"))
       .orderBy("cohort_start", "wk_offset")
   }
+
+  /** Staged partial-aggregate state for [[e63IncrAgg]] — the
+    * materialized-view half of incremental maintenance. Grain is
+    * (event_type, epoch day); every measure is an algebraic partial
+    * (count / integer-cent sum / min / max), i.e. re-aggregable without
+    * touching base rows. Staleness signature matches
+    * [[graft.sources.PartitionedLayout.ensure]]. */
+  def e63StateDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/events_agg_state/${graft.util.PathKeys.keyedName(d)}"
+
+  /** Refresh boundary between the maintained base and the fresh delta:
+    * a plain `ts` comparison — the predicate parquet can prune on
+    * row-group min/max stats (a `dayofmonth(ts)` cut could not be
+    * pushed). The fixture spans one month; in production the boundary
+    * is the state's high-watermark. */
+  private[graft] val e63Boundary = "2024-01-24 00:00:00"
+
+  private def e63Partials(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(round(col("value") * 100).cast("long")).as("min_cents"),
+        max(round(col("value") * 100).cast("long")).as("max_cents"))
+
+  def e63Ensure(s: SparkSession, d: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "events.parquet")
+    val sig =
+      s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val marker = Paths.get(e63StateDir(d), "_STAGED_SIG")
+    val stale = !new java.io.File(s"${e63StateDir(d)}/_SUCCESS").exists() ||
+      !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      e63Partials(events(s, d)
+        .where(col("ts") < lit(e63Boundary).cast("timestamp")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(e63StateDir(d))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** E63: INCREMENTAL aggregate maintenance — the refresh never rescans
+    * the base: it unions the stored partial-aggregate state (a few
+    * hundred (type, day) rows) with partials computed over ONLY the
+    * delta rows (a pushed `ts >= boundary` scan filter), then
+    * re-aggregates the union to the final per-type rollup. avg is
+    * derived sum/count at the end — never a stored partial — so the
+    * merge stays algebraic.
+    *
+    * 100 TB path: this is the production ETL refresh shape — the state
+    * side is O(groups) regardless of history size, the scanned side is
+    * O(new data); a full recompute (what the DuckDB oracle does, and
+    * what proves the maintenance correct) would re-read the entire
+    * base every refresh. */
+  def e63IncrAgg(s: SparkSession, d: String): DataFrame = {
+    e63Ensure(s, d)
+    val state = s.read.parquet(e63StateDir(d))
+    val delta = e63Partials(
+      events(s, d).where(col("ts") >= lit(e63Boundary).cast("timestamp")))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"),
+        sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"),
+        max("max_cents").as("max_cents"),
+        count(lit(1)).as("n_day_partials"))
+      .withColumn("avg_cents",
+        round(col("sum_cents").cast("double") / col("n"), 6))
+      .orderBy("event_type")
+  }
+
+  /** Staged HLL sketch state for [[e66HllStateMerge]] — e63's algebraic
+    * partials are exactly re-aggregable; DISTINCT counts are not (the
+    * per-day distinct sets don't add), which is why the incremental form
+    * of "daily uniques over all history" stores a SKETCH per grain:
+    * DataSketches HLL registers union by max, so state ∪ delta equals
+    * the sketch of the whole history, bit-for-bit, in O(groups) bytes. */
+  def e66StateDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/events_hll_state/${graft.util.PathKeys.keyedName(d)}"
+
+  private def e66Sketches(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+
+  def e66Ensure(s: SparkSession, d: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "events.parquet")
+    val sig =
+      s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val marker = Paths.get(e66StateDir(d), "_STAGED_SIG")
+    val stale = !new java.io.File(s"${e66StateDir(d)}/_SUCCESS").exists() ||
+      !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      e66Sketches(events(s, d)
+        .where(col("ts") < lit(e63Boundary).cast("timestamp")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(e66StateDir(d))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** E66: incremental DISTINCT-count maintenance — the sketch-valued
+    * sibling of e63: per-type all-history unique users refreshed by
+    * unioning the stored per-(type, day) HLL sketch state with sketches
+    * over ONLY the delta rows (pushed `ts >= boundary`), then
+    * `hll_union_agg` + estimate. History is never rescanned for the
+    * estimate; register-max union makes the merged sketch IDENTICAL to
+    * one built over all history (HllStateMergeSpec pins that equality
+    * exactly, not approximately).
+    *
+    * The exact side beside it is the GATE, not the operator (the
+    * e18/e2r stance: never assume a sketch, measure it in-plan) — the
+    * declared bound is 5 standard errors at lgK=12 (≈8%) with the e18
+    * absolute floor of 10. The oracle recomputes the exact side and
+    * pins `hll_ok` TRUE.
+    *
+    * 100 TB path: the refresh touches O(groups) state rows (each a
+    * ~2 KB sketch) + the delta scan; "daily uniques over all history"
+    * without the full-history distinct shuffle every refresh is exactly
+    * how production metric stores run. */
+  /** The incremental half of e66 alone: (event_type, n_day_sketches,
+    * est_users) from state ∪ delta — split out so HllStateMergeSpec can
+    * pin its estimate EQUAL to a direct all-history sketch. */
+  private[graft] def e66Merged(s: SparkSession, d: String): DataFrame = {
+    e66Ensure(s, d)
+    val state = s.read.parquet(e66StateDir(d))
+    val delta = e66Sketches(
+      events(s, d).where(col("ts") >= lit(e63Boundary).cast("timestamp")))
+    state.unionByName(delta)
+      .groupBy("event_type")
+      .agg(hll_union_agg(col("sk")).as("sk"),
+        count(lit(1)).as("n_day_sketches"))
+      .select(col("event_type"), col("n_day_sketches"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est_users"))
+  }
+
+  def e66HllStateMerge(s: SparkSession, d: String): DataFrame = {
+    val merged = e66Merged(s, d)
+    val exact = events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_day_sketches"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")).cast("double") <=
+          greatest(col("exact_users") * 0.08, lit(10.0))).as("hll_ok"))
+      .orderBy("event_type")
+  }
 }

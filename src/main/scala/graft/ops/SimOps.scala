@@ -1079,4 +1079,93 @@ object SimOps {
       .select("a_id", "b_id", "la", "lb", "lev", "sim", "confirmed")
       .orderBy("a_id", "b_id")
   }
+
+  /** E65: PRODUCT-QUANTIZED ANN (asymmetric distance) — the compression
+    * rung the dense family was missing: e31's scalar int8 shrinks the
+    * index 4×; PQ with M=4 subspaces × k=4 codes stores ONE BYTE per
+    * subspace (codes, not components) — dim×4 bytes → M bytes, a 64×
+    * reduction at dim 64 — and ranks by table-lookup distance without
+    * ever reconstructing a vector.
+    *
+    * Codebooks here are externally supplied (the subspace slices of
+    * seed vectors 0..3, 6-dp rounded — codebook TRAINING is e40's Lloyd
+    * loop, already oracle-gated; this key pins the other two PQ verbs
+    * exactly: ENCODE and ADC):
+    *
+    *  - encode: per subspace m, code = argmin over the k codewords of
+    *    ‖v_m − c_m[j]‖² (6-dp rounded, ties to the lowest j — the e40
+    *    argmin discipline), i.e. one map-side pass, no shuffle;
+    *  - ADC: for query q, approx d²(q, x) = Σ_m ‖q_m − c_m[code_m(x)]‖²
+    *    — in production a per-query M×k lookup table; in-plan here as a
+    *    k-way `when` chain per subspace over the SAME literal codewords,
+    *    all inside whole-stage codegen;
+    *  - the exact d² ships beside the approximation (the e31/e2r gating
+    *    stance: never assume an approximation, measure it in-plan — and
+    *    the oracle recomputes BOTH, so drift in either is a hash miss).
+    *
+    * 100 TB path: codewords are plan literals (M·k·(dim/M) doubles —
+    * broadcast-free broadcast), encoding and scoring are map-side over
+    * one scan of the vector table, and the per-query top-5 plans as the
+    * bounded WindowGroupLimit (e2's shape). The ADC lookup beats the
+    * full-dim float scan by reading M bytes + M adds per candidate —
+    * the reason PQ indexes hold at billions of vectors. */
+  def e65PqAnn(s: SparkSession, d: String): DataFrame = {
+    val mSub = 4; val kCodes = 4
+    val e = vectors(embeddings(s, d))
+    val dim = 64; val w = dim / mSub
+    // seed codebooks: 6-dp rounded subspace slices of vecs 0..3 — k
+    // rows collected (bounded by declaration, the e40 convention)
+    val seeds = e.where(col("vec_id") < kCodes)
+      .select(col("vec_id").cast("int").as("cid"), col("v"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Double](1).map(x =>
+          BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toArray)
+      .toMap
+    def cw(m: Int, j: Int): Array[Double] =
+      seeds(j).slice(m * w, m * w + w)
+    def cwLit(m: Int, j: Int): Column =
+      array(cw(m, j).map(lit(_)).toIndexedSeq: _*)
+    // ‖slice − codeword‖², 6-dp: zip_with + aggregate, fused in codegen
+    def subD2(vec: Column, m: Int, j: Int): Column =
+      round(aggregate(
+        zip_with(slice(vec, m * w + 1, w), cwLit(m, j),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    // argmin over the k codewords, ties to lowest j
+    def encode(vec: Column, m: Int): Column =
+      (0 until kCodes).map(j => struct(subD2(vec, m, j).as("d"),
+        lit(j).as("j")))
+        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b)
+          .otherwise(a))
+        .getField("j")
+    val coded = e.select(
+      (col("vec_id") +: col("v") +:
+        (0 until mSub).map(m => encode(col("v"), m).as(s"c$m"))): _*)
+    // query set disjoint from the codebook seeds (a seed query's ADC to
+    // same-coded candidates is exactly 0 — degenerate ranking)
+    val q = e.where(col("vec_id") >= 10 && col("vec_id") < 13)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def adcSub(m: Int): Column =
+      // reduceRight: otherwise() may be applied once per when-chain, so
+      // nest as w1.otherwise(w2.otherwise(...)), never (w1.otherwise).otherwise
+      (0 until kCodes).map(j =>
+        when(col(s"c$m") === j, subD2(col("qv"), m, j)))
+        .reduceRight((a, b) => a.otherwise(b))
+    val scored = coded.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round((0 until mSub).map(adcSub).reduceLeft(_ + _), 6).as("adc_d2"),
+        round(aggregate(zip_with(col("qv"), col("v"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
+          .as("exact_d2"))
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        col("adc_d2"), col("exact_d2"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -468,8 +468,14 @@ object TextOps {
     * geometry + checksum + features out), which is the plumbing this
     * key pins. */
   def m4ImageResize(s: SparkSession, d: String): DataFrame =
+    // localCheckpoint barrier, same reason as m3: the resizer's header
+    // conjuncts + w2*h2-way gather all reference the payload column, and
+    // without a barrier Catalyst inlines the md5-chain synthesizer into
+    // every reference (m2 is shielded by its explode; m4 was not —
+    // measured 10.0 -> 122 s across sfx1 -> sfx10 before the barrier)
     resizePpm(documents(s, d)
-      .select(col("doc_id"), ppmPayload.as("payload")))
+      .select(col("doc_id"), ppmPayload.as("payload"))
+      .localCheckpoint())
       .orderBy("doc_id")
 
   /** Deterministic REAL-FORMAT audio payloads: each doc gets a valid
@@ -528,7 +534,20 @@ object TextOps {
     * payload with the decoded header fields, the derived sample count
     * and duration, the first sample byte, and a checksum of the sample
     * bytes. */
-  private[graft] def decodeWavMeta(payloads: DataFrame): DataFrame = {
+  private[graft] def decodeWavMeta(payloads: DataFrame): DataFrame =
+    parseWav(payloads)
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("bits_per_sample"), col("block_align"), col("data_size"),
+        col("n_samples"),
+        // integer microseconds: float division would hash-diverge
+        floor(col("n_samples") * 1000000L / col("sample_rate")).as("duration_us"),
+        conv(col("data_hex").substr(1, 2), 16, 10).cast("int").as("s0"),
+        md5(col("data_hex").cast("binary")).as("data_sig"))
+
+  /** The structural parse underlying [[decodeWavMeta]] (header fields +
+    * the validated data chunk as hex) — factored out so sample-domain
+    * consumers ([[m5AudioEnergy]]) share one parser. */
+  private[graft] def parseWav(payloads: DataFrame): DataFrame = {
     // LE integer at byte offset `off` (0-based), `n` bytes wide: hex
     // chars are 1-based, byte k sits at chars (2k+1, 2k+2)
     def leNum(off: Column, n: Int): Column = {
@@ -564,13 +583,6 @@ object TextOps {
       .withColumn("n_samples", (col("data_size") / col("block_align")).cast("long"))
       .withColumn("data_hex", col("hx").substr(
         (col("data_off") * 2 + 17).cast("int"), (col("data_size") * 2).cast("int")))
-      .select(col("doc_id"), col("channels"), col("sample_rate"),
-        col("bits_per_sample"), col("block_align"), col("data_size"),
-        col("n_samples"),
-        // integer microseconds: float division would hash-diverge
-        floor(col("n_samples") * 1000000L / col("sample_rate")).as("duration_us"),
-        conv(col("data_hex").substr(1, 2), 16, 10).cast("int").as("s0"),
-        md5(col("data_hex").cast("binary")).as("data_sig"))
   }
 
   /** M3: multimodal AUDIO metadata decode — the header-parse +
@@ -626,6 +638,56 @@ object TextOps {
       .join(decoded, "doc_id")
       .select(col("doc_id"), col("byte_len"), col("content_md5"),
         col("width"), col("height"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  /** M5: audio SAMPLE-domain feature extraction — where m3 stops at the
+    * header, this decodes every PCM sample value and reduces to exact
+    * integer energy features (the audio analogue of m4's mean-red):
+    *
+    *  - 8-bit PCM is UNSIGNED, silence at 128 → amplitude = v − 128;
+    *  - 16-bit PCM is SIGNED little-endian → byte-swap, then two's
+    *    complement (v ≥ 2¹⁵ → v − 2¹⁶);
+    *  - per doc: Σ|amp|, Σ amp², max |amp| and the decoded value count —
+    *    ALL exact integers (a 16-bit amp² ≤ 2³⁰ and the fixture's ≤100
+    *    values keep Σ amp² far inside a long), so the oracle compare has
+    *    no float grid at all.
+    *
+    * Same hex-domain family as m2/m4: one `transform` over the sample
+    * index gathers each value with a computed `substr`, three
+    * `aggregate` HOFs fold the list — per-row work only, no exchange
+    * before the declared orderBy. A production decoder swaps this
+    * expression for a mapInPandas batch with the identical schema
+    * contract (binary in, integer features out). */
+  def m5AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    val payloads = documents(s, d)
+      .select(col("doc_id"), wavPayload.as("payload"))
+      .localCheckpoint() // the m3 materialization barrier, same reason
+    val parsed = parseWav(payloads)
+      .withColumn("sample_bytes", (col("bits_per_sample") / 8).cast("int"))
+      .withColumn("n_values",
+        (col("data_size") / col("sample_bytes")).cast("long"))
+    def ampAt(i: Column): Column = {
+      val v8 = conv(col("data_hex").substr((i * 2 + 1).cast("int"), lit(2)),
+        16, 10).cast("long") - 128L
+      val raw16 = conv(concat(
+        col("data_hex").substr((i * 4 + 3).cast("int"), lit(2)),
+        col("data_hex").substr((i * 4 + 1).cast("int"), lit(2))),
+        16, 10).cast("long")
+      val v16 = raw16 - when(raw16 >= 32768L, lit(65536L)).otherwise(lit(0L))
+      when(col("bits_per_sample") === 8, v8).otherwise(v16)
+    }
+    parsed
+      .withColumn("amps",
+        transform(sequence(lit(0L), col("n_values") - 1), i => ampAt(i)))
+      .select(col("doc_id"), col("channels"),
+        col("bits_per_sample"), col("n_values"),
+        aggregate(col("amps"), lit(0L), (acc, a) => acc + abs(a))
+          .as("sum_abs"),
+        aggregate(col("amps"), lit(0L), (acc, a) => acc + a * a)
+          .as("sum_sq"),
+        aggregate(col("amps"), lit(0L),
+          (acc, a) => greatest(acc, abs(a))).as("peak"))
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimOps
+
+/** e65 — product-quantized ANN. An independent plain-Scala PQ
+  * (codebook slice, argmin encode, lookup-table ADC — arrays and folds,
+  * no Spark expressions) replays the same arithmetic under the same
+  * 6-dp rounding points and must agree exactly; plus the structural
+  * invariants PQ owes: seed self-coding, ADC non-negativity, and the
+  * lookup-table identity (ADC equals the sum of its M table entries).
+  */
+class PqAnnSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  private val M = 4; private val W = 16; private val K = 4
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def vecs(): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def d2(a: Array[Double], b: Array[Double]): Double =
+    r6(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) })
+
+  test("e65 matches the plain-Scala PQ recompute exactly") {
+    val v = vecs()
+    val code = (0 until K).map(j => v(j.toLong).map(r6)).toArray
+    def cw(m: Int, j: Int) = code(j).slice(m * W, m * W + W)
+    def sub(x: Array[Double], m: Int) = x.slice(m * W, m * W + W)
+    def enc(x: Array[Double]): Array[Int] =
+      Array.tabulate(M) { m =>
+        (0 until K).map(j => (d2(sub(x, m), cw(m, j)), j)).min._2
+      }
+    val queries = Seq(10L, 11L, 12L)
+    val expect = queries.flatMap { qid =>
+      val qv = v(qid)
+      val scored = v.toSeq.filter(_._1 != qid).map { case (cid, x) =>
+        val codes = enc(x)
+        val adc = r6((0 until M).map(m => d2(sub(qv, m), cw(m, codes(m)))).sum)
+        (cid, adc, d2(qv, x))
+      }.sortBy(t => (t._2, t._1)).take(5)
+      scored.zipWithIndex.map { case ((cid, adc, ex), i) =>
+        (qid, i + 1) -> (cid, adc, ex)
+      }
+    }.toMap
+    val got = SimOps.e65PqAnn(spark, sf).collect()
+    assert(got.length == expect.size, "row count")
+    got.foreach { r =>
+      val (cid, adc, ex) = expect((r.getLong(0), r.getInt(1)))
+      assert(r.getLong(2) == cid, s"q${r.getLong(0)} rank ${r.getInt(1)} cand")
+      assert(r.getDouble(3) == adc, s"q${r.getLong(0)} rank ${r.getInt(1)} adc")
+      assert(r.getDouble(4) == ex, s"q${r.getLong(0)} rank ${r.getInt(1)} exact")
+    }
+  }
+
+  test("PQ invariants: seeds self-code, ADC >= 0, ranks follow ADC") {
+    val v = vecs()
+    val code = (0 until K).map(j => v(j.toLong).map(r6)).toArray
+    def cw(m: Int, j: Int) = code(j).slice(m * W, m * W + W)
+    def sub(x: Array[Double], m: Int) = x.slice(m * W, m * W + W)
+    // each seed's nearest codeword in every subspace is itself (its own
+    // slice at distance ~0; distinct seeds make ties impossible)
+    (0 until K).foreach { j =>
+      (0 until M).foreach { m =>
+        val best = (0 until K).map(i => (d2(sub(v(j.toLong), m), cw(m, i)), i)).min._2
+        assert(best == j, s"seed $j subspace $m self-codes")
+      }
+    }
+    val rows = SimOps.e65PqAnn(spark, sf).collect()
+    assert(rows.length == 15, "3 queries x top-5")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0, "distances >= 0")
+    }
+    // rank order follows ADC within each query (ties broken by cand_id —
+    // so adc must be non-decreasing in rank), and the declared top-5 is
+    // genuinely the ADC minimum: no unreturned candidate may have a
+    // strictly smaller ADC than the returned rank-5.
+    // (NO "top-1 beats the corpus median" claim here: the synthetic
+    // embeddings are near-isotropic, distances concentrate, and a
+    // k=4-codeword PQ has no resolution against that geometry — the
+    // recompute test above pins the arithmetic; usefulness is a data
+    // property, measured where the data supports it, not asserted.)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) <= b.getDouble(3), s"q$qid adc ordered by rank")
+        case _ =>
+      }
+      val qv = v(qid)
+      val worstReturned = byRank.last.getDouble(3)
+      val returned = byRank.map(_.getLong(2)).toSet
+      v.keys.filter(c => c != qid && !returned(c)).foreach { cid =>
+        val codes = Array.tabulate(M) { m =>
+          (0 until K).map(j => (d2(sub(v(cid), m), cw(m, j)), j)).min._2
+        }
+        val adc = r6((0 until M).map(m => d2(sub(qv, m), cw(m, codes(m)))).sum)
+        assert(adc >= worstReturned,
+          s"q$qid: unreturned $cid has adc $adc < returned rank-5 $worstReturned")
+      }
+    }
+  }
+}
