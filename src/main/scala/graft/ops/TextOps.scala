@@ -401,7 +401,10 @@ object TextOps {
     * byte structure; the DuckDB oracle performs the same parse over the
     * same bytes (hex-domain, `('0x'||…)::INT` for the pixel decode). */
   def m2FrameSample(s: SparkSession, d: String): DataFrame =
-    decodePpmFrames(documents(s, d)
+    // spreadIfNarrow: the synth runs at scan parallelism, and an
+    // amplified corpus arrives as one row group (see m4's measured
+    // single-split stall) — spread before the per-row hex work
+    decodePpmFrames(graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), ppmPayload.as("payload")))
       .orderBy("doc_id", "frame_idx")
 
@@ -468,12 +471,17 @@ object TextOps {
     * geometry + checksum + features out), which is the plumbing this
     * key pins. */
   def m4ImageResize(s: SparkSession, d: String): DataFrame =
-    // localCheckpoint barrier, same reason as m3: the resizer's header
-    // conjuncts + w2*h2-way gather all reference the payload column, and
-    // without a barrier Catalyst inlines the md5-chain synthesizer into
-    // every reference (m2 is shielded by its explode; m4 was not —
-    // measured 10.0 -> 122 s across sfx1 -> sfx10 before the barrier)
-    resizePpm(documents(s, d)
+    // Two scale fixes, both measured at sfx10 (500k docs):
+    //  - localCheckpoint barrier, same reason as m3: the resizer's header
+    //    conjuncts + w2*h2-way gather all reference the payload column,
+    //    and without a barrier Catalyst inlines the md5-chain synthesizer
+    //    into every reference (m2 is shielded by its explode; m4 was
+    //    not — 122 -> 85 s at sfx10 from the barrier alone);
+    //  - spreadIfNarrow BEFORE the synth: the amplified corpus is one
+    //    82 MB row group = ONE scan split, so the per-row hex work ran
+    //    single-core and the decade slope read 13.3x (the e44 stall,
+    //    here in a projection) — the spread hands it to every core.
+    resizePpm(graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), ppmPayload.as("payload"))
       .localCheckpoint())
       .orderBy("doc_id")
@@ -607,7 +615,7 @@ object TextOps {
     // localCheckpoint, not persist: same materialization barrier, but the
     // blocks are context-cleaned when the frame is GC'd — a persist here
     // leaked a cacheManager entry per invocation in a long-lived session
-    val payloads = documents(s, d)
+    val payloads = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), wavPayload.as("payload"))
       .localCheckpoint()
     decodeWavMeta(payloads).orderBy("doc_id")
@@ -660,7 +668,9 @@ object TextOps {
     * expression for a mapInPandas batch with the identical schema
     * contract (binary in, integer features out). */
   def m5AudioEnergy(s: SparkSession, d: String): DataFrame = {
-    val payloads = documents(s, d)
+    // spreadIfNarrow: same single-split stall as m4 (one row group at
+    // sfx10 = one core for all synth+decode; 13.9x/decade before)
+    val payloads = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), wavPayload.as("payload"))
       .localCheckpoint() // the m3 materialization barrier, same reason
     val parsed = parseWav(payloads)
