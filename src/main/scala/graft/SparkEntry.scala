@@ -178,6 +178,7 @@ object SparkEntry {
     "e64_pagerank"          -> (ClusterOps.e64Pagerank _),
     "e65_pq_ann"            -> (SimOps.e65PqAnn _),
     "e66_hll_state_merge"   -> (EventOps.e66HllStateMerge _),
+    "e67_cluster_split"     -> (ClusterOps.e67ClusterSplit _),
     "m5_audio_energy"       -> (TextOps.m5AudioEnergy _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -392,6 +393,48 @@ object SparkEntry {
         |  ('0x' || substr(data_hex, 1, 2))::INT AS s0,
         |  md5(data_hex) AS data_sig
         |FROM ok ORDER BY doc_id""".stripMargin
+
+  /** e16's full exact+jaccard edge build and recursive-CTE connected
+    * components, shared verbatim by the e67 cluster-split oracle (both
+    * consume the `lab` CTE's (doc_id, cluster_id) labels). */
+  private val e16CcSql: String =
+    """WITH RECURSIVE
+        |h AS (SELECT doc_id,
+        |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
+        |  FROM documents),
+        |epair AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM h a
+        |  JOIN h b ON a.ch = b.ch AND a.doc_id < b.doc_id),
+        |w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM w),
+        |bg AS (SELECT DISTINCT doc_id, source, bg FROM bg0),
+        |counts AS (SELECT doc_id, count(*) AS n_bg FROM bg GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        |  FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpair AS (SELECT d1, d2 FROM common
+        |  JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2
+        |  WHERE n_common >= 5
+        |    AND round(n_common / (c1.n_bg + c2.n_bg - n_common), 6) >= 0.1),
+        |und AS (SELECT * FROM epair UNION SELECT * FROM jpair),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM und
+        |  UNION SELECT d2 AS a, d1 AS b FROM und),
+        |verts AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e
+        |  JOIN reach ON reach.node = e.b),
+        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
@@ -1894,44 +1937,27 @@ object SparkEntry {
         |    - CAST(epoch(date_trunc('second', t_signup)) AS BIGINT) AS delay_s
         |FROM su LEFT JOIN cv ON su.user_id = cv.user_id
         |ORDER BY su.user_id""".stripMargin,
-    "e16_dedup_clusters" ->
-      """WITH RECURSIVE
-        |h AS (SELECT doc_id,
-        |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ch
-        |  FROM documents),
-        |epair AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM h a
-        |  JOIN h b ON a.ch = b.ch AND a.doc_id < b.doc_id),
-        |w AS (SELECT doc_id, source,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |bg0 AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 2
-        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
-        |  ELSE [] END) AS bg FROM w),
-        |bg AS (SELECT DISTINCT doc_id, source, bg FROM bg0),
-        |counts AS (SELECT doc_id, count(*) AS n_bg FROM bg GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
-        |  FROM bg a JOIN bg b ON a.source = b.source AND a.bg = b.bg
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jpair AS (SELECT d1, d2 FROM common
-        |  JOIN counts c1 ON c1.doc_id = d1
-        |  JOIN counts c2 ON c2.doc_id = d2
-        |  WHERE n_common >= 5
-        |    AND round(n_common / (c1.n_bg + c2.n_bg - n_common), 6) >= 0.1),
-        |und AS (SELECT * FROM epair UNION SELECT * FROM jpair),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM und
-        |  UNION SELECT d2 AS a, d1 AS b FROM und),
-        |verts AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (
-        |  SELECT node, node AS r FROM verts
-        |  UNION
-        |  SELECT e.a AS node, reach.r AS r FROM edges e
-        |  JOIN reach ON reach.node = e.b),
-        |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
-        |  FROM reach GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM lab ORDER BY doc_id""".stripMargin,
+    "e16_dedup_clusters" -> e16CcSql,
+    // e67: e16's CC chain continued into the cluster-keyed split; the
+    // leakage gate is recomputed relationally on both engines
+    "e67_cluster_split" -> {
+      val chain = e16CcSql.substring(0, e16CcSql.lastIndexOf("SELECT doc_id, cluster_id,"))
+      chain.stripSuffix("\n") + ",\n" +
+        """rp AS (SELECT d.doc_id, d.n_chars,
+          |    coalesce(lab.cluster_id, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+          |asg AS (SELECT doc_id, n_chars, rep,
+          |    ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10
+          |      AS bucket FROM rp),
+          |sp AS (SELECT *, CASE WHEN bucket < 8 THEN 'train'
+          |    WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split FROM asg),
+          |lk AS (SELECT count(*) AS leak_clusters FROM (
+          |  SELECT rep FROM sp GROUP BY rep HAVING count(DISTINCT split) > 1))
+          |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+          |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          |  (SELECT leak_clusters FROM lk) AS leak_clusters
+          |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    },
     // end-to-end dedup: e6 candidates (jaccard >= 0.5) -> recursive-CTE
     // connected components -> min-id keeper per cluster -> survivor
     // stats. The keeper test is doc_id = cluster_id because min-reach

@@ -446,11 +446,17 @@ object ClusterOps {
       .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
       .persist(MEMORY_AND_DISK)
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // this round's dang scalar is the ONLY action per round (the e16
+      // loop convention) — it also materializes `ranks`' cache, after
+      // which the previous generation can be dropped; a dedicated
+      // count() per round doubled the loop's job count for nothing
       val dang = ranks
         .join(srcNodes, ranks("node") === srcNodes("src"), "left_anti")
         .agg(round(coalesce(sum("rank"), lit(0.0)), 12).as("dang"))
-        .head().getDouble(0) // 1-row scalar, the e16 loop convention
+        .head().getDouble(0)
+      prev.foreach(_.unpersist(blocking = false))
       val inMass = probs.join(ranks, probs("src") === ranks("node"))
         .groupBy("dst")
         .agg(round(sum(col("p") * col("rank")), 12).as("in_mass"))
@@ -461,8 +467,7 @@ object ClusterOps {
             (coalesce(col("in_mass"), lit(0.0)) + lit(dang) / n), 12)
             .as("rank"))
         .persist(MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent
-      ranks.unpersist(blocking = false)
+      prev = Some(ranks)
       ranks = next
     }
     val inDeg = probs.groupBy("dst").agg(count(lit(1)).as("in_deg"))
@@ -472,5 +477,54 @@ object ClusterOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy("node")
     result
+  }
+
+  /** E67: cluster-aware train/val/test SPLIT — the assignment that makes
+    * e42's leakage check pass by construction: a near-duplicate pair
+    * split across train and eval is contamination (the eval doc is a
+    * paraphrase of training data), so the split key must be the
+    * DEDUP CLUSTER, not the document. Composition of parts the suite
+    * already gates: e16's connected components label every near-dup
+    * cluster; every doc's split is drawn from md5(cluster rep) —
+    * singletons (no near-dup edge) are their own rep — 80/10/10 by hex
+    * bucket, zero RNG (the e14 determinism stance).
+    *
+    * The leakage gate is COMPUTED, not assumed: `leak_clusters` counts
+    * reps observed in >1 split (structurally 0 — one rep hashes to one
+    * bucket), and the oracle recomputes the same count relationally, so
+    * a split keyed on doc_id by mistake would light the gate red on
+    * both engines' compare.
+    *
+    * 100 TB path: e16's CC cost is already paid by the dedup pass (the
+    * labels are a byproduct an actual pipeline persists); past that the
+    * split is one broadcast-free projection + a groups-sized rollup —
+    * and eval sets stay clean however the corpus grows. */
+  def e67ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = e16DedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    val rep = coalesce(col("cluster_id"), col("doc_id"))
+    val assigned = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", rep)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("rep").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+    val leaks = assigned.groupBy("rep")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1)
+      .agg(count(lit(1)).as("leak_clusters"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("n_chars")).as("n_chars"))
+      .crossJoin(leaks) // 1-row scalar attach, the suite convention
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_chars"), col("leak_clusters"))
+      .orderBy("split")
   }
 }
