@@ -179,6 +179,7 @@ object SparkEntry {
     "e65_pq_ann"            -> (SimOps.e65PqAnn _),
     "e66_hll_state_merge"   -> (EventOps.e66HllStateMerge _),
     "e67_cluster_split"     -> (ClusterOps.e67ClusterSplit _),
+    "e68_hist_quantiles"    -> (EventOps.e68HistQuantiles _),
     "m5_audio_energy"       -> (TextOps.m5AudioEnergy _),
     // ORD golden-data pipeline (SURVEY §7.2 M1/M3, over target/fixtures)
     "ord_envelope_check"   -> (OrdPipeline.ordEnvelopeCheck _),
@@ -1487,6 +1488,27 @@ object SparkEntry {
         |    AS n_day_sketches,
         |  count(DISTINCT e.user_id) AS exact_users, TRUE AS hll_ok
         |FROM events e GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // e68: the oracle recomputes the identical binned quantiles from the
+    // raw events — bin counts add, thresholds are pure-integer, so the
+    // incremental path has no probabilistic slack to hide behind
+    "e68_hist_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |    least(CAST(round(value * 100) AS BIGINT) // 1000, 39) AS bin,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM b)
+        |SELECT event_type, CAST(max(total) AS BIGINT) AS total_n,
+        |  CAST(min(CASE WHEN cum * 2 >= total THEN bin END) * 1000 AS BIGINT)
+        |    AS p50_cents,
+        |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bin END) * 1000 AS BIGINT)
+        |    AS p90_cents,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin END) * 1000 AS BIGINT)
+        |    AS p99_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e64: six power-iteration rounds unrolled as CTE chains (the e48
     // oracle convention); every iterate rounded to 12 dp on both engines
     // (the e40 float-parity discipline) so summation order cannot drift

@@ -520,6 +520,84 @@ object EventOps {
         hll_sketch_estimate(col("sk")).cast("long").as("est_users"))
   }
 
+  /** Staged histogram state for [[e68HistQuantiles]] — the third member
+    * of the incremental-refresh family: e63 maintains ALGEBRAIC
+    * partials, e66 a DISTINCT sketch; order statistics are neither
+    * (per-day medians don't merge), so the refreshable form of
+    * "all-history percentiles" stores a fixed-bin HISTOGRAM per grain —
+    * bin counts add, and the quantile read-off is a deterministic
+    * function of the merged counts (so unlike e66 there is no
+    * probabilistic gate: the oracle recomputes the identical answer). */
+  def e68StateDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/events_hist_state/${graft.util.PathKeys.keyedName(d)}"
+
+  /** 40 bins of 1000 cents: deterministic, clamped top bin. */
+  private def e68Bin: org.apache.spark.sql.Column =
+    least(floor(round(col("value") * 100) / 1000).cast("long"), lit(39L))
+
+  private def e68Partials(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), to_date(col("ts")).as("d"),
+        e68Bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  def e68Ensure(s: SparkSession, d: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "events.parquet")
+    val sig =
+      s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val marker = Paths.get(e68StateDir(d), "_STAGED_SIG")
+    val stale = !new java.io.File(s"${e68StateDir(d)}/_SUCCESS").exists() ||
+      !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      e68Partials(events(s, d)
+        .where(col("ts") < lit(e63Boundary).cast("timestamp")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(e68StateDir(d))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** E68: incremental PERCENTILE maintenance — merged histogram state +
+    * delta bins, quantiles read off the cumulative distribution with
+    * PURE-INTEGER thresholds (`cum·2 ≥ total` for p50, `cum·10 ≥
+    * 9·total` for p90, `cum·100 ≥ 99·total` for p99 — no float ever
+    * touches the compare). Reported values are bin lower edges in
+    * cents: the histogram's declared ±1000-cent resolution, which
+    * HistQuantileSpec bounds against the exact order statistic.
+    *
+    * 100 TB path: refresh cost is O(groups × bins) state rows + the
+    * pushed-boundary delta scan; the quantile read-off is a window over
+    * the types × 40-bin relation — invisible at any corpus size. The
+    * production form widens bins adaptively or swaps in a t-digest; the
+    * fixed grid keeps every engine/oracle bit identical. */
+  def e68HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e68Ensure(s, d)
+    val state = s.read.parquet(e68StateDir(d))
+    val delta = e68Partials(
+      events(s, d).where(col("ts") >= lit(e63Boundary).cast("timestamp")))
+    val merged = state.unionByName(delta)
+      .groupBy("event_type", "bin")
+      .agg(sum("n").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    merged
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(wt))
+      .groupBy("event_type")
+      .agg(max("total").as("total_n"),
+        (min(when(col("cum") * 2 >= col("total"), col("bin"))) * 1000)
+          .as("p50_cents"),
+        (min(when(col("cum") * 10 >= col("total") * 9, col("bin"))) * 1000)
+          .as("p90_cents"),
+        (min(when(col("cum") * 100 >= col("total") * 99, col("bin"))) * 1000)
+          .as("p99_cents"))
+      .orderBy("event_type")
+  }
+
   def e66HllStateMerge(s: SparkSession, d: String): DataFrame = {
     val merged = e66Merged(s, d)
     val exact = events(s, d).groupBy("event_type")
