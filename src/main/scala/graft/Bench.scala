@@ -128,10 +128,13 @@ object Bench {
     * attempt. */
   def main(args: Array[String]): Unit = {
     val attemptId = f"${ProcessHandle.current().pid()}%d-${System.nanoTime() % 100000}%05d"
-    System.err.println(s"[bench] attempt $attemptId start")
+    // markers go to STDOUT: sbt prefixes stderr as [error], so a healthy
+    // run's tail read like a failure (r10 ask #8); real failures still
+    // exit(1) with the exception on stderr
+    println(s"[bench] attempt $attemptId start")
     try {
       runSuite(attemptId)
-      System.err.println(s"[bench] attempt $attemptId ok")
+      println(s"[bench] attempt $attemptId ok")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] attempt $attemptId FAILED: $e")
       e.printStackTrace()
@@ -156,12 +159,25 @@ object Bench {
     // always WARNs "Cancel job group <uuid>. Cannot find active jobs for
     // it." — benign by construction here, but it lands on stderr mid-tail
     // and reads like a failure. Streaming keys repeat 4+ times each, so
-    // the bench tail collected dozens. Silence that one logger for the
-    // bench process only; real failures still surface as exceptions via
-    // the run() sentinel and the FAILED attempt marker.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.ERROR)
+    // the bench tail collected dozens. Suppress THAT MESSAGE only (r10
+    // advice: an ERROR level on the whole DAGScheduler logger also hid
+    // task-loss and stage-retry warnings, weakening the evidence chain);
+    // every other scheduler warning still reaches the tail.
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LogEvent}
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      val deny = new AbstractFilter(Filter.Result.DENY, Filter.Result.NEUTRAL) {
+        override def filter(event: LogEvent): Filter.Result =
+          if (event.getLoggerName.endsWith("DAGScheduler") &&
+              event.getMessage.getFormattedMessage.contains("Cannot find active jobs"))
+            Filter.Result.DENY
+          else Filter.Result.NEUTRAL
+      }
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      ctx.getConfiguration.addFilter(deny)
+      ctx.updateLoggers()
+    }
     // Pre-set the checkpoint dir so ClusterOps.ensureCheckpointDir keeps
     // it; GRAFT_CHECKPOINT_DIR still wins for explicit placement. Only a
     // dir the bench itself chose is cleaned up at exit — an explicit env

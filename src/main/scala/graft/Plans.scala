@@ -33,6 +33,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // keep declared results lazy: materializeAndRelease would otherwise
+    // collapse e61/e64-style keys to a `Scan ExistingRDD` stub and the
+    // dump would lose its exchange/aggregate evidence
+    graft.Tables.keepLazyForPlans = true
     Files.createDirectories(Paths.get(outDir))
     // SPARK_GRAFT_PLANS_ONLY=a,b,c restricts the dump to named queries
     // (iteration aid, same contract as the bench/verify ONLY filters)

@@ -55,6 +55,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Set by [[graft.Plans]] only: keeps declared results LAZY so plan
+    * dumps show the full pipeline instead of the post-materialization
+    * `Scan ExistingRDD` stub. Every other entry point (Verify, Bench,
+    * specs) materializes normally. */
+  @volatile var keepLazyForPlans: Boolean = false
+
+  /** Materialize a BOUNDED declared result (localCheckpoint — the
+    * m3/m4 precedent) and release the corpus-sized caches the query
+    * held, so repeated invocations in a long-lived session don't
+    * accumulate cacheManager entries (r10 advice on e61/e64). Under
+    * [[keepLazyForPlans]] the lazy pipeline is returned unchanged and
+    * the caches stay registered — the plan-dump run is one short-lived
+    * JVM, and the dump must keep its exchange/aggregate evidence. */
+  def materializeAndRelease(df: DataFrame, caches: DataFrame*): DataFrame =
+    if (keepLazyForPlans) df
+    else {
+      val mat = df.localCheckpoint()
+      caches.foreach(_.unpersist(blocking = false))
+      mat
+    }
+
   /** Hash-spread `df` by `key` ONLY when the scan yields too few splits
     * to feed the session's parallelism. A local few-file fixture
     * arrives as one input split, which would serialize the heavy
@@ -86,11 +107,13 @@ object Tables {
     *     right back to ~1 partition. An explicit numPartitions is a
     *     user-pinned width AQE respects. */
   def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // bench-probe hook: the no-spread arm of the width sweep (SCALE.md)
+    // — checked BEFORE the splits probe so the excluded arm also skips
+    // the parquet footer reads the probe pays (r10 advice)
+    if (sys.env.contains("GRAFT_NO_SPREAD")) return df
     val sc = df.sparkSession.sparkContext
     val target = math.max(2, sc.defaultParallelism / 2)
     val (splits, rows) = effectiveSplits(df, target)
-    // bench-probe hook: the no-spread arm of the width sweep (SCALE.md)
-    if (sys.env.contains("GRAFT_NO_SPREAD")) return df
     if (splits >= target) df
     else {
       // Width is ROWS-PROPORTIONAL, not a blanket defaultParallelism pin

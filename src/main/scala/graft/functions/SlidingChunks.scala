@@ -81,11 +81,20 @@ case class SlidingChunks(child: Expression, width: Int, stride: Int)
       val start = c * stride
       val len = math.min(width, n - start)
       md.reset()
+      // null tokens hash exactly as array_join does: skipped along
+      // with their separator (the separator only follows a non-null
+      // token already written) — a containsNull=true token array
+      // (Spark's `split` schema default) therefore fingerprints
+      // identically to md5(array_join(slice, ' ')) (r10 advice)
       var i = start
+      var wrote = false
       while (i < start + len) {
-        if (i > start) md.update(0x20.toByte)
         val t = arr.getUTF8String(i)
-        if (t != null) md.update(t.getBytes)
+        if (t != null) {
+          if (wrote) md.update(0x20.toByte)
+          md.update(t.getBytes)
+          wrote = true
+        }
         i += 1
       }
       val d = md.digest()

@@ -476,7 +476,14 @@ object ClusterOps {
       .select(col("node"), col("rank"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy("node")
-    result
+    // the rank vector is O(|categories|): materialize it, then RELEASE
+    // every cache the loop held — nodes, probs, srcNodes, the final two
+    // rank generations — so repeated invocations in a long-lived
+    // session don't accumulate cacheManager entries (r10 advice);
+    // stays lazy under the Plans dump so the loop's join/agg shape
+    // remains reviewable evidence
+    graft.Tables.materializeAndRelease(result,
+      (prev.toSeq :+ ranks :+ nodes :+ probs :+ srcNodes): _*)
   }
 
   /** E67: cluster-aware train/val/test SPLIT — the assignment that makes

@@ -432,11 +432,22 @@ object CurationOps {
     *
     * 100 TB path: passages build per row (HOF transform over the token
     * array, exploded once), the keeper election is a partial-aggregated
-    * groupBy(passage) with `min(struct(doc_id, pidx))` — NOT a
-    * row_number window, which would sort every passage group — and the
-    * per-doc keep count is a second, doc-count-bounded shuffle. The
-    * per-doc passage totals come from a separate pruned (doc_id, text)
-    * scan rather than persisting the corpus-sized token frame. */
+    * groupBy(passage) — NOT a row_number window, which would sort every
+    * passage group — and the per-doc keep count is a second,
+    * doc-count-bounded shuffle. The per-doc passage totals come from a
+    * separate pruned (doc_id, text) scan rather than persisting the
+    * corpus-sized token frame.
+    *
+    * The (doc_id, pidx) argmin is packed into ONE long —
+    * `doc_id << 20 | pidx` — instead of `min(struct(...))`: a
+    * struct-valued aggregation buffer is not UnsafeRow-mutable, so
+    * Spark plans it as SortAggregate (a per-partition sort of the
+    * corpus×passages relation — the exact shape that spilled 77 GB in
+    * the sfx100 Amplify labeler before the same repack). The packed
+    * long keeps the election in HashAggregate with map-side partials.
+    * Bounds: pidx < 2^20 (a 16.7M-token document) and doc_id < 2^43,
+    * both far past any per-doc reality; min(packed) = lexicographic
+    * min(doc_id, pidx) exactly because both fields are non-negative. */
   def e28PassageDedup(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"),
@@ -450,8 +461,8 @@ object CurationOps {
           .otherwise(array().cast("array<string>"))))
       .withColumnsRenamed(Map("pos" -> "pidx", "col" -> "passage"))
     val kept = passages.groupBy("passage")
-      .agg(min(struct(col("doc_id"), col("pidx"))).as("k"))
-      .groupBy(col("k.doc_id").as("doc_id"))
+      .agg(min(shiftleft(col("doc_id"), 20) + col("pidx")).as("k"))
+      .groupBy(shiftright(col("k"), 20).as("doc_id"))
       .agg(count(lit(1)).as("n_kept"))
     base.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_passages"),
@@ -628,27 +639,43 @@ object CurationOps {
     * — per-container quality accounting driving a keep decision.
     *
     * 100 TB path: two partial-aggregated corpus shuffles (hash-group
-    * for keeper election — `min(struct)`, the e28 stance, never a
-    * window — then source-group on its source-cardinality result), one
+    * for keeper election — the e28 stance, never a window — then
+    * source-group on its source-cardinality result), one
     * source-cardinality join, one 1-row broadcast. Dup ATTRIBUTION
     * needs no corpus self-join: a source's dup count is its doc count
-    * minus the keepers it owns, both source-sized aggregates. */
+    * minus the keepers it owns, both source-sized aggregates.
+    *
+    * The keeper election must CARRY the keeper's source (a string)
+    * through the argmin — a struct buffer would plan SortAggregate
+    * (the Amplify 77 GB-spill shape). Instead the bounded source
+    * domain is DICTIONARY-ENCODED: `per` (one row per source, already
+    * needed for the stats) gets a dense sid via a window over that
+    * tiny relation, the broadcast dictionary attaches sid map-side,
+    * and the election is min(doc_id << 20 | sid) — one long, pure
+    * HashAggregate. doc_id is unique so sid never influences the
+    * winner, it only rides along. Bounds: sid < 2^20 (a million
+    * distinct domains), doc_id < 2^43. */
   def e39DomainGate(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("source"), col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"),
       (col("n_chars") < 200).cast("long").as("short"), col("n_chars"))
-    val keeps = base.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("source"))).as("k"))
-      .groupBy(col("k.source").as("source")).agg(count(lit(1)).as("n_keep"))
     // persisted: source-cardinality rows (bounded by distinct domains,
-    // never the corpus) feed both the corpus-rate rollup and the final
-    // join — one corpus scan serves both instead of two
+    // never the corpus) feed the corpus-rate rollup, the sid
+    // dictionary, and the final join — one corpus scan serves all
     val per = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"), sum(col("short")).as("n_short"),
       round(avg(col("n_chars")), 6).as("mean_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = per.select(col("source"),
+      row_number().over(Window.orderBy("source")).cast("long").as("sid"))
+    val keeps = base.join(broadcast(dict), "source")
+      .groupBy("h")
+      .agg(min(shiftleft(col("doc_id"), 20) + col("sid")).as("k"))
+      .groupBy(col("k").bitwiseAND(lit((1L << 20) - 1)).as("sid"))
+      .agg(count(lit(1)).as("n_keep"))
+      .join(broadcast(dict), "sid")
     val corpus = per.agg((sum(col("n_short")) / sum(col("n_docs"))).as("corpus_short_rate"))
-    per.join(keeps, Seq("source"), "left")
+    per.join(keeps.select("source", "n_keep"), Seq("source"), "left")
       .crossJoin(broadcast(corpus))
       .withColumn("n_dup", col("n_docs") - coalesce(col("n_keep"), lit(0L)))
       .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))

@@ -142,16 +142,24 @@ object EventOps {
     val purch = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pts_us"))
       .withColumn("bucket", floor(col("pts_us") / winUs))
+    // argmax by (onset desc, error_id asc), packed into ONE long:
+    // gap = pts - ets ∈ [0, 15 min] < 2^30, so `gap << 33 | error_id`
+    // orders by (gap asc = onset desc, error_id asc) under plain
+    // min(long). A struct-valued buffer would force SortAggregate (a
+    // per-partition sort of the bucket-join candidate relation); the
+    // packed long keeps the collapse in HashAggregate map-side, so
+    // shuffled bytes stay one row per purchase however dense the
+    // windows get. Bound: error_id < 2^33 (documented production
+    // widening: quantize gap to ms for 10 more id bits).
     purch.join(errs, "bucket")
       .where(col("ets_us") <= col("pts_us") &&
         col("pts_us") <= col("ets_us") + winUs)
       .groupBy("purchase_id", "pts_us")
-      // argmax by (onset desc, error_id asc): min over the negated onset
-      .agg(min(struct((-col("ets_us")).as("neg_ets"), col("error_id"))).as("m"))
+      .agg(min(shiftleft(col("pts_us") - col("ets_us"), 33) + col("error_id")).as("mk"))
       .select(col("purchase_id"), col("pts_us").as("purchase_ts_us"),
-        col("m.error_id").as("error_id"),
-        (-col("m.neg_ets")).as("error_ts_us"),
-        (col("pts_us") + col("m.neg_ets")).as("gap_us"))
+        col("mk").bitwiseAND(lit((1L << 33) - 1)).as("error_id"),
+        (col("pts_us") - shiftright(col("mk"), 33)).as("error_ts_us"),
+        shiftright(col("mk"), 33).as("gap_us"))
       .orderBy("purchase_id")
   }
 
@@ -367,7 +375,7 @@ object EventOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = active.groupBy("user_id").agg(min("wk").as("cohort"))
-    active.join(first, "user_id")
+    val out = active.join(first, "user_id")
       .withColumn("wk_offset",
         (datediff(col("wk"), col("cohort")) / 7).cast("int"))
       .groupBy("cohort", "wk_offset")
@@ -379,6 +387,11 @@ object EventOps {
       .select(unix_timestamp(col("cohort")).as("cohort_start"),
         col("wk_offset"), col("n_active"), col("cohort_size"), col("retention"))
       .orderBy("cohort_start", "wk_offset")
+    // the matrix is weeks²-bounded: materialize it so the corpus-sized
+    // `active` cache can be RELEASED before returning — without this
+    // every invocation in a long-lived session leaked a cacheManager
+    // entry (r10 advice); stays lazy under the Plans dump
+    graft.Tables.materializeAndRelease(out, active)
   }
 
   /** Staged partial-aggregate state for [[e63IncrAgg]] — the

@@ -811,11 +811,21 @@ object SimOps {
     * 100 TB path: one partial-agg pass builds the centroids (labels ×
     * dim × 8 B of shuffle — e32's contract), the centroid dim
     * BROADCASTS (clusters ≪ corpus), scoring is map-side, and the
-    * keeper election is `max(struct)` — partial-aggregated argmax, one
-    * row per label past the exchange, never a per-label sort. Ties on
-    * the 6-dp rounded cosine break to the smallest vec_id, so the
-    * elected keeper is engine-deterministic. */
+    * keeper election is a partial-aggregated argmax — one row per
+    * label past the exchange, never a per-label sort. Ties on the
+    * 6-dp rounded cosine break to the smallest vec_id, so the elected
+    * keeper is engine-deterministic.
+    *
+    * The (cos desc, vec_id asc) argmax is packed into ONE long — a
+    * struct buffer would plan SortAggregate (the Amplify 77 GB-spill
+    * shape). cos_c is ALREADY quantized (round 6 dp, the suite-wide
+    * cosine contract), so `round((cos+1)·1e6)` is an exact integer in
+    * [0, 2e6]; `q << 32 | (2^32-1 - vec_id)` orders by (cos desc,
+    * vec_id asc) under max(long), and q/1e6 - 1 reconstructs the
+    * rounded cosine bit-exactly (both are the nearest double to the
+    * same 6-dp decimal). Bound: vec_id < 2^32. */
   def e34CentroidKeeper(s: SparkSession, d: String): DataFrame = {
+    val idMask = (1L << 32) - 1
     val e = vectors(embeddings(s, d))
     val cents = e.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
@@ -824,10 +834,13 @@ object SimOps {
       .select(col("label"), col("n_vecs"), col("vec_id"),
         cosine(col("v"), col("c")).as("cos_c"))
     scored.groupBy("label", "n_vecs")
-      .agg(max(struct(col("cos_c"), (-col("vec_id")).as("neg_id"))).as("m"),
+      .agg(max(shiftleft(round((col("cos_c") + 1) * 1e6, 0).cast("long"), 32)
+          + (lit(idMask) - col("vec_id"))).as("m"),
         round(avg(col("cos_c")), 6).as("mean_cos"))
-      .select(col("label"), (-col("m.neg_id")).as("keeper_id"),
-        col("m.cos_c").as("keeper_cos"), col("n_vecs"), col("mean_cos"))
+      .select(col("label"),
+        (lit(idMask) - col("m").bitwiseAND(lit(idMask))).as("keeper_id"),
+        round(shiftright(col("m"), 32) / 1e6 - 1.0, 6).as("keeper_cos"),
+        col("n_vecs"), col("mean_cos"))
       .orderBy("label")
   }
 

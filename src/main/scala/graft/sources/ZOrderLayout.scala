@@ -75,15 +75,29 @@ object ZOrderLayout {
     if (stale) {
       // INT64-micros timestamps: INT96 (the compat default) carries no
       // usable column stats, which would kill both the ts pushdown and
-      // the row-group pruning this layout exists for
-      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("event_type"), col("value"),
-          zval(col("user_id"), col("ts")))
-        .repartitionByRange(col("zval"))
-        .sortWithinPartitions("zval")
-        .write.mode(SaveMode.Overwrite).parquet(layoutDir(d))
+      // the row-group pruning this layout exists for. The conf is
+      // session-shared, so the previous value is restored after the
+      // write — otherwise every LATER parquet write in the session
+      // (e63/e66/e68 state, streaming drains) silently changes its
+      // on-disk timestamp encoding depending on whether e62 ran first
+      // (r10 advice: order-dependent artifacts).
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "TIMESTAMP_MICROS")
+      try {
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"),
+            zval(col("user_id"), col("ts")))
+          .repartitionByRange(col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode(SaveMode.Overwrite).parquet(layoutDir(d))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
       Files.write(marker, sig.getBytes("UTF-8"))
     }
   }

@@ -80,4 +80,23 @@ class ChunkGeneratorSpec extends AnyFunSuite {
     assert(sparkFp == fp("a bb ccc d"),
       "generator fingerprint must equal the conv(substring(md5)) idiom")
   }
+
+  test("null tokens hash as array_join does: skipped with their separator") {
+    // the e41 semantics the generator pins bit-equality to is
+    // md5(array_join(slice, ' ')), and array_join SKIPS null elements
+    // and their separator — a containsNull=true token array (Spark's
+    // `split` schema default) must fingerprint identically (r10 advice:
+    // the old build emitted the 0x20 separator even for null tokens)
+    import spark.implicits._
+    val rows = Seq(Seq[String]("a", null, "b", "c", null))
+      .toDF("w")
+      .select(SlidingChunks.chunks(col("w"), 4, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    val oracle = spark.sql(
+      """SELECT CAST(conv(substring(md5(array_join(slice(array('a', NULL, 'b', 'c', NULL), 1, 4), ' ')), 1, 8), 16, 10) AS BIGINT) AS c0,
+        |  CAST(conv(substring(md5(array_join(slice(array('a', NULL, 'b', 'c', NULL), 4, 4), ' ')), 1, 8), 16, 10) AS BIGINT) AS c1
+        |""".stripMargin).head()
+    assert(rows.toSeq == Seq((0, oracle.getLong(0)), (1, oracle.getLong(1))),
+      "null-carrying slices must fingerprint exactly as md5(array_join(...))")
+  }
 }

@@ -642,12 +642,21 @@ class CurationOpsSpec extends AnyFunSuite {
       "the relative bar must split this corpus — both verdicts should appear")
   }
 
-  test("e39: keeper election is min(struct) aggregation; corpus rate broadcasts") {
+  test("e39: keeper election is packed-long HashAggregate; corpus rate broadcasts") {
     val p = plan(CurationOps.e39DomainGate(spark, sf))
-    assert(!p.contains("Window"), "dup attribution must not sort the corpus in a window")
+    // the election must stay in HashAggregate: a struct-valued argmin
+    // buffer silently falls back to SortAggregate (a per-partition sort
+    // of the corpus — the Amplify 77 GB-spill shape, r10 verdict weak #1)
+    assert(!p.contains("SortAggregate"),
+      "keeper election fell back to SortAggregate")
+    // the ONLY window allowed is the sid dictionary build — a
+    // row_number over the source-bounded `per` relation (reads its
+    // cache, never the corpus); a second window would mean dup
+    // attribution started sorting documents again
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"expected at most the dictionary window, got $windows")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the 1-row corpus rate must broadcast")
-    assert(!p.contains("SortMergeJoin") || true)
   }
 
   test("e47: tile math matches a hand example; fraction bounded; empty text is null") {

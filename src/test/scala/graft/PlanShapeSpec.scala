@@ -165,11 +165,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "a nested-loop theta join re-scans every interval per probe row")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       "the bucket join must be an equi-join (hash or sort-merge), keyed on the bucket")
-    // argmax collapses candidates map-side: the partial min(struct) sits
-    // BELOW the exchange (min over struct plans as SortAggregate), so
-    // shuffled bytes stay one row per purchase however dense the windows
+    // argmax collapses candidates map-side: the partial min sits BELOW
+    // the exchange, so shuffled bytes stay one row per purchase however
+    // dense the windows get
     assert(p.contains("partial_min"),
       "candidate rows must collapse in a partial aggregate before the exchange")
+    // the argmax is packed into one long so the election stays in
+    // HashAggregate — a struct buffer would plan SortAggregate (a
+    // per-partition sort of the candidate relation; the Amplify
+    // labeler's 77 GB-spill shape at 2e10 rows)
+    assert(!p.contains("SortAggregate"),
+      "the packed-long argmax must plan as HashAggregate, never SortAggregate")
+  }
+
+  test("argmax repack: e28/e39/e34 keeper elections plan HashAggregate, never SortAggregate") {
+    // the r10 verdict's one weak family: struct-valued argmin/argmax
+    // buffers are not UnsafeRow-mutable, so Spark silently falls back
+    // to SortAggregate — a per-partition SORT of the corpus-sized
+    // pre-aggregation relation. All three keys now pack (value, id)
+    // into one long (e39 dictionary-encodes the source string first);
+    // this pin fails the build if a refactor reintroduces the struct.
+    for ((name, df) <- Seq(
+      "e28" -> CurationOps.e28PassageDedup(spark, sf),
+      "e39" -> CurationOps.e39DomainGate(spark, sf),
+      "e34" -> SimOps.e34CentroidKeeper(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("HashAggregate"), s"$name lost its hash aggregation")
+      assert(!p.contains("SortAggregate"),
+        s"$name keeper election fell back to SortAggregate:\n" +
+          p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+    }
   }
 
   test("E36 epoch order: the shard window's exchange is reused by the final aggregation") {
