@@ -1000,16 +1000,36 @@ object SimOps {
     * for a vector is produced in that vector's own partition, so the
     * map-side combine collapses N·B rows to N); the label rollup and
     * 1-row p99 relation are label-/constant-sized. Nothing quadratic,
-    * nothing driver-side. */
+    * nothing driver-side.
+    *
+    * FUSED SCORING KERNEL (r10 verdict ask #2): linear was not enough —
+    * at sfx100 the pair-at-a-time scan cost 224.6 s. The ask suggested
+    * an IVF/ADC prefilter with exact rescore of a provable superset;
+    * MEASURED on this corpus's geometry, bound pruning is vacuous —
+    * with IVF-centroid angular bounds (cos(θ(x,c)−r_y), r_y = the
+    * bench member's residual angle, K=32 cells, 5 Lloyd rounds) the
+    * provable-superset survivor fraction is 98.8% at sfx100 and the
+    * subspace Cauchy–Schwarz bound (M=8 subvector norms) keeps 100% —
+    * near-uniform synthetic vectors leave no margin between any sound
+    * upper bound (≈0.8–1.0) and the true max (mean 0.37), so an
+    * exactness-preserving prefilter RESCORES EVERYTHING and only adds
+    * passes (numbers in SCALE.md round 11). What actually dominates
+    * the 224.6 s is not the 64-multiply cosine but the N·B PAIR ROWS —
+    * join-row copies plus a hash-aggregate probe per pair. The fix
+    * keeps exactness by removing the pairs instead of pruning them:
+    * [[graft.functions.CosineMaxBench]] folds the bench loop inside
+    * the row projection (bench is bounded by declaration and rides the
+    * plan — the e65 literal-codebook stance), so scoring is ONE
+    * map-side scan with zero pair rows and zero exchanges, bit-exact
+    * to the pair form (round is monotone, so round(max raw) equals
+    * max(round per pair); E49KernelSpec pins it). The pair-at-a-time
+    * arm stays callable (GRAFT_E49_BRUTE) for the bench comparison. */
   def e49SemanticDecon(s: SparkSession, d: String): DataFrame = {
     val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
     val benchMember = col("vec_id") % 97 === 0 && col("vec_id") < 100000L
-    val bench = e.where(benchMember)
-      .select(col("vec_id").as("b_id"), col("v").as("bv"))
-    val maxCos = e.where(!benchMember)
-      .crossJoin(broadcast(bench))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max(cosine(col("v"), col("bv"))).as("max_cos"))
+    val maxCos = // bench-probe hook: pair-at-a-time arm for SCALE.md deltas
+      if (sys.env.contains("GRAFT_E49_BRUTE")) e49BruteMaxCos(e, benchMember)
+      else e49FusedMaxCos(e, benchMember)
     val bar = maxCos.agg(
       round(expr("percentile(max_cos, 0.99)"), 6).as("p99"))
     maxCos.crossJoin(broadcast(bar))
@@ -1021,6 +1041,39 @@ object SimOps {
         first(col("p99")).as("p99"))
       .select("label", "n_vecs", "n_flagged", "mean_max_cos", "p99")
       .orderBy("label")
+  }
+
+  /** The r10 pair-at-a-time max-cosine scan — every (vector, bench)
+    * pair is a join row paying a full fused cosine plus aggregation
+    * machinery. Kept as the semantics authority: E49KernelSpec pins
+    * the fused-kernel path to these exact rows, and the
+    * GRAFT_E49_BRUTE bench arm measures the before/after in
+    * SCALE.md. */
+  private[graft] def e49BruteMaxCos(e: DataFrame, benchMember: Column): DataFrame = {
+    val bench = e.where(benchMember)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"))
+    e.where(!benchMember)
+      .crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(cosine(col("v"), col("bv"))).as("max_cos"))
+  }
+
+  /** Exact per-vector max cosine against the bench suite through the
+    * fused [[graft.functions.CosineMaxBench]] kernel: collect the
+    * BOUNDED bench (capped id range — ≤1031 rows by declaration, the
+    * e40/e65 bounded-collect convention), bake it into one native
+    * expression, and score the corpus in a single map-side projection.
+    * No pair rows, no exchange before the label rollup; the 100 TB
+    * form is identical with the bench as a broadcast variable. */
+  private[graft] def e49FusedMaxCos(e: DataFrame, benchMember: Column): DataFrame = {
+    val bench = e.where(benchMember)
+      .select(col("vec_id"), col("v")).orderBy("vec_id")
+      .collect() // bounded by the bench cap (vec_id < 100000, step 97)
+      .map(_.getSeq[Double](1).toArray)
+    e.where(!benchMember)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.CosineMaxBench.maxCosine(col("v"), bench), 6)
+          .as("max_cos"))
   }
 
   /** E60: EDIT-DISTANCE CONFIRMATION of near-dup candidates — the
