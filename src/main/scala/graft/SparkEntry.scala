@@ -83,6 +83,8 @@ object SparkEntry {
     "e1_text_dedup"     -> (TextOps.e1TextDedup _),
     "e1x_dedup_xxhash"  -> (TextOps.e1xTextDedupXx _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
+    "e2i_ivf_index_scan" -> (graft.sources.IvfLayout.e2iIvfIndexScan _),
+    "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
     "e2r_recall_at_k"   -> (SimOps.e2rRecallAtK _),
@@ -105,6 +107,7 @@ object SparkEntry {
     "e51s_transitions_stream" -> (graft.streaming.StatefulOps.e51sTransitionsStream _),
     "e53_rate_anomaly"      -> (EventOps.e53RateAnomaly _),
     "e54_cms_heavy_hitters" -> (CurationOps.e54CmsHeavyHitters _),
+    "e54x_cms_xx_gate"      -> (CurationOps.e54xCmsXxGate _),
     "e55_bpe_encode"        -> (CurationOps.e55BpeEncode _),
     "e56_source_overlap"    -> (CurationOps.e56SourceOverlap _),
     "e9_lang_id"        -> (TextOps.e9LangId _),
@@ -172,9 +175,11 @@ object SparkEntry {
     "e59_priority_sample"   -> (CurationOps.e59PrioritySample _),
     "e60_edit_confirm"      -> (SimOps.e60EditConfirm _),
     "e61_retention_cohorts" -> (EventOps.e61RetentionCohorts _),
+    "e61b_incr_retention"   -> (EventOps.e61bIncrRetention _),
     // §2.10 LLM-pipeline: curation stages (r10, third wave)
     "e62_zorder_scan"       -> (graft.sources.ZOrderLayout.e62ZorderScan _),
     "e63_incr_agg"          -> (EventOps.e63IncrAgg _),
+    "e63s_incr_stream"      -> (graft.streaming.EventStreams.e63sStreamIncrAgg _),
     "e64_pagerank"          -> (ClusterOps.e64Pagerank _),
     "e65_pq_ann"            -> (SimOps.e65PqAnn _),
     "e66_hll_state_merge"   -> (EventOps.e66HllStateMerge _),
@@ -298,6 +303,49 @@ object SparkEntry {
   /** Shared by e6 (batch) and e6s (streaming ingest): both declared
     * forms must hash-match the SAME exact MinHash+LSH recomputation —
     * batch/stream parity stated as one oracle. */
+  // e63/e63s: the oracle is the FULL recompute the incremental engine
+  // path exists to avoid — grouped through the same (type, day) partial
+  // grain so the algebraic merge is what's being checked
+  private val e63OracleSql: String =
+    """WITH p AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |    min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+      |    max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+      |  min(min_cents) AS min_cents, max(max_cents) AS max_cents,
+      |  count(*) AS n_day_partials,
+      |  round(CAST(sum(sum_cents) AS DOUBLE) / sum(n), 6) AS avg_cents
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val e61OracleSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+      |c AS (SELECT cohort,
+      |    CAST(date_diff('day', cohort, wk) // 7 AS INTEGER) AS wk_offset,
+      |    count(*) AS n_active
+      |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
+      |s AS (SELECT *, max(CASE WHEN wk_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort) AS cohort_size FROM c)
+      |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_start, wk_offset,
+      |  n_active, cohort_size,
+      |  round(n_active * 1.0 / cohort_size, 6) AS retention
+      |FROM s ORDER BY cohort_start, wk_offset""".stripMargin
+
+  private val e2OracleSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
+      |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+      |j AS (SELECT q_id, c.vec_id AS cand_id,
+      |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+      |  FROM q JOIN n c ON q.label = c.label AND c.vec_id <> q.q_id),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+      |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
+      |ORDER BY q_id, "rank"""".stripMargin
+
   private val e6OracleSql: String =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -633,6 +681,22 @@ object SparkEntry {
         |  ORDER BY n_exact DESC, bg LIMIT 20)
         |SELECT bg, n_exact, TRUE AS gate_ok FROM e
         |ORDER BY n_exact DESC, bg""".stripMargin,
+    // e54x: the xx-sampled top-20 is hash-family-dependent (DuckDB has
+    // no xxhash64), so the declared row is the hash-INDEPENDENT gate
+    // contract — total and ε-bound recomputed exactly, the quorum
+    // verdict pinned literal TRUE (the e66 hll_ok convention); the
+    // sample itself is spec-gated (CmsXxGateSpec)
+    "e54x_cms_xx_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bgs AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+        |  ELSE [] END) AS bg FROM t)
+        |SELECT CAST(20 AS BIGINT) AS n_probes, TRUE AS gate_ok,
+        |  count(*) AS total_bigrams,
+        |  CAST(ceil(0.0001 * count(*)) AS BIGINT) AS eps_bound
+        |FROM bgs""".stripMargin,
     // r8 curation stages: DuckDB's native ASOF JOIN oracles the Spark
     // union-and-carry as-of idiom; shard/tfidf/passage recompute exactly
     "e25_asof_join" ->
@@ -1420,20 +1484,10 @@ object SparkEntry {
         |FROM p ORDER BY a_id, b_id""".stripMargin,
     // e61: Monday-start week truncation on both engines; the offset
     // divides an exact multiple of 7 days
-    "e61_retention_cohorts" ->
-      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-        |  FROM events),
-        |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
-        |c AS (SELECT cohort,
-        |    CAST(date_diff('day', cohort, wk) // 7 AS INTEGER) AS wk_offset,
-        |    count(*) AS n_active
-        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
-        |s AS (SELECT *, max(CASE WHEN wk_offset = 0 THEN n_active END)
-        |    OVER (PARTITION BY cohort) AS cohort_size FROM c)
-        |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_start, wk_offset,
-        |  n_active, cohort_size,
-        |  round(n_active * 1.0 / cohort_size, 6) AS retention
-        |FROM s ORDER BY cohort_start, wk_offset""".stripMargin,
+    "e61_retention_cohorts" -> e61OracleSql,
+    // e61b maintains the distinct (user, week) state incrementally and
+    // re-derives the same matrix — the full recompute IS its oracle
+    "e61b_incr_retention" -> e61OracleSql,
     // e62: the oracle recomputes the Morton interleave with DuckDB's own
     // integer bit ops over the RAW events table — the result is
     // layout-invariant, so a z-layout that stored wrong z-values or
@@ -1462,21 +1516,10 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(u) AS min_user, max(u) AS max_user
         |FROM z GROUP BY z_tile ORDER BY z_tile""".stripMargin,
-    // e63: the oracle is the FULL recompute the incremental engine path
-    // exists to avoid — grouped through the same (type, day) partial
-    // grain so the algebraic merge is what's being checked
-    "e63_incr_agg" ->
-      """WITH p AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
-        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |    min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
-        |    max(CAST(round(value * 100) AS BIGINT)) AS max_cents
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
-        |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
-        |  min(min_cents) AS min_cents, max(max_cents) AS max_cents,
-        |  count(*) AS n_day_partials,
-        |  round(CAST(sum(sum_cents) AS DOUBLE) / sum(n), 6) AS avg_cents
-        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e63_incr_agg" -> e63OracleSql,
+    // e63s folds the SAME refresh through micro-batch deltas — drained
+    // state must equal the batch key's answer under the same oracle
+    "e63s_incr_stream" -> e63OracleSql,
     // e66: the exact side is the recomputable contract (e18 convention —
     // the oracle cannot build a DataSketches HLL, so it pins the gate);
     // n_day_sketches is the state grain count, recomputed relationally
@@ -1583,6 +1626,60 @@ object SparkEntry {
         |adc AS (SELECT qd.q_id, enc.vec_id AS cand_id,
         |    round(sum(qd.d2), 6) AS adc_d2
         |  FROM enc JOIN qd ON enc.m = qd.m AND enc.cid = qd.cid
+        |  WHERE enc.vec_id <> qd.q_id GROUP BY 1, 2),
+        |exact AS (SELECT q.q_id, e.vec_id AS cand_id,
+        |    round(list_sum(list_transform(range(64), i ->
+        |      (qv[CAST(i+1 AS INT)] - v[CAST(i+1 AS INT)])
+        |      * (qv[CAST(i+1 AS INT)] - v[CAST(i+1 AS INT)]))), 6) AS exact_d2
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+        |rk AS (SELECT q_id, cand_id, adc_d2, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY adc_d2, cand_id) AS rank
+        |  FROM adc)
+        |SELECT rk.q_id, CAST(rk.rank AS INT) AS rank, rk.cand_id,
+        |  rk.adc_d2, exact.exact_d2
+        |FROM rk JOIN exact USING (q_id, cand_id)
+        |WHERE rk.rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // e65b: the oracle replays the TRAINING trajectory too — seed books
+    // (cb0) → assign (a0, row_number over (d2, j) = the engine's
+    // keep-earlier fold) → recentered books (cb1, round(avg,6) per
+    // position = the VectorCentroid contract) — then gates the same
+    // encode/ADC/exact tail as e65 under the trained books
+    "e65b_pq_trained" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb0 AS (SELECT ms.m, CAST(cb.vec_id AS INT) AS j,
+        |    list_transform(cb.v, x -> round(x, 6))
+        |      [CAST(ms.m*16+1 AS INT) : CAST(ms.m*16+16 AS INT)] AS cw
+        |  FROM e cb CROSS JOIN range(4) ms(m) WHERE cb.vec_id < 4),
+        |d0 AS (SELECT e.vec_id, c.m, c.j,
+        |    round(list_sum(list_transform(range(16), i ->
+        |      (v[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)])
+        |      * (v[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)]))), 6) AS d2
+        |  FROM e CROSS JOIN cb0 c),
+        |a0 AS (SELECT vec_id, m, j FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM d0) WHERE rn = 1),
+        |u0 AS (SELECT a0.m, a0.j, CAST(t.i AS INT) AS pos,
+        |    e.v[CAST(a0.m*16 + t.i + 1 AS INT)] AS x
+        |  FROM a0 JOIN e USING (vec_id), UNNEST(range(16)) AS t(i)),
+        |cb1 AS (SELECT m, j, list(mm ORDER BY pos) AS cw FROM (
+        |    SELECT m, j, pos, round(avg(x), 6) AS mm FROM u0 GROUP BY m, j, pos)
+        |  GROUP BY m, j),
+        |d1 AS (SELECT e.vec_id, c.m, c.j,
+        |    round(list_sum(list_transform(range(16), i ->
+        |      (v[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)])
+        |      * (v[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)]))), 6) AS d2
+        |  FROM e CROSS JOIN cb1 c),
+        |enc AS (SELECT vec_id, m, j FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM d1) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        |  WHERE vec_id >= 10 AND vec_id < 13),
+        |qd AS (SELECT q.q_id, c.m, c.j,
+        |    round(list_sum(list_transform(range(16), i ->
+        |      (qv[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)])
+        |      * (qv[CAST(c.m*16+i+1 AS INT)] - cw[CAST(i+1 AS INT)]))), 6) AS d2
+        |  FROM q CROSS JOIN cb1 c),
+        |adc AS (SELECT qd.q_id, enc.vec_id AS cand_id,
+        |    round(sum(qd.d2), 6) AS adc_d2
+        |  FROM enc JOIN qd ON enc.m = qd.m AND enc.j = qd.j
         |  WHERE enc.vec_id <> qd.q_id GROUP BY 1, 2),
         |exact AS (SELECT q.q_id, e.vec_id AS cand_id,
         |    round(list_sum(list_transform(range(64), i ->
@@ -1894,17 +1991,11 @@ object SparkEntry {
         |  CAST(round(sum(l_quantity)) AS BIGINT) AS qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-    "e2_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
-        |q AS (SELECT vec_id AS q_id, label, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
-        |j AS (SELECT q_id, c.vec_id AS cand_id,
-        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
-        |  FROM q JOIN n c ON q.label = c.label AND c.vec_id <> q.q_id),
-        |r AS (SELECT *, CAST(row_number() OVER
-        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
-        |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
-        |ORDER BY q_id, "rank"""".stripMargin,
+    "e2_cosine_topk" -> e2OracleSql,
+    // e2i reads the SAME vectors through the persisted cell-partitioned
+    // IVF layout — probe-pruned directories, identical ranking: the
+    // layout changes the plan, never the answer, so the oracle IS e2's
+    "e2i_ivf_index_scan" -> e2OracleSql,
     "e2c_topk_native" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),

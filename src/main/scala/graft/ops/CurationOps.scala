@@ -1471,6 +1471,41 @@ object CurationOps {
     * collect precedent). The bigram relation feeds both passes and is
     * persisted for the query's lifetime (e6/e8 reuse discipline). */
   def e54CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val (top, gateOk, _, _) = cmsQuorumGate(s, d, xxMembership = false)
+    import s.implicits._
+    top.map { case (b, n) => (b, n, gateOk) }
+      .toDF("bg", "n_exact", "gate_ok")
+      .orderBy(col("n_exact").desc, col("bg"))
+  }
+
+  /** E54x: the PRODUCTION-HASH membership twin of e54 (r10 verdict ask
+    * #6, the e1/e1x · e6/e6x split) — the 1/16 vocabulary sample that
+    * feeds the exact gate selects by `xxhash64` instead of md5.
+    * SCALE.md named xxhash64 as the production membership hash (~3×
+    * cheaper map-side, codegen'd, no hex round-trip); this key makes
+    * that swap a declared, gated result instead of a comment. The
+    * sampled top-20 itself is hash-FAMILY-dependent (a different 1/16
+    * of the vocabulary), which DuckDB cannot replay — so the DECLARED
+    * output is the hash-independent contract row (probe count, quorum
+    * verdict, corpus bigram total, CMS ε-bound), with the oracle
+    * recomputing total and bound exactly and pinning the verdict
+    * literally TRUE (the e66 hll_ok convention). CmsXxGateSpec carries
+    * the hash-dependent claims: the xx sample is a genuine ~1/16
+    * slice, its top-20 counts equal a plain groupBy recount, and the
+    * quorum gate evaluates the same CMS contract as the md5 arm. */
+  def e54xCmsXxGate(s: SparkSession, d: String): DataFrame = {
+    val (top, gateOk, total, bound) = cmsQuorumGate(s, d, xxMembership = true)
+    import s.implicits._
+    Seq((top.length.toLong, gateOk, total, bound))
+      .toDF("n_probes", "gate_ok", "total_bigrams", "eps_bound")
+  }
+
+  /** Shared CMS quorum-gate body for e54/e54x: one sketch pass, one
+    * sampled exact gate whose VOCABULARY membership hash is md5
+    * (oracle-replayable) or xxhash64 (production), 19/20 quorum.
+    * Returns (sampled top-20, gate verdict, corpus total, ε bound). */
+  private def cmsQuorumGate(s: SparkSession, d: String, xxMembership: Boolean)
+      : (Seq[(String, Long)], Boolean, Long, Long) = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.util.sketch.CountMinSketch
     val eps = 1e-4
@@ -1501,6 +1536,8 @@ object CurationOps {
       // beside the full gate in SCALE.md).
       val gateInput = // bench-probe hook: full-vocab gate arm (SCALE.md)
         if (sys.env.contains("GRAFT_E54_FULLGATE")) bg
+        else if (xxMembership) // e54x: the production membership hash
+          bg.where(pmod(xxhash64(concat(lit("cms:"), col("bg"))), lit(16L)) === 0)
         else bg.where(
           conv(substring(md5(concat(lit("cms:"), col("bg"))), 1, 8), 16, 10)
             .cast("long") % 16 === 0)
@@ -1518,11 +1555,7 @@ object CurationOps {
         est >= n && est <= n + bound
       }
       val gateOk = inBounds >= top.length - 1
-      import s.implicits._
-      top.toSeq
-        .map(r => (r.getString(0), r.getLong(1), gateOk))
-        .toDF("bg", "n_exact", "gate_ok")
-        .orderBy(col("n_exact").desc, col("bg"))
+      (top.toSeq.map(r => (r.getString(0), r.getLong(1))), gateOk, total, bound)
     } finally bg.unpersist()
   }
 

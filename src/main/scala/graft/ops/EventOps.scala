@@ -368,11 +368,19 @@ object EventOps {
     * reuses the user_id key. The matrix past them is weeks²-sized,
     * and the cohort-size spread is a window over THAT relation. Raw
     * events are touched exactly once. */
-  def e61RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+  def e61RetentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionFromActivity(
+      events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct())
+
+  /** The e61 matrix derivation from a distinct (user, week) activity
+    * relation — shared verbatim by the full-scan key (e61) and the
+    * incrementally maintained one (e61b), so both state one
+    * semantics under e61's oracle. */
+  private def retentionFromActivity(activity: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val active = events(s, d)
-      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-      .distinct()
+    val active = activity
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = active.groupBy("user_id").agg(min("wk").as("cohort"))
     val out = active.join(first, "user_id")
@@ -394,6 +402,59 @@ object EventOps {
     graft.Tables.materializeAndRelease(out, active)
   }
 
+  /** Staged distinct-activity state for [[e61bIncrRetention]]. */
+  def e61bStateDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/events_retention_state/${graft.util.PathKeys.keyedName(d)}"
+
+  def e61bEnsure(s: SparkSession, d: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "events.parquet")
+    val sig =
+      s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val marker = Paths.get(e61bStateDir(d), "_STAGED_SIG")
+    val stale = !new java.io.File(s"${e61bStateDir(d)}/_SUCCESS").exists() ||
+      !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      events(s, d)
+        .where(col("ts") < lit(e63Boundary).cast("timestamp"))
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(e61bStateDir(d))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** E61b: INCREMENTAL maintenance of a JOIN-SHAPED view (r10 verdict
+    * ask #5) — the refresh trilogy (e63 algebraic partials, e66 sketch
+    * state, e68 histogram state) covered aggregates; e61's retention
+    * matrix is a self-join (activity ⋈ per-user first-week), which no
+    * per-grain partial can re-aggregate. The maintainable STATE is the
+    * distinct (user, week) activity relation: new events can only ADD
+    * activity pairs (append-only facts never retract a week), so
+    * `state' = distinct(state ∪ delta-pairs)` is exact, and the matrix
+    * re-derives from state' through the identical e61 tail — cohorts,
+    * offsets, window and all — so e61's full-recompute oracle gates
+    * the maintenance end-to-end.
+    *
+    * 100 TB path: the state relation is users × active-weeks — DATA-
+    * bounded, not history-scan-bounded; the only base-table touch is
+    * the delta scan with the boundary pushed to parquet row groups
+    * (`ts >= boundary` — the e63 pushdown contract, spec-pinned), so a
+    * refresh costs O(state) + O(new data) however deep the history.
+    * The distinct-union is one hash exchange on (user, wk); the
+    * matrix tail is unchanged from e61. */
+  def e61bIncrRetention(s: SparkSession, d: String): DataFrame = {
+    e61bEnsure(s, d)
+    val state = s.read.parquet(e61bStateDir(d))
+    val delta = events(s, d)
+      .where(col("ts") >= lit(e63Boundary).cast("timestamp"))
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    retentionFromActivity(state.unionByName(delta).distinct())
+  }
+
   /** Staged partial-aggregate state for [[e63IncrAgg]] — the
     * materialized-view half of incremental maintenance. Grain is
     * (event_type, epoch day); every measure is an algebraic partial
@@ -411,7 +472,7 @@ object EventOps {
     * is the state's high-watermark. */
   private[graft] val e63Boundary = "2024-01-24 00:00:00"
 
-  private def e63Partials(df: DataFrame): DataFrame =
+  private[graft] def e63Partials(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"),
@@ -454,7 +515,14 @@ object EventOps {
     val state = s.read.parquet(e63StateDir(d))
     val delta = e63Partials(
       events(s, d).where(col("ts") >= lit(e63Boundary).cast("timestamp")))
-    state.unionByName(delta)
+    e63Rollup(state.unionByName(delta))
+  }
+
+  /** The e63 final rollup over day-grain partials — shared by the
+    * one-shot refresh (e63) and the micro-batch streaming fold (e63s)
+    * so both state one semantics under e63's full-recompute oracle. */
+  private[graft] def e63Rollup(partials: DataFrame): DataFrame =
+    partials
       .groupBy("event_type")
       .agg(sum("n").as("n"),
         sum("sum_cents").as("sum_cents"),
@@ -464,7 +532,6 @@ object EventOps {
       .withColumn("avg_cents",
         round(col("sum_cents").cast("double") / col("n"), 6))
       .orderBy("event_type")
-  }
 
   /** Staged HLL sketch state for [[e66HllStateMerge]] — e63's algebraic
     * partials are exactly re-aggregable; DISTINCT counts are not (the

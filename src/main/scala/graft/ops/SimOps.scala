@@ -1234,4 +1234,116 @@ object SimOps {
         col("adc_d2"), col("exact_d2"))
       .orderBy("q_id", "rank")
   }
+
+  /** E65b: PQ ANN with TRAINED codebooks — the e40 → e65 chaining the
+    * r10 verdict asked for. e65 pins ENCODE and ADC under externally
+    * supplied codebooks (seed slices); production PQ trains each
+    * subspace's codewords with Lloyd — exactly the loop e40 already
+    * gates, here run PER SUBSPACE: assign every subvector to its
+    * nearest codeword (the e65 encode under the current books), then
+    * recompute each (m, code) codeword as the member centroid (the
+    * VectorCentroid partial-agg UDAF — M·k·(dim/M) doubles of driver
+    * state per round, bounded by the model like e40's k rows). One
+    * recompute round (the e40 iters=2 discipline), every iterate
+    * 6-dp rounded in-plan, ties to the lowest code — so the DuckDB
+    * oracle replays the identical training trajectory and the
+    * declared ENCODE/ADC/exact output is gated end-to-end, training
+    * included. Codes that lose all members drop out of the book on
+    * both engines (the e40 empty-cluster convention).
+    *
+    * PqAnnSpec measures what the training BUYS beside e2r's recall
+    * rows: trained ADC must approximate exact distances no worse than
+    * the seed books (mean |adc − exact| strictly drops — Lloyd
+    * minimizes exactly that assignment error).
+    *
+    * 100 TB path: e65's (scan-bound encode, literal books, bounded
+    * WindowGroupLimit top-k) plus one extra corpus scan per training
+    * round with a M·k-row partial-agg exchange — the index-BUILD cost,
+    * paid once, amortized over every probe the layout serves. */
+  def e65bPqTrainedAnn(s: SparkSession, d: String): DataFrame = {
+    val mSub = 4; val kCodes = 4
+    val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
+      .select(col("vec_id"), col("v"))
+    val dim = 64; val w = dim / mSub
+    def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
+      round(aggregate(
+        zip_with(slice(vec, m * w + 1, w),
+          array(cw.map(lit(_)).toIndexedSeq: _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    // argmin over subspace m's current codewords; the fold keeps the
+    // earlier (lower-j) codeword on a rounded-d2 tie, the e40 stance
+    def encodeWith(cb: Seq[(Int, Int, Array[Double])], vec: Column, m: Int): Column =
+      cb.filter(_._1 == m).map { case (_, j, cw) =>
+        struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
+        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+        .getField("j")
+    def encodeAll(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
+      e.select((col("vec_id") +: col("v") +:
+        (0 until mSub).map(m => encodeWith(cb, col("v"), m).as(s"c$m"))): _*)
+    // seed books: 6-dp rounded subspace slices of vecs 0..3 (e65's)
+    val seeds: Seq[(Int, Int, Array[Double])] =
+      e.where(col("vec_id") < kCodes)
+        .select(col("vec_id").cast("int").as("j"),
+          transform(col("v"), x => round(x, 6)).as("rv"))
+        .orderBy("j").collect().toSeq
+        .flatMap { r =>
+          val full = r.getSeq[Double](1).toArray
+          (0 until mSub).map(m => (m, r.getInt(0), full.slice(m * w, m * w + w)))
+        }.sortBy(t => (t._1, t._2))
+    // ONE Lloyd recompute round: assign under the seeds, re-center
+    // each (m, code) cell — M·k rows collected (bounded by the model)
+    val trained: Seq[(Int, Int, Array[Double])] =
+      encodeAll(seeds)
+        .select(explode(array((0 until mSub).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("j"),
+            slice(col("v"), m * w + 1, w).as("sl"))): _*)).as("x"))
+        .select(col("x.m").as("m"), col("x.j").as("j"), col("x.sl").as("sl"))
+        .groupBy("m", "j")
+        .agg(graft.functions.VectorCentroid.centroid(col("sl")).as("cw"))
+        .orderBy("m", "j").collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    e65TailWith(e, trained, mSub, w)
+  }
+
+  /** e65's declared tail — encode the corpus, ADC + exact for the
+    * 10..12 query set, top-5 — parameterized by the codebooks so the
+    * seed (e65) and trained (e65b) keys state one semantics. */
+  private def e65TailWith(e: DataFrame, cb: Seq[(Int, Int, Array[Double])],
+      mSub: Int, w: Int): DataFrame = {
+    def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
+      round(aggregate(
+        zip_with(slice(vec, m * w + 1, w),
+          array(cw.map(lit(_)).toIndexedSeq: _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    def encode(vec: Column, m: Int): Column =
+      cb.filter(_._1 == m).map { case (_, j, cw) =>
+        struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
+        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+        .getField("j")
+    val coded = e.select(
+      (col("vec_id") +: col("v") +:
+        (0 until mSub).map(m => encode(col("v"), m).as(s"c$m"))): _*)
+    val q = e.where(col("vec_id") >= 10 && col("vec_id") < 13)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def adcSub(m: Int): Column =
+      cb.filter(_._1 == m).map { case (_, j, cw) =>
+        when(col(s"c$m") === j, subD2(col("qv"), m, cw)) }
+        .reduceRight((a, b) => a.otherwise(b))
+    val scored = coded.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        round((0 until mSub).map(adcSub).reduceLeft(_ + _), 6).as("adc_d2"),
+        round(aggregate(zip_with(col("qv"), col("v"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
+          .as("exact_d2"))
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        col("adc_d2"), col("exact_d2"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -549,6 +549,86 @@ object EventStreams {
     batches
   }
 
+  /** E63s: STREAMING refresh cadence for the incremental-aggregate
+    * trilogy (r10 verdict ask #7) — e63 stages state and folds ONE
+    * batch delta; the production shape folds MICRO-BATCH deltas as
+    * they land. Protocol is e6s's: each micro-batch's day-grain
+    * partials (`EventOps.e63Partials` — the same algebraic grain the
+    * state holds) write to their own `batch=<id>` directory with
+    * overwrite semantics, so a batch replayed inside the
+    * at-least-once window rewrites its own fold instead of
+    * double-counting — idempotence by layout, no transactional sink.
+    * The declared result re-aggregates batch dirs to day grain (two
+    * batches may split one day across a bucket boundary; partials are
+    * algebraic so the re-merge is exact), unions the staged state,
+    * and runs e63's rollup — SAME full-recompute oracle, so
+    * stream-fold semantics are hash-gated end-to-end.
+    * E63StreamSpec proves the no-double-fold claims: a restarted
+    * drain over the same checkpoint adds nothing, and a simulated
+    * replay of a batch id leaves the result bit-identical.
+    *
+    * 100 TB path: per micro-batch work is O(batch) + a groups-sized
+    * write; the refresh read is O(state) + O(batch dirs since last
+    * compaction) — the e6s maybeCompact fold applies verbatim when
+    * batch counts grow; nothing ever rescans the base. */
+  def e63sStreamIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.EventOps.e63Ensure(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e63s", graft.util.PathKeys.keyedName(dir) + "-4")
+    // fresh fold per invocation (the e6s stance): a leftover checkpoint
+    // would resume a finished stream and fold nothing
+    deleteTree(work)
+    e63sDrain(s, dir, work)
+    e63sResult(s, dir, work)
+  }
+
+  /** Drain the boundary-filtered delta stream into per-batch partial
+    * dirs. Restart-safe: the checkpoint owns offsets, `batch=<id>`
+    * overwrite owns the fold. */
+  private[graft] def e63sDrain(s: SparkSession, dir: String,
+      work: java.nio.file.Path): Unit = {
+    val delta = eventsStreamBucketed(s, dir, nBuckets = 4)
+      .where(col("ts") >=
+        lit(graft.ops.EventOps.e63Boundary).cast("timestamp"))
+    val q = delta.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        e63sFoldBatch(df, id, work)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** One micro-batch fold — exposed so the replay spec can invoke a
+    * duplicate id directly and prove overwrite idempotence. */
+  private[graft] def e63sFoldBatch(df: DataFrame, id: Long,
+      work: java.nio.file.Path): Unit =
+    graft.ops.EventOps.e63Partials(df)
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"partials/batch=$id").toString)
+
+  /** state ∪ (batch partials re-merged to day grain) → e63's rollup. */
+  private[graft] def e63sResult(s: SparkSession, dir: String,
+      work: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val partialsRoot = work.resolve("partials")
+    val batchDirs = scala.util.Using.resource(
+        java.nio.file.Files.list(partialsRoot)) { st =>
+      st.iterator().asScala.map(_.toString)
+        .filter(_.contains("batch=")).toSeq.sorted
+    }
+    val state = s.read.parquet(graft.ops.EventOps.e63StateDir(dir))
+    val deltaDays = s.read.parquet(batchDirs: _*)
+      .groupBy("event_type", "d")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+    graft.ops.EventOps.e63Rollup(state.unionByName(deltaDays))
+  }
+
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
     * row lands in an error column instead of failing the task
     * (reference: failed reaction → success:false row retained,

@@ -106,4 +106,89 @@ class PqAnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e65b matches a plain-Scala trained-PQ recompute; Lloyd reduces reconstruction") {
+    val v = vecs()
+    val seedBooks: Map[(Int, Int), Array[Double]] =
+      (for (m <- 0 until M; j <- 0 until K)
+        yield (m, j) -> v(j.toLong).map(r6).slice(m * W, m * W + W)).toMap
+    def sub(x: Array[Double], m: Int) = x.slice(m * W, m * W + W)
+    def encode(books: Map[(Int, Int), Array[Double]], x: Array[Double]): Array[Int] =
+      Array.tabulate(M) { m =>
+        books.keys.filter(_._1 == m).map(_._2).toSeq.sorted
+          .map(j => (d2(sub(x, m), books((m, j))), j)).min._2
+      }
+    // one Lloyd recompute round, the e40 iters=2 discipline: assign
+    // under the seeds, re-center each (m, code) cell (round(avg,6) per
+    // position — the VectorCentroid contract)
+    val assigned = v.toSeq.map { case (vid, x) => (vid, x, encode(seedBooks, x)) }
+    val trained: Map[(Int, Int), Array[Double]] =
+      (for (m <- 0 until M; j <- 0 until K) yield {
+        val members = assigned.collect { case (_, x, c) if c(m) == j => sub(x, m) }
+        (m, j) -> members
+      }).filter(_._2.nonEmpty).map { case (k2, ms) =>
+        k2 -> Array.tabulate(W)(p => r6(ms.map(_(p)).sum / ms.length))
+      }.toMap
+    // declared rows must equal the trained-book recompute exactly
+    val queries = Seq(10L, 11L, 12L)
+    def adcOf(books: Map[(Int, Int), Array[Double]],
+        qv: Array[Double], x: Array[Double]): Double = {
+      val codes = encode(books, x)
+      r6((0 until M).map(m => d2(sub(qv, m), books((m, codes(m))))).sum)
+    }
+    val expect = queries.flatMap { qid =>
+      val qv = v(qid)
+      v.toSeq.filter(_._1 != qid)
+        .map { case (cid, x) => (cid, adcOf(trained, qv, x), d2(qv, x)) }
+        .sortBy(t => (t._2, t._1)).take(5).zipWithIndex
+        .map { case ((cid, adc, ex), i) => (qid, i + 1) -> (cid, adc, ex) }
+    }.toMap
+    val got = SimOps.e65bPqTrainedAnn(spark, sf).collect()
+    assert(got.length == expect.size, "row count")
+    got.foreach { r =>
+      val (cid, adc, ex) = expect((r.getLong(0), r.getInt(1)))
+      assert(r.getLong(2) == cid && r.getDouble(3) == adc && r.getDouble(4) == ex,
+        s"q${r.getLong(0)} rank ${r.getInt(1)}")
+    }
+    // what the training GUARANTEES (Lloyd's monotone objective, the
+    // e40 non-increasing-inertia stance): total reconstruction error
+    // Σ_x Σ_m ‖x_m − book[code(x_m)]‖² strictly drops seed → trained —
+    // this is the quantity the recompute step minimizes, data-free.
+    def reconErr(books: Map[(Int, Int), Array[Double]]): Double =
+      v.valuesIterator.map { x =>
+        val c = encode(books, x)
+        (0 until M).map(m => d2(sub(x, m), books((m, c(m))))).sum
+      }.sum / v.size
+    val (seedRecon, trainedRecon) = (reconErr(seedBooks), reconErr(trained))
+    info(f"mean reconstruction error: seed $seedRecon%.4f -> trained $trainedRecon%.4f")
+    assert(trainedRecon < seedRecon,
+      f"Lloyd must reduce reconstruction: $seedRecon%.4f -> $trainedRecon%.4f")
+    // what the training does NOT buy here is MEASURED, not assumed (the
+    // e2r stance): query-side ADC error and recall@5 on these
+    // near-isotropic synthetic vectors — recorded for SCALE.md. ADC
+    // error is |q−c|² − |q−x|² = ‖c−x‖² + 2⟨x−q, c−x⟩: Lloyd shrinks
+    // the first term but on isotropic data the query cross-term
+    // dominates, so tighter codebooks need not tighten ADC.
+    val stats = queries.flatMap { qid =>
+      val qv = v(qid)
+      val exacts = v.toSeq.filter(_._1 != qid)
+        .map { case (cid, x) => (cid, d2(qv, x)) }
+      val exactTop = exacts.sortBy(t => (t._2, t._1)).take(5).map(_._1).toSet
+      def top5(books: Map[(Int, Int), Array[Double]]) =
+        v.toSeq.filter(_._1 != qid)
+          .map { case (cid, x) => (cid, adcOf(books, qv, x)) }
+          .sortBy(t => (t._2, t._1)).take(5).map(_._1).toSet
+      val errPairs = v.toSeq.filter(_._1 != qid).map { case (_, x) =>
+        val ex = d2(qv, x)
+        (math.abs(adcOf(seedBooks, qv, x) - ex),
+          math.abs(adcOf(trained, qv, x) - ex))
+      }
+      Seq((top5(seedBooks).intersect(exactTop).size,
+        top5(trained).intersect(exactTop).size,
+        errPairs.map(_._1).sum / errPairs.size,
+        errPairs.map(_._2).sum / errPairs.size))
+    }
+    info(f"recall@5 seed ${stats.map(_._1).sum}/15 trained ${stats.map(_._2).sum}/15; " +
+      f"mean |adc-exact| seed ${stats.map(_._3).sum / 3}%.4f trained ${stats.map(_._4).sum / 3}%.4f")
+  }
 }
