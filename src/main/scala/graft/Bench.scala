@@ -175,7 +175,13 @@ object Bench {
       }
       val ctx = org.apache.logging.log4j.LogManager.getContext(false)
         .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-      ctx.getConfiguration.addFilter(deny)
+      // attach to the ROOT LoggerConfig (the DAGScheduler logger routes
+      // through it under Spark's default config): LoggerConfig filters
+      // are consulted per event in processLogEvent, unlike
+      // Configuration.addFilter, which the routing path never reads
+      ctx.getConfiguration
+        .getLoggerConfig(org.apache.logging.log4j.LogManager.ROOT_LOGGER_NAME)
+        .addFilter(deny)
       ctx.updateLoggers()
     }
     // Pre-set the checkpoint dir so ClusterOps.ensureCheckpointDir keeps

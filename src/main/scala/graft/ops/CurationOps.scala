@@ -666,6 +666,10 @@ object CurationOps {
       count(lit(1)).as("n_docs"), sum(col("short")).as("n_short"),
       round(avg(col("n_chars")), 6).as("mean_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the dictionary enumeration is inherently a single-partition
+    // window (WindowExec will warn): the input is the BOUNDED
+    // per-source relation — distinct domains, never the corpus — so
+    // the single partition is the design, not an accident
     val dict = per.select(col("source"),
       row_number().over(Window.orderBy("source")).cast("long").as("sid"))
     val keeps = base.join(broadcast(dict), "source")
