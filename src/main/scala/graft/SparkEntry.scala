@@ -84,6 +84,7 @@ object SparkEntry {
     "e1x_dedup_xxhash"  -> (TextOps.e1xTextDedupXx _),
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
     "e2i_ivf_index_scan" -> (graft.sources.IvfLayout.e2iIvfIndexScan _),
+    "e2t_trained_ivf"   -> (graft.sources.IvfLayout.e2tTrainedIvfScan _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "e60_edit_confirm"      -> (SimOps.e60EditConfirm _),
     "e61_retention_cohorts" -> (EventOps.e61RetentionCohorts _),
     "e61b_incr_retention"   -> (EventOps.e61bIncrRetention _),
+    "e61s_retention_stream" -> (graft.streaming.EventStreams.e61sStreamRetention _),
     // §2.10 LLM-pipeline: curation stages (r10, third wave)
     "e62_zorder_scan"       -> (graft.sources.ZOrderLayout.e62ZorderScan _),
     "e63_incr_agg"          -> (EventOps.e63IncrAgg _),
@@ -1486,8 +1488,11 @@ object SparkEntry {
     // divides an exact multiple of 7 days
     "e61_retention_cohorts" -> e61OracleSql,
     // e61b maintains the distinct (user, week) state incrementally and
-    // re-derives the same matrix — the full recompute IS its oracle
+    // re-derives the same matrix — the full recompute IS its oracle;
+    // e61s folds the same state from micro-batch deltas (set union is
+    // idempotent, so even a true double-delivery cannot move the hash)
     "e61b_incr_retention" -> e61OracleSql,
+    "e61s_retention_stream" -> e61OracleSql,
     // e62: the oracle recomputes the Morton interleave with DuckDB's own
     // integer bit ops over the RAW events table — the result is
     // layout-invariant, so a z-layout that stored wrong z-values or
@@ -1996,6 +2001,60 @@ object SparkEntry {
     // IVF layout — probe-pruned directories, identical ranking: the
     // layout changes the plan, never the answer, so the oracle IS e2's
     "e2i_ivf_index_scan" -> e2OracleSql,
+    // e2t: the oracle replays the WHOLE trained chain — e40's two Lloyd
+    // iterations (the e40 oracle's CTEs verbatim), the final-centroid
+    // assignment that partitions the index, the query-cell probe, and
+    // the in-cell cosine top-3 — so drift anywhere in
+    // train → persist → probe is a hash miss
+    "e2t_trained_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+        |    list_transform(v, x -> round(x, 6)) AS c
+        |  FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, e.v, c0.cid,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - c0.c[i]),
+        |      list_transform(e.v, (x, i) -> x - c0.c[i])), 6) AS d2
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),
+        |u1 AS (SELECT cid, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER) + 1] AS x
+        |  FROM a1, UNNEST(range(len(v))) AS u(i)),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS m FROM u1 GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |s2 AS (SELECT e.vec_id, e.v, c1.cid,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - c1.c[i]),
+        |      list_transform(e.v, (x, i) -> x - c1.c[i])), 6) AS d2
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1),
+        |u2 AS (SELECT cid, CAST(u.i AS INTEGER) AS pos,
+        |    v[CAST(u.i AS INTEGER) + 1] AS x
+        |  FROM a2, UNNEST(range(len(v))) AS u(i)),
+        |cf AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS m FROM u2 GROUP BY cid, pos)
+        |  GROUP BY cid),
+        |sf AS (SELECT e.vec_id, e.v, cf.cid,
+        |    round(list_dot_product(
+        |      list_transform(e.v, (x, i) -> x - cf.c[i]),
+        |      list_transform(e.v, (x, i) -> x - cf.c[i])), 6) AS d2
+        |  FROM e CROSS JOIN cf),
+        |asg AS (SELECT vec_id, v, cid AS cell,
+        |    list_dot_product(v, v) AS nrm
+        |  FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg
+        |  WHERE vec_id < 8),
+        |j AS (SELECT q_id, c.vec_id AS cand_id,
+        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+        |  FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+        |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
+        |ORDER BY q_id, "rank"""".stripMargin,
     "e2c_topk_native" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),

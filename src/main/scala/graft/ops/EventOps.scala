@@ -378,7 +378,7 @@ object EventOps {
     * relation — shared verbatim by the full-scan key (e61) and the
     * incrementally maintained one (e61b), so both state one
     * semantics under e61's oracle. */
-  private def retentionFromActivity(activity: DataFrame): DataFrame = {
+  private[graft] def retentionFromActivity(activity: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val active = activity
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

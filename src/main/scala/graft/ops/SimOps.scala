@@ -852,6 +852,25 @@ object SimOps {
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 
+  /** Map-side nearest-centroid election over LITERAL centroids — the
+    * e40 assignment step, shared by the Lloyd loop and the trained
+    * IVF index build ([[graft.sources.IvfLayout]]): k × dim rounded
+    * doubles ride the task closure as an array-of-structs literal (the
+    * "broadcast" side without even a broadcast), the fold keeps the
+    * earlier (lower-cid) centroid on a rounded-d2 tie. Returns the
+    * (d2, cid) struct; callers project the field they need. */
+  private[graft] def bestCentroid(v: Column, cs: Seq[(Int, Seq[Double])]): Column = {
+    val centLit = array(cs.map { case (cid, vec) =>
+      struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("c")) }: _*)
+    aggregate(centLit,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+      (acc, ct) => {
+        val d = dist2(v, ct.getField("c"))
+        when(d < acc.getField("d2"),
+          struct(d.as("d2"), ct.getField("cid").as("cid"))).otherwise(acc)
+      })
+  }
+
   /** E40: k-means TRAINING iterations (Lloyd) — the coarse-quantizer
     * trainer that produces the IVF cells e2 consumes as a precomputed
     * `label`. e32 gates one centroid step; this key gates the full
@@ -890,22 +909,11 @@ object SimOps {
     val k = 8
     val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
       .select(col("vec_id"), col("v"))
-    // k × dim rounded doubles as a literal array-of-structs column: the
-    // "broadcast" side of the assignment, without even a broadcast —
-    // it rides the task closure like any literal
-    def centLit(cs: Seq[(Int, Seq[Double])]): Column =
-      array(cs.map { case (cid, vec) =>
-        struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("c")) }: _*)
-    // map-side argmin over the literal centroids: fold keeps the
-    // earlier (lower-cid) centroid on a rounded-d2 tie
+    // map-side argmin over the literal centroids (shared with the
+    // trained-index build): fold keeps the earlier (lower-cid)
+    // centroid on a rounded-d2 tie
     def assign(cs: Seq[(Int, Seq[Double])]): DataFrame =
-      e.withColumn("best", aggregate(centLit(cs),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
-          (acc, ct) => {
-            val d = dist2(col("v"), ct.getField("c"))
-            when(d < acc.getField("d2"),
-              struct(d.as("d2"), ct.getField("cid").as("cid"))).otherwise(acc)
-          }))
+      e.withColumn("best", bestCentroid(col("v"), cs))
         .select(col("vec_id"), col("v"),
           col("best.cid").as("cluster"), col("best.d2").as("d2"))
     // seed: the k lowest vec_ids, rounded like every later iterate

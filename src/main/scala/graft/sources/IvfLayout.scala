@@ -65,6 +65,98 @@ object IvfLayout {
       .select(col("label")).distinct()
       .collect().map(_.getInt(0)).sorted
 
+  def trainedLayoutDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/embeddings_ivf_trained/${graft.util.PathKeys.keyedName(d)}"
+
+  /** The trained coarse centroids, rebuilt from e40's DECLARED output
+    * rows (cluster, pos, centroid_val — k × dim rows, bounded by the
+    * model): the oracle-gated Lloyd trainer is the index's quantizer,
+    * so the whole build chain is hash-checked upstream. */
+  private[graft] def trainedCentroids(
+      s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    graft.ops.SimOps.e40KmeansTrain(s, d)
+      .select(col("cluster"), col("pos"), col("centroid_val"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      .sortBy(_._1)
+
+  /** One-time TRAINED-cell write: every vector assigned to its nearest
+    * e40 centroid (the same literal-fold assignment the trainer used),
+    * inverted lists partitioned by that cell. The "t1:" signature
+    * prefix versions the build transform itself. */
+  def ensureTrained(s: SparkSession, d: String,
+      cents: Seq[(Int, Seq[Double])]): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "embeddings.parquet")
+    val sig =
+      s"t1:${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val marker = Paths.get(trainedLayoutDir(d), "_STAGED_SIG")
+    val stale = !new java.io.File(s"${trainedLayoutDir(d)}/_SUCCESS").exists() ||
+      !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.ops.SimOps.bestCentroid(
+            col("embedding").cast("array<double>"), cents)
+            .getField("cid").as("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(trainedLayoutDir(d))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** E2t: the full production ANN chain as ONE declared key —
+    * TRAIN (e40's oracle-gated Lloyd loop) → PERSIST (trained-cell
+    * inverted lists) → PROBE (assign the bounded query set to trained
+    * cells, read ≤8 directories, rescore exactly, rank per e2's
+    * discipline). e2i proved the layout leg on the synthetic `label`
+    * cells; this key closes the r10 composition gap by making the
+    * trained quantizer the index's partitioner — and the DuckDB oracle
+    * replays EVERYTHING: the two Lloyd iterations, the final
+    * assignment, the query-cell probe, and the in-cell top-3, so a
+    * drift anywhere in the chain is a hash miss.
+    *
+    * 100 TB path: training cost is e40's (k-row driver state per
+    * round); the layout write is one hash exchange on the trained
+    * cell; every probe reads nprobe/k of the corpus. k=8 here (the
+    * e40 model constant), so pruning is shallow at fixture scale —
+    * the DEPTH of pruning is e2i's many-cell story; this key's claim
+    * is the trained chain's end-to-end correctness. */
+  def e2tTrainedIvfScan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainedCentroids(s, d)
+    ensureTrained(s, d, cents)
+    val q = Tables.embeddings(s, d)
+      .where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cell",
+        graft.ops.SimOps.bestCentroid(col("qv"), cents).getField("cid"))
+    val cells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤8 by the query-set declaration
+    val cands = s.read.parquet(trainedLayoutDir(d))
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("embedding").cast("array<double>").as("v"))
+    val scored = cands.join(broadcast(q), Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** E2i: e2's cosine top-3 THROUGH the persisted index — probe ≤8
     * cells' directories, rescore in-cell exactly, rank identically.
     * Shares e2's oracle: same rows or the layout lost/duplicated

@@ -629,6 +629,74 @@ object EventStreams {
     graft.ops.EventOps.e63Rollup(state.unionByName(deltaDays))
   }
 
+  /** E61s: streaming refresh cadence for the JOIN-SHAPED view (e61b's
+    * state on the e63s protocol) — per micro-batch, the delta's
+    * distinct (user, week) pairs land in their own `batch=<id>` dir;
+    * the declared matrix re-derives from
+    * `distinct(state ∪ batch dirs)` through e61's exact tail, under
+    * e61's full-recompute oracle.
+    *
+    * The SET-VALUED state buys a claim the algebraic trilogy cannot:
+    * e63s is replay-safe by LAYOUT (same id overwrites its fold — a
+    * double-count under a fresh id would corrupt the sums), while
+    * e61s is replay-safe by ALGEBRA — the distinct-union absorbs a
+    * duplicated batch even under a NEW id, because set union is
+    * idempotent. E61StreamSpec proves exactly that: a true
+    * double-delivery (the last batch's rows re-folded under id+1000)
+    * leaves the matrix bit-identical.
+    *
+    * 100 TB path: per-batch work is O(batch) map-side + a pairs-sized
+    * distinct; the refresh reads O(state) + batch dirs (the e6s
+    * maybeCompact fold applies when batch counts grow); the base is
+    * never rescanned. */
+  def e61sStreamRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.EventOps.e61bEnsure(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e61s", graft.util.PathKeys.keyedName(dir) + "-4")
+    deleteTree(work) // fresh fold per invocation (the e6s stance)
+    e61sDrain(s, dir, work)
+    e61sResult(s, dir, work)
+  }
+
+  private[graft] def e61sDrain(s: SparkSession, dir: String,
+      work: java.nio.file.Path): Unit = {
+    val delta = eventsStreamBucketed(s, dir, nBuckets = 4)
+      .where(col("ts") >=
+        lit(graft.ops.EventOps.e63Boundary).cast("timestamp"))
+    val q = delta.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        e61sFoldBatch(df, id, work)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** One micro-batch fold: the batch's distinct activity pairs. */
+  private[graft] def e61sFoldBatch(df: DataFrame, id: Long,
+      work: java.nio.file.Path): Unit =
+    df.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"pairs/batch=$id").toString)
+
+  private[graft] def e61sResult(s: SparkSession, dir: String,
+      work: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val batchDirs = scala.util.Using.resource(
+        java.nio.file.Files.list(work.resolve("pairs"))) { st =>
+      st.iterator().asScala.map(_.toString)
+        .filter(_.contains("batch=")).toSeq.sorted
+    }
+    val state = s.read.parquet(graft.ops.EventOps.e61bStateDir(dir))
+    graft.ops.EventOps.retentionFromActivity(
+      state.unionByName(s.read.parquet(batchDirs: _*)).distinct())
+  }
+
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
     * row lands in an error column instead of failing the task
     * (reference: failed reaction → success:false row retained,

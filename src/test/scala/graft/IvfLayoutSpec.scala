@@ -51,6 +51,47 @@ class IvfLayoutSpec extends AnyFunSuite {
     assert(candCells.subsetOf(probed.toSet))
   }
 
+  test("e2t: candidates come from the query's TRAINED cell; recall beats the label cells") {
+    import graft.sources.IvfLayout
+    val got = IvfLayout.e2tTrainedIvfScan(spark, sf).collect()
+    assert(got.nonEmpty)
+    // ranked per (cos desc, cand_id) within each query
+    got.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3), s"q$q rank order")
+        case _ =>
+      }
+    }
+    // the trained quantizer is GEOMETRIC where the synthetic label is
+    // not (e2r measured label-IVF recall 0.04–0.25) — recall@3 against
+    // the exact full-corpus top-3 must not be worse through trained
+    // cells; the measured pair is the e2r-style evidence row
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def exactTop3(q: Long): Set[Long] =
+      v.toSeq.filter(_._1 != q)
+        .map { case (c, x) => (c, cos(v(q), x)) }
+        .sortBy { case (c, s2) => (-s2, c) }.take(3).map(_._1).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      byQ.map { case (q, rs) =>
+        rs.map(_.getLong(2)).toSet.intersect(exactTop3(q)).size / 3.0
+      }.sum / byQ.size
+    }
+    val trained = recall(got)
+    val label = recall(graft.ops.SimOps.e2CosineTopk(spark, sf).collect())
+    info(f"recall@3: label cells $label%.3f -> trained cells $trained%.3f")
+    assert(trained >= label,
+      f"trained cells must not lose recall vs synthetic labels: $trained%.3f < $label%.3f")
+  }
+
   test("staleness: touching the source re-stages the layout") {
     import java.nio.file.{Files, Paths}
     IvfLayout.ensure(spark, sf)

@@ -136,4 +136,49 @@ class PropertySpec extends AnyFunSuite {
     val b = VC.reduce(VC.zero, Array(1.0, 2.0, 3.0))
     intercept[IllegalArgumentException](VC.merge(a, b))
   }
+
+  test("packed-long argmax lemmas: every r11 repack preserves struct ordering (random)") {
+    // the four keeper elections repacked from min/max(struct) to one
+    // long (r10 verdict ask #1) each rest on a packing lemma; this
+    // drives all four with random values INSIDE the documented bounds
+    // and asserts the packed order equals lexicographic struct order.
+    // e28/e39: min(id << 20 | small) = lexicographic min(id, small),
+    // ids < 2^43, small < 2^20, both non-negative
+    for (_ <- 1 to 2000) {
+      val (a1, a2) = (rnd.nextLong().abs % (1L << 43), rnd.nextLong().abs % (1L << 20))
+      val (b1, b2) = (rnd.nextLong().abs % (1L << 43), rnd.nextLong().abs % (1L << 20))
+      val packedMin = math.min((a1 << 20) | a2, (b1 << 20) | b2)
+      val structMin = if (Ordering[(Long, Long)].lteq((a1, a2), (b1, b2)))
+        (a1 << 20) | a2 else (b1 << 20) | b2
+      assert(packedMin == structMin, s"e28/e39 lemma: ($a1,$a2) vs ($b1,$b2)")
+    }
+    // e33: min(gap << 33 | error_id) = argmax onset (min gap) then min
+    // id; gaps ≤ 15 min in µs < 2^30, ids < 2^33
+    for (_ <- 1 to 2000) {
+      val (g1, i1) = (rnd.nextLong().abs % 900000001L, rnd.nextLong().abs % (1L << 33))
+      val (g2, i2) = (rnd.nextLong().abs % 900000001L, rnd.nextLong().abs % (1L << 33))
+      val packed = math.min((g1 << 33) | i1, (g2 << 33) | i2)
+      val struct = if (Ordering[(Long, Long)].lteq((g1, i1), (g2, i2)))
+        (g1 << 33) | i1 else (g2 << 33) | i2
+      assert(packed == struct, s"e33 lemma: ($g1,$i1) vs ($g2,$i2)")
+    }
+    // e34: max(q(cos) << 32 | (2^32-1 - id)) = argmax by (cos desc, id
+    // asc) for 6-dp cosines in [-1,1] and ids < 2^32; and q/1e6 - 1
+    // reconstructs round(cos, 6) bit-exactly
+    val idMask = (1L << 32) - 1
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 2000) {
+      val (c1, i1) = (r6(rnd.nextDouble() * 2 - 1), rnd.nextLong().abs % (1L << 32))
+      val (c2, i2) = (r6(rnd.nextDouble() * 2 - 1), rnd.nextLong().abs % (1L << 32))
+      def pack(c: Double, i: Long) =
+        (math.round((c + 1) * 1e6) << 32) | (idMask - i)
+      val winner = if (Ordering[(Double, Long)].lteq((-c1, i1), (-c2, i2)))
+        (c1, i1) else (c2, i2)
+      val packedWinner = if (pack(c1, i1) >= pack(c2, i2)) (c1, i1) else (c2, i2)
+      assert(packedWinner == winner, s"e34 lemma: ($c1,$i1) vs ($c2,$i2)")
+      val q = pack(c1, i1) >>> 32
+      assert(r6(q / 1e6 - 1.0) == c1, s"e34 reconstruction: $c1")
+    }
+  }
 }
