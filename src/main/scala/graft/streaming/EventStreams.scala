@@ -568,9 +568,11 @@ object EventStreams {
     * replay of a batch id leaves the result bit-identical.
     *
     * 100 TB path: per micro-batch work is O(batch) + a groups-sized
-    * write; the refresh read is O(state) + O(batch dirs since last
-    * compaction) — the e6s maybeCompact fold applies verbatim when
-    * batch counts grow; nothing ever rescans the base. */
+    * write; the refresh read is O(state) + O([[RefreshCompactEvery]])
+    * fold dirs — [[maybeCompactFolds]] (the e6s compaction generalized
+    * to the refresh keys) merges pending batch dirs through the key's
+    * OWN re-merge, so listings stay bounded at any batch count and the
+    * answer provably cannot move; nothing ever rescans the base. */
   def e63sStreamIncrAgg(s: SparkSession, dir: String): DataFrame = {
     graft.ops.EventOps.e63Ensure(s, dir)
     val work = java.nio.file.Paths.get(
@@ -583,9 +585,88 @@ object EventStreams {
     e63sResult(s, dir, work)
   }
 
+  /** Uncompacted fold dirs that trigger a merge — small enough that
+    * the declared 4-bucket drains exercise the compaction path. */
+  private[graft] val RefreshCompactEvery = 3
+
+  private def foldDirId(p: java.nio.file.Path, prefix: String): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.startsWith(prefix))
+      scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+    else None
+  }
+
+  private def listFoldDirs(root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.list(root)) { st =>
+      st.iterator().asScala.toList
+    }
+  }
+
+  private def latestFoldCompact(root: java.nio.file.Path): Option[Long] = {
+    val ids = listFoldDirs(root).flatMap(foldDirId(_, "compact="))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Fold dirs a refresh read takes: the latest `compact=<c>` (covers
+    * every batch ≤ c) plus `batch=<b>` dirs with b > c — a replayed
+    * OLD batch recreating its dir after compaction is excluded, so a
+    * sum-valued state can never double-count a compacted fold. */
+  private[graft] def foldDirsToRead(root: java.nio.file.Path): Seq[String] = {
+    val c = latestFoldCompact(root).getOrElse(-1L)
+    val compacted =
+      if (c < 0) Nil else Seq(root.resolve(s"compact=$c").toString)
+    compacted ++ listFoldDirs(root)
+      .filter(p => foldDirId(p, "batch=").exists(_ > c))
+      .map(_.toString).sorted
+  }
+
+  /** The e6s index compaction generalized to the refresh folds (e63s
+    * day partials, e61s activity pairs): merge the pending per-batch
+    * dirs strictly before `id` into one `compact=<id-1>` via the
+    * key's OWN re-merge (algebraic re-aggregation / distinct — the
+    * same operation the result fold runs, so compaction can never
+    * change the answer), keeping refresh listings O(CompactEvery)
+    * instead of O(batches). Crash-safe exactly as e6s: tmp + atomic
+    * rename, covered dirs deleted only after, [[foldDirsToRead]]'s
+    * `> c` filter makes a half-finished cleanup harmless. */
+  private[graft] def maybeCompactFolds(s: SparkSession,
+      root: java.nio.file.Path, id: Long,
+      merge: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (!Files.isDirectory(root)) return
+    val c0 = latestFoldCompact(root).getOrElse(-1L)
+    def cleanupCovered(c: Long): Unit = listFoldDirs(root)
+      .filter(p => foldDirId(p, "batch=").exists(_ <= c) ||
+        foldDirId(p, "compact=").exists(_ < c))
+      .foreach(deleteTree)
+    val pending = listFoldDirs(root)
+      .filter(p => foldDirId(p, "batch=").exists(b => b > c0 && b < id))
+    if (pending.size >= RefreshCompactEvery) {
+      val sources = (if (c0 < 0) Nil else Seq(root.resolve(s"compact=$c0")))
+        .++(pending).map(_.toString)
+      val tmp = root.resolve("_tmp-compact")
+      deleteTree(tmp)
+      merge(s.read.parquet(sources: _*))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val dst = root.resolve(s"compact=${id - 1}")
+      deleteTree(dst)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      cleanupCovered(id - 1)
+    } else latestFoldCompact(root).foreach(cleanupCovered)
+  }
+
+  /** e63s's re-merge: batch partials back to day grain — algebraic, so
+    * compacting is the same operation the result fold runs. */
+  private[graft] def e63sMerge(df: DataFrame): DataFrame =
+    df.groupBy("event_type", "d")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+
   /** Drain the boundary-filtered delta stream into per-batch partial
     * dirs. Restart-safe: the checkpoint owns offsets, `batch=<id>`
-    * overwrite owns the fold. */
+    * overwrite owns the fold; accumulated dirs fold into `compact=`
+    * checkpoints so listings stay bounded. */
   private[graft] def e63sDrain(s: SparkSession, dir: String,
       work: java.nio.file.Path): Unit = {
     val delta = eventsStreamBucketed(s, dir, nBuckets = 4)
@@ -593,6 +674,7 @@ object EventStreams {
         lit(graft.ops.EventOps.e63Boundary).cast("timestamp"))
     val q = delta.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
+        maybeCompactFolds(s, work.resolve("partials"), id, e63sMerge)
         e63sFoldBatch(df, id, work)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -611,21 +693,13 @@ object EventStreams {
       .write.mode("overwrite")
       .parquet(work.resolve(s"partials/batch=$id").toString)
 
-  /** state ∪ (batch partials re-merged to day grain) → e63's rollup. */
+  /** state ∪ (compact + live batch partials, re-merged to day grain)
+    * → e63's rollup. */
   private[graft] def e63sResult(s: SparkSession, dir: String,
       work: java.nio.file.Path): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val partialsRoot = work.resolve("partials")
-    val batchDirs = scala.util.Using.resource(
-        java.nio.file.Files.list(partialsRoot)) { st =>
-      st.iterator().asScala.map(_.toString)
-        .filter(_.contains("batch=")).toSeq.sorted
-    }
     val state = s.read.parquet(graft.ops.EventOps.e63StateDir(dir))
-    val deltaDays = s.read.parquet(batchDirs: _*)
-      .groupBy("event_type", "d")
-      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
-        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+    val deltaDays = e63sMerge(
+      s.read.parquet(foldDirsToRead(work.resolve("partials")): _*))
     graft.ops.EventOps.e63Rollup(state.unionByName(deltaDays))
   }
 
@@ -646,9 +720,9 @@ object EventStreams {
     * leaves the matrix bit-identical.
     *
     * 100 TB path: per-batch work is O(batch) map-side + a pairs-sized
-    * distinct; the refresh reads O(state) + batch dirs (the e6s
-    * maybeCompact fold applies when batch counts grow); the base is
-    * never rescanned. */
+    * distinct; the refresh reads O(state) + O([[RefreshCompactEvery]])
+    * fold dirs ([[maybeCompactFolds]] with `distinct` as the re-merge);
+    * the base is never rescanned. */
   def e61sStreamRetention(s: SparkSession, dir: String): DataFrame = {
     graft.ops.EventOps.e61bEnsure(s, dir)
     val work = java.nio.file.Paths.get(
@@ -666,6 +740,7 @@ object EventStreams {
         lit(graft.ops.EventOps.e63Boundary).cast("timestamp"))
     val q = delta.writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
+        maybeCompactFolds(s, work.resolve("pairs"), id, _.distinct())
         e61sFoldBatch(df, id, work)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -686,15 +761,10 @@ object EventStreams {
 
   private[graft] def e61sResult(s: SparkSession, dir: String,
       work: java.nio.file.Path): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val batchDirs = scala.util.Using.resource(
-        java.nio.file.Files.list(work.resolve("pairs"))) { st =>
-      st.iterator().asScala.map(_.toString)
-        .filter(_.contains("batch=")).toSeq.sorted
-    }
     val state = s.read.parquet(graft.ops.EventOps.e61bStateDir(dir))
     graft.ops.EventOps.retentionFromActivity(
-      state.unionByName(s.read.parquet(batchDirs: _*)).distinct())
+      state.unionByName(
+        s.read.parquet(foldDirsToRead(work.resolve("pairs")): _*)).distinct())
   }
 
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed
