@@ -564,7 +564,7 @@ object CurationOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tTot = uni.agg(sum(col("c")).as("t_tot"))
     val pTot = pairs.agg(sum(col("c_ab")).as("p_tot"))
-    pairs.where(col("c_ab") >= 5)
+    val out = pairs.where(col("c_ab") >= 5)
       .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
       .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(pTot))
@@ -573,6 +573,9 @@ object CurationOps {
       .select("a", "b", "c_ab", "c_a", "c_b", "pmi")
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(40)
+    // top-40 output: materialize and RELEASE the vocabulary-sized
+    // caches (the r10 e61/e64 advice applied suite-wide)
+    graft.Tables.materializeAndRelease(out, pairs, uni)
   }
 
   /** E38: unigram-LM quality scoring with head/middle/tail bucketing —
@@ -679,7 +682,7 @@ object CurationOps {
       .agg(count(lit(1)).as("n_keep"))
       .join(broadcast(dict), "sid")
     val corpus = per.agg((sum(col("n_short")) / sum(col("n_docs"))).as("corpus_short_rate"))
-    per.join(keeps.select("source", "n_keep"), Seq("source"), "left")
+    val out = per.join(keeps.select("source", "n_keep"), Seq("source"), "left")
       .crossJoin(broadcast(corpus))
       .withColumn("n_dup", col("n_docs") - coalesce(col("n_keep"), lit(0L)))
       .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))
@@ -690,6 +693,8 @@ object CurationOps {
       .select("source", "n_docs", "mean_chars", "n_dup", "dup_rate",
         "n_short", "short_rate", "verdict")
       .orderBy("source")
+    // source-cardinality output: materialize and RELEASE the per cache
+    graft.Tables.materializeAndRelease(out, per)
   }
 
   /** E41: sliding-window CHUNKING manifest — every document split into
@@ -1636,13 +1641,15 @@ object CurationOps {
       .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .where(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-    pairs
+    val out = pairs
       .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("ta"))), "src_a")
       .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("tb"))), "src_b")
       .withColumn("share_a", round(col("n_shared") / col("ta"), 6))
       .withColumn("share_b", round(col("n_shared") / col("tb"), 6))
       .select("src_a", "src_b", "n_shared", "share_a", "share_b")
       .orderBy("src_a", "src_b")
+    // source²-bounded output: materialize and RELEASE the shingle cache
+    graft.Tables.materializeAndRelease(out, ss)
   }
 
   /** E52: temperature-based mixture REBALANCING manifest — the

@@ -148,7 +148,7 @@ object SimOps {
     def hits(approx: DataFrame, name: String): DataFrame =
       exact.join(approx, Seq("q_id", "cand_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as(name))
-    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val out = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
       .join(hits(ivf, "hits_ivf"), Seq("q_id"), "left")
       .join(hits(lsh, "hits_lsh"), Seq("q_id"), "left")
       .join(hits(mp, "hits_mp"), Seq("q_id"), "left")
@@ -165,6 +165,9 @@ object SimOps {
         (coalesce(col("hits_mp"), lit(0L)) >= coalesce(col("hits_lsh"), lit(0L)))
           .as("mp_ge_lsh"))
       .orderBy("q_id")
+    // queries-sized output: materialize and RELEASE the exact-top-k
+    // cache (the r10 e61/e64 advice applied suite-wide)
+    graft.Tables.materializeAndRelease(out, exact)
   }
 
   /** Sign-bit bucket from 4 deterministic sparse hyperplanes — the

@@ -14,6 +14,13 @@ class CurationOpsSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
+  /** Plan probe for keys that materialize-and-release: construct the
+    * DataFrame under the Plans-dump hook so the probed plan is the
+    * full pipeline, not the post-materialization stub. */
+  private def lazyPlan(f: => org.apache.spark.sql.DataFrame): String =
+    try { Tables.keepLazyForPlans = true; plan(f) }
+    finally Tables.keepLazyForPlans = false
+
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
@@ -568,7 +575,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("e37: pair counts partial-aggregate and the tail is TakeOrdered, not a global sort") {
-    val p = plan(CurationOps.e37PmiCooc(spark, sf))
+    val p = lazyPlan(CurationOps.e37PmiCooc(spark, sf))
     assert(p.contains("TakeOrdered"),
       s"top-40 must be TakeOrdered's bounded heaps:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"))
@@ -643,7 +650,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("e39: keeper election is packed-long HashAggregate; corpus rate broadcasts") {
-    val p = plan(CurationOps.e39DomainGate(spark, sf))
+    val p = lazyPlan(CurationOps.e39DomainGate(spark, sf))
     // the election must stay in HashAggregate: a struct-valued argmin
     // buffer silently falls back to SortAggregate (a per-partition sort
     // of the corpus — the Amplify 77 GB-spill shape, r10 verdict weak #1)
@@ -879,7 +886,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("e56: no shingle-keyed self-join — the set aggregation replaces it") {
-    val p = plan(CurationOps.e56SourceOverlap(spark, sf))
+    val p = lazyPlan(CurationOps.e56SourceOverlap(spark, sf))
     assert(!p.contains("SortMergeJoin"),
       "the oracle's self-join formulation must NOT appear in the engine plan; " +
         "collect_set per shingle + a constant-width explode replaces it")

@@ -185,11 +185,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // pre-aggregation relation. All three keys now pack (value, id)
     // into one long (e39 dictionary-encodes the source string first);
     // this pin fails the build if a refactor reintroduces the struct.
-    for ((name, df) <- Seq(
-      "e28" -> CurationOps.e28PassageDedup(spark, sf),
-      "e39" -> CurationOps.e39DomainGate(spark, sf),
-      "e34" -> SimOps.e34CentroidKeeper(spark, sf))) {
-      val p = plan(df)
+    val probes = try {
+      graft.Tables.keepLazyForPlans = true // e39 materializes-and-releases
+      Seq(
+        "e28" -> plan(CurationOps.e28PassageDedup(spark, sf)),
+        "e39" -> plan(CurationOps.e39DomainGate(spark, sf)),
+        "e34" -> plan(SimOps.e34CentroidKeeper(spark, sf)))
+    } finally graft.Tables.keepLazyForPlans = false
+    for ((name, p) <- probes) {
       assert(p.contains("HashAggregate"), s"$name lost its hash aggregation")
       assert(!p.contains("SortAggregate"),
         s"$name keeper election fell back to SortAggregate:\n" +
