@@ -211,6 +211,16 @@ object Bench {
       // and report a time that excludes building it. Clear the cache so
       // every reported number pays its own materialization.
       spark.catalog.clearCache()
+      // clearCache covers catalog-registered caches only: the suite-wide
+      // materializeAndRelease barriers localCheckpoint() every bounded
+      // declared result, and those RDD blocks linger until the
+      // ContextCleaner's GC-driven sweep — which lands at arbitrary
+      // points INSIDE later timed windows (the r11 artifact's
+      // e6_minhash_lsh 16.81x spread and the f-family 10-33% drift).
+      // Unpersist them here, blocking, so every run starts block-free
+      // and the cleanup cost is paid OUTSIDE the timed window.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       graft.streaming.StreamBusy.reset()
       val t0 = System.nanoTime()
       try {
@@ -230,7 +240,7 @@ object Bench {
     only.foreach { req =>
       val unknown = req.diff(SparkEntry.queries.keySet)
       unknown.toSeq.sorted.foreach(n =>
-        System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))
+        println(s"[bench] SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -266,8 +276,12 @@ object Bench {
         extra += 1
       }
       reruns(n) = extra
+      // stdout, not stderr: sbt prefixes stderr as [error], so a healthy
+      // run's tail read like a failure (the r11 artifact's one [error]
+      // line was exactly this warning — r11 ask #5); the spread is also
+      // recorded structurally in queries_spread/queries_rerun
       if (extra > 0)
-        System.err.println(s"[bench] $n: spread ${"%.2f".format(BenchStats.spread(raws(n)))}x " +
+        println(s"[bench] $n: spread ${"%.2f".format(BenchStats.spread(raws(n)))}x " +
           s"after $extra extra repeat(s)")
     }
     val windows = names.map(n => n -> BenchStats.tightestWindow(raws(n), passes)).toMap

@@ -85,6 +85,10 @@ object SparkEntry {
     "e2_cosine_topk"    -> (SimOps.e2CosineTopk _),
     "e2i_ivf_index_scan" -> (graft.sources.IvfLayout.e2iIvfIndexScan _),
     "e2t_trained_ivf"   -> (graft.sources.IvfLayout.e2tTrainedIvfScan _),
+    "e2v_ivf_serve"     -> (graft.sources.IvfServe.e2vIvfServe _),
+    "e2w_ivf_multiprobe" -> (graft.sources.IvfServe.e2wIvfMultiprobe _),
+    "e2a_filtered_ann"  -> (graft.sources.IvfServe.e2aFilteredAnn _),
+    "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
@@ -347,6 +351,71 @@ object SparkEntry {
       |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
       |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
       |ORDER BY q_id, "rank"""".stripMargin
+
+  /** Shared DuckDB replay of the trained-IVF SERVE chain
+    * (graft.sources.IvfServe / the e2f fold stream): seed k=64 coarse
+    * centroids on the training base (`seedPred` within `basePred`),
+    * ONE Lloyd recompute round (the e65b discipline — half e2t's CTE
+    * chain), assign the WHOLE corpus under the trained centroids (the
+    * index partitioning), pick each query's probe cell(s), exact
+    * in-cell rescore, top-3. The engine persists the trained layout
+    * under `ensure` and times only the probe; the oracle replays the
+    * build too, so staleness or training drift is a hash miss.
+    * `nprobe > 1` ranks ALL trained cells per query by (rounded d2,
+    * cid) and sweeps the nearest `nprobe`; `candLabelFilter` pushes
+    * the filtered-ANN attribute predicate into the candidate side. */
+  private def ivfServeOracleSql(basePred: String, seedPred: String,
+      nprobe: Int, candLabelFilter: Boolean): String = {
+    val candPred = if (candLabelFilter) " AND c.label < 5" else ""
+    val candLabelCol = if (candLabelFilter) "c.label AS cand_label," else ""
+    val labelOut = if (candLabelFilter) "cand_label, " else ""
+    val qCte =
+      if (nprobe == 1)
+        "q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg WHERE vec_id < 8)"
+      else
+        s"""q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 8),
+           |q AS (SELECT q_id, qv, qn, cid AS cell FROM (
+           |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
+           |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
+           |      round(list_dot_product(
+           |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
+           |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+           |  FROM q0 CROSS JOIN c1) WHERE rn <= $nprobe)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v FROM e WHERE $basePred),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+       |    list_transform(v, x -> round(x, 6)) AS c
+       |  FROM b WHERE $seedPred),
+       |s1 AS (SELECT b.vec_id, b.v, c0.cid,
+       |    round(list_dot_product(
+       |      list_transform(b.v, (x, i) -> x - c0.c[i]),
+       |      list_transform(b.v, (x, i) -> x - c0.c[i])), 6) AS d2
+       |  FROM b CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),
+       |u1 AS (SELECT cid, CAST(u.i AS INTEGER) AS pos,
+       |    v[CAST(u.i AS INTEGER) + 1] AS x
+       |  FROM a1, UNNEST(range(len(v))) AS u(i)),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
+       |    SELECT cid, pos, round(avg(x), 6) AS m FROM u1 GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |sf AS (SELECT e.vec_id, e.label, e.v, c1.cid,
+       |    round(list_dot_product(
+       |      list_transform(e.v, (x, i) -> x - c1.c[i]),
+       |      list_transform(e.v, (x, i) -> x - c1.c[i])), 6) AS d2
+       |  FROM e CROSS JOIN c1),
+       |asg AS (SELECT vec_id, label, v, cid AS cell, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1),
+       |$qCte,
+       |j AS (SELECT q_id, c.vec_id AS cand_id, $candLabelCol
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.q_id$candPred),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+       |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
 
   private val e6OracleSql: String =
     """WITH w AS (SELECT doc_id,
@@ -2055,6 +2124,21 @@ object SparkEntry {
         |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
         |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
         |ORDER BY q_id, "rank"""".stripMargin,
+    // the serve family: the oracle replays the whole build (k=64
+    // seeding, one Lloyd recompute, corpus assignment) plus the probe
+    // the engine times — see ivfServeOracleSql
+    "e2v_ivf_serve" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 1, candLabelFilter = false),
+    "e2w_ivf_multiprobe" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = false),
+    "e2a_filtered_ann" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 1, candLabelFilter = true),
+    // e2f: the quantizer trains on the PRE-ARRIVAL base only (the
+    // frozen-quantizer maintenance contract) but the assignment — and
+    // so the probe's candidate set — covers base AND folded arrivals:
+    // a dropped/duplicated/mis-assigned arriving vector is a hash miss
+    "e2f_ivf_fold" ->
+      ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false),
     "e2c_topk_native" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),

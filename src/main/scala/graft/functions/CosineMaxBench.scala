@@ -133,6 +133,23 @@ case class CosineMaxBench(
        """.stripMargin
     })
 
+  // Case-class equality on Array fields is REFERENCE equality, so two
+  // semantically identical kernels would never canonicalize equal and
+  // subexpression elimination could not dedup them (r11 advice) —
+  // compare the bench contents instead.
+  override def equals(o: Any): Boolean = o match {
+    case that: CosineMaxBench =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          bench.asInstanceOf[Array[AnyRef]], that.bench.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(benchNorms, that.benchNorms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(bench.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(benchNorms)
+
   override protected def withNewChildInternal(newChild: Expression): CosineMaxBench =
     copy(child = newChild)
 }

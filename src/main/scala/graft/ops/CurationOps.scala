@@ -446,7 +446,9 @@ object CurationOps {
     * the sfx100 Amplify labeler before the same repack). The packed
     * long keeps the election in HashAggregate with map-side partials.
     * Bounds: pidx < 2^20 (a 16.7M-token document) and doc_id < 2^43,
-    * both far past any per-doc reality; min(packed) = lexicographic
+    * both far past any per-doc reality — and ENFORCED in-plan
+    * ([[Packing.packChecked]]): a violating input fails loudly instead
+    * of silently mis-electing. min(packed) = lexicographic
     * min(doc_id, pidx) exactly because both fields are non-negative. */
   def e28PassageDedup(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
@@ -461,7 +463,7 @@ object CurationOps {
           .otherwise(array().cast("array<string>"))))
       .withColumnsRenamed(Map("pos" -> "pidx", "col" -> "passage"))
     val kept = passages.groupBy("passage")
-      .agg(min(shiftleft(col("doc_id"), 20) + col("pidx")).as("k"))
+      .agg(min(Packing.packChecked(col("doc_id"), 20, col("pidx"), "e28")).as("k"))
       .groupBy(shiftright(col("k"), 20).as("doc_id"))
       .agg(count(lit(1)).as("n_kept"))
     base.join(kept, Seq("doc_id"), "left")
@@ -657,7 +659,10 @@ object CurationOps {
     * and the election is min(doc_id << 20 | sid) — one long, pure
     * HashAggregate. doc_id is unique so sid never influences the
     * winner, it only rides along. Bounds: sid < 2^20 (a million
-    * distinct domains), doc_id < 2^43. */
+    * distinct domains), doc_id < 2^43 — enforced in-plan
+    * ([[Packing.packChecked]]): a web corpus that does exceed 2^20
+    * sources fails loudly, the cue to widen the split (sid < 2^21 /
+    * doc_id < 2^42) rather than mis-elect. */
   def e39DomainGate(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("source"), col("doc_id"),
       md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("h"),
@@ -677,7 +682,7 @@ object CurationOps {
       row_number().over(Window.orderBy("source")).cast("long").as("sid"))
     val keeps = base.join(broadcast(dict), "source")
       .groupBy("h")
-      .agg(min(shiftleft(col("doc_id"), 20) + col("sid")).as("k"))
+      .agg(min(Packing.packChecked(col("doc_id"), 20, col("sid"), "e39")).as("k"))
       .groupBy(col("k").bitwiseAND(lit((1L << 20) - 1)).as("sid"))
       .agg(count(lit(1)).as("n_keep"))
       .join(broadcast(dict), "sid")
@@ -1504,6 +1509,15 @@ object CurationOps {
     * quorum gate evaluates the same CMS contract as the md5 arm. */
   def e54xCmsXxGate(s: SparkSession, d: String): DataFrame = {
     val (top, gateOk, total, bound) = cmsQuorumGate(s, d, xxMembership = true)
+    // the oracle pins n_probes to the literal 20 (DuckDB cannot replay
+    // the xx sample): a corpus whose sampled vocabulary yields fewer
+    // than 20 distinct bigrams would hash-miss for a reason unrelated
+    // to the CMS contract — fail loudly with the real cause instead
+    // (r11 advice). Every fixture decade clears 20 by orders of
+    // magnitude; a corpus that doesn't has no heavy hitters to gate.
+    require(top.length == 20,
+      s"e54x: xx-sampled vocabulary has only ${top.length} distinct " +
+        "bigrams (< 20 probes) — the fixed-20 oracle contract cannot hold")
     import s.implicits._
     Seq((top.length.toLong, gateOk, total, bound))
       .toDF("n_probes", "gate_ok", "total_bigrams", "eps_bound")

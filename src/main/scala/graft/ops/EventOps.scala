@@ -149,13 +149,15 @@ object EventOps {
     // per-partition sort of the bucket-join candidate relation); the
     // packed long keeps the collapse in HashAggregate map-side, so
     // shuffled bytes stay one row per purchase however dense the
-    // windows get. Bound: error_id < 2^33 (documented production
+    // windows get. Bound: error_id < 2^33, enforced in-plan
+    // (Packing.packChecked — out-of-bounds fails loudly; production
     // widening: quantize gap to ms for 10 more id bits).
     purch.join(errs, "bucket")
       .where(col("ets_us") <= col("pts_us") &&
         col("pts_us") <= col("ets_us") + winUs)
       .groupBy("purchase_id", "pts_us")
-      .agg(min(shiftleft(col("pts_us") - col("ets_us"), 33) + col("error_id")).as("mk"))
+      .agg(min(Packing.packChecked(col("pts_us") - col("ets_us"), 33,
+        col("error_id"), "e33")).as("mk"))
       .select(col("purchase_id"), col("pts_us").as("purchase_ts_us"),
         col("mk").bitwiseAND(lit((1L << 33) - 1)).as("error_id"),
         (col("pts_us") - shiftright(col("mk"), 33)).as("error_ts_us"),

@@ -49,8 +49,10 @@ object SimOps {
 
   /** Shared top-k: rank candidates per query on (cosine desc, cand_id)
     * — one definition so the approximate paths (e2/e2b) can never
-    * silently diverge from the exact baseline (e12) in tie-breaking. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    * silently diverge from the exact baseline (e12) in tie-breaking.
+    * (private[graft]: the serve-path probes in [[graft.sources.IvfServe]]
+    * rank through the same definition.) */
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -826,7 +828,8 @@ object SimOps {
     * [0, 2e6]; `q << 32 | (2^32-1 - vec_id)` orders by (cos desc,
     * vec_id asc) under max(long), and q/1e6 - 1 reconstructs the
     * rounded cosine bit-exactly (both are the nearest double to the
-    * same 6-dp decimal). Bound: vec_id < 2^32. */
+    * same 6-dp decimal). Bound: vec_id < 2^32, enforced in-plan
+    * (Packing.packChecked — out-of-bounds fails loudly). */
   def e34CentroidKeeper(s: SparkSession, d: String): DataFrame = {
     val idMask = (1L << 32) - 1
     val e = vectors(embeddings(s, d))
@@ -837,8 +840,9 @@ object SimOps {
       .select(col("label"), col("n_vecs"), col("vec_id"),
         cosine(col("v"), col("c")).as("cos_c"))
     scored.groupBy("label", "n_vecs")
-      .agg(max(shiftleft(round((col("cos_c") + 1) * 1e6, 0).cast("long"), 32)
-          + (lit(idMask) - col("vec_id"))).as("m"),
+      .agg(max(Packing.packChecked(
+          round((col("cos_c") + 1) * 1e6, 0).cast("long"), 32,
+          lit(idMask) - col("vec_id"), "e34")).as("m"),
         round(avg(col("cos_c")), 6).as("mean_cos"))
       .select(col("label"),
         (lit(idMask) - col("m").bitwiseAND(lit(idMask))).as("keeper_id"),
@@ -851,7 +855,7 @@ object SimOps {
     * 6 dp — a left-to-right fold of squared differences, the exact
     * summation order DuckDB's `list_dot_product(diff, diff)` uses, so
     * both engines compare the identical rounded double. */
-  private def dist2(a: Column, b: Column): Column =
+  private[graft] def dist2(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 
@@ -872,6 +876,37 @@ object SimOps {
         when(d < acc.getField("d2"),
           struct(d.as("d2"), ct.getField("cid").as("cid"))).otherwise(acc)
       })
+  }
+
+  /** Train k coarse IVF centroids on `base` (`vec_id`, `v` columns):
+    * seeds are the k lowest vec_ids (6-dp rounded — the e40 seeding),
+    * then ONE VectorCentroid recompute round (assign → re-center, the
+    * e65b one-round discipline) so a DuckDB oracle can replay the
+    * trajectory in one CTE chain. Returns the surviving (cid, centroid)
+    * rows — a cell that lost every member drops out on both engines.
+    * The k×dim collect is bounded by the model, never the data (the
+    * e40 convention); a production k tracks √N — 64 here spans the
+    * fixture decades while keeping the oracle's k-way cross join flat. */
+  private[graft] def trainCoarseCentroids(base: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    val seeds = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("int"), transform(col("v"), x => round(x, 6)))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    base.withColumn("best", bestCentroid(col("v"), seeds))
+      .groupBy(col("best").getField("cid").as("cluster"))
+      .agg(graft.functions.VectorCentroid.centroid(col("v")).as("c"))
+      .orderBy("cluster").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+  }
+
+  /** The `w` nearest centroids' cids for a query vector, as an ordered
+    * array — the MULTI-PROBE cell sweep (nearest first). array_sort on
+    * (d2, cid) structs is exactly the (rounded d2 asc, cid asc) tie
+    * discipline every assignment in the family uses, so probe 1 is the
+    * query's own [[bestCentroid]] cell by construction. */
+  private[graft] def centroidProbes(v: Column, cs: Seq[(Int, Seq[Double])], w: Int): Column = {
+    val distArr = array(cs.map { case (cid, vec) =>
+      struct(dist2(v, array(vec.map(lit(_)): _*)).as("d2"), lit(cid).as("cid")) }: _*)
+    transform(slice(array_sort(distArr), 1, w), p => p.getField("cid"))
   }
 
   /** E40: k-means TRAINING iterations (Lloyd) — the coarse-quantizer
@@ -1269,53 +1304,98 @@ object SimOps {
     *
     * 100 TB path: e65's (scan-bound encode, literal books, bounded
     * WindowGroupLimit top-k) plus one extra corpus scan per training
-    * round with a M·k-row partial-agg exchange — the index-BUILD cost,
-    * paid once, amortized over every probe the layout serves. */
+    * round with a M·k-row partial-agg exchange — the index-BUILD cost.
+    * Since r12 that cost is ACTUALLY paid once: the trained books
+    * persist under [[ensurePqBooks]]'s staleness signature (the e2v
+    * build/serve split), so the declared key's timed path is the
+    * encode/ADC/exact tail alone — e65's cost profile with trained
+    * books swapped in. */
   def e65bPqTrainedAnn(s: SparkSession, d: String): DataFrame = {
-    val mSub = 4; val kCodes = 4
+    val mSub = 4
+    val dim = 64; val w = dim / mSub
     val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
       .select(col("vec_id"), col("v"))
-    val dim = 64; val w = dim / mSub
-    def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
-      round(aggregate(
-        zip_with(slice(vec, m * w + 1, w),
-          array(cw.map(lit(_)).toIndexedSeq: _*),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 6)
-    // argmin over subspace m's current codewords; the fold keeps the
-    // earlier (lower-j) codeword on a rounded-d2 tie, the e40 stance
-    def encodeWith(cb: Seq[(Int, Int, Array[Double])], vec: Column, m: Int): Column =
-      cb.filter(_._1 == m).map { case (_, j, cw) =>
-        struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
-        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-        .getField("j")
-    def encodeAll(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
-      e.select((col("vec_id") +: col("v") +:
-        (0 until mSub).map(m => encodeWith(cb, col("v"), m).as(s"c$m"))): _*)
-    // seed books: 6-dp rounded subspace slices of vecs 0..3 (e65's)
-    val seeds: Seq[(Int, Int, Array[Double])] =
-      e.where(col("vec_id") < kCodes)
-        .select(col("vec_id").cast("int").as("j"),
-          transform(col("v"), x => round(x, 6)).as("rv"))
-        .orderBy("j").collect().toSeq
-        .flatMap { r =>
-          val full = r.getSeq[Double](1).toArray
-          (0 until mSub).map(m => (m, r.getInt(0), full.slice(m * w, m * w + w)))
-        }.sortBy(t => (t._1, t._2))
-    // ONE Lloyd recompute round: assign under the seeds, re-center
-    // each (m, code) cell — M·k rows collected (bounded by the model)
-    val trained: Seq[(Int, Int, Array[Double])] =
-      encodeAll(seeds)
-        .select(explode(array((0 until mSub).map(m =>
-          struct(lit(m).as("m"), col(s"c$m").as("j"),
-            slice(col("v"), m * w + 1, w).as("sl"))): _*)).as("x"))
-        .select(col("x.m").as("m"), col("x.j").as("j"), col("x.sl").as("sl"))
-        .groupBy("m", "j")
-        .agg(graft.functions.VectorCentroid.centroid(col("sl")).as("cw"))
-        .orderBy("m", "j").collect().toSeq
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    e65TailWith(e, trained, mSub, w)
+    e65TailWith(e, ensurePqBooks(s, d), mSub, w)
   }
+
+  private def pqBooksDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/pq_books/${graft.util.PathKeys.keyedName(d)}"
+
+  /** e65b's TRAINED codebooks, persisted under the suite-wide `ensure`
+    * staleness contract (r11 verdict ask #6 — the e2v build/serve
+    * split applied to PQ): the one-round-Lloyd training scans run ONCE
+    * per source state and land as an M·k-row parquet; every later
+    * invocation of the declared key reads the books (bounded by the
+    * model) and pays only the encode/ADC/exact tail — the cost profile
+    * a served PQ index actually has, with the oracle still replaying
+    * the training trajectory so a stale or drifted book is a hash
+    * miss. */
+  private[graft] def ensurePqBooks(s: SparkSession, d: String): Seq[(Int, Int, Array[Double])] =
+    synchronized {
+      import java.nio.file.{Files, Paths}
+      val mSub = 4; val kCodes = 4
+      val dim = 64; val w = dim / mSub
+      val srcPath = Paths.get(d, "embeddings.parquet")
+      val sig = s"pq1:m=$mSub:k=$kCodes:" +
+        s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+      val root = pqBooksDir(d)
+      val marker = Paths.get(root, "_STAGED_SIG")
+      if (Files.exists(marker) &&
+          new String(Files.readAllBytes(marker), "UTF-8") == sig) {
+        s.read.parquet(s"$root/books")
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+          .sortBy(t => (t._1, t._2))
+      } else {
+        graft.streaming.DocStreams.deleteTree(Paths.get(root))
+        val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
+          .select(col("vec_id"), col("v"))
+        def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
+          round(aggregate(
+            zip_with(slice(vec, m * w + 1, w),
+              array(cw.map(lit(_)).toIndexedSeq: _*),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6)
+        // argmin over subspace m's current codewords; the fold keeps the
+        // earlier (lower-j) codeword on a rounded-d2 tie, the e40 stance
+        def encodeWith(cb: Seq[(Int, Int, Array[Double])], vec: Column, m: Int): Column =
+          cb.filter(_._1 == m).map { case (_, j, cw) =>
+            struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
+            .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+            .getField("j")
+        def encodeAll(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
+          e.select((col("vec_id") +: col("v") +:
+            (0 until mSub).map(m => encodeWith(cb, col("v"), m).as(s"c$m"))): _*)
+        // seed books: 6-dp rounded subspace slices of vecs 0..3 (e65's)
+        val seeds: Seq[(Int, Int, Array[Double])] =
+          e.where(col("vec_id") < kCodes)
+            .select(col("vec_id").cast("int").as("j"),
+              transform(col("v"), x => round(x, 6)).as("rv"))
+            .orderBy("j").collect().toSeq
+            .flatMap { r =>
+              val full = r.getSeq[Double](1).toArray
+              (0 until mSub).map(m => (m, r.getInt(0), full.slice(m * w, m * w + w)))
+            }.sortBy(t => (t._1, t._2))
+        // ONE Lloyd recompute round: assign under the seeds, re-center
+        // each (m, code) cell — M·k rows collected (bounded by the model)
+        val trained: Seq[(Int, Int, Array[Double])] =
+          encodeAll(seeds)
+            .select(explode(array((0 until mSub).map(m =>
+              struct(lit(m).as("m"), col(s"c$m").as("j"),
+                slice(col("v"), m * w + 1, w).as("sl"))): _*)).as("x"))
+            .select(col("x.m").as("m"), col("x.j").as("j"), col("x.sl").as("sl"))
+            .groupBy("m", "j")
+            .agg(graft.functions.VectorCentroid.centroid(col("sl")).as("cw"))
+            .orderBy("m", "j").collect().toSeq
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        import s.implicits._
+        trained.map(t => (t._1, t._2, t._3.toSeq)).toDF("m", "j", "cw")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
+        Files.write(marker, sig.getBytes("UTF-8"))
+        trained
+      }
+    }
 
   /** e65's declared tail — encode the corpus, ADC + exact for the
     * 10..12 query set, top-5 — parameterized by the codebooks so the

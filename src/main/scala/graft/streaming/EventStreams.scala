@@ -698,9 +698,13 @@ object EventStreams {
   private[graft] def e63sResult(s: SparkSession, dir: String,
       work: java.nio.file.Path): DataFrame = {
     val state = s.read.parquet(graft.ops.EventOps.e63StateDir(dir))
-    val deltaDays = e63sMerge(
-      s.read.parquet(foldDirsToRead(work.resolve("partials")): _*))
-    graft.ops.EventOps.e63Rollup(state.unionByName(deltaDays))
+    // an EMPTY post-boundary delta drains zero batch dirs — degrade to
+    // a state-only refresh instead of handing the reader no paths
+    val dirs = foldDirsToRead(work.resolve("partials"))
+    val all =
+      if (dirs.isEmpty) state
+      else state.unionByName(e63sMerge(s.read.parquet(dirs: _*)))
+    graft.ops.EventOps.e63Rollup(all)
   }
 
   /** E61s: streaming refresh cadence for the JOIN-SHAPED view (e61b's
@@ -762,9 +766,12 @@ object EventStreams {
   private[graft] def e61sResult(s: SparkSession, dir: String,
       work: java.nio.file.Path): DataFrame = {
     val state = s.read.parquet(graft.ops.EventOps.e61bStateDir(dir))
-    graft.ops.EventOps.retentionFromActivity(
-      state.unionByName(
-        s.read.parquet(foldDirsToRead(work.resolve("pairs")): _*)).distinct())
+    // empty delta → state-only refresh (the e63sResult convention)
+    val dirs = foldDirsToRead(work.resolve("pairs"))
+    val pairs =
+      if (dirs.isEmpty) state
+      else state.unionByName(s.read.parquet(dirs: _*))
+    graft.ops.EventOps.retentionFromActivity(pairs.distinct())
   }
 
   /** C5 dead-letter decode: parse the JSON `props` payload; a malformed

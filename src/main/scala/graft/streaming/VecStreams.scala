@@ -1,0 +1,221 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.SimOps
+import graft.sources.IvfServe
+
+/** INCREMENTAL MAINTENANCE of the trained IVF layout (r11 verdict ask
+  * #3): e6s grows the LSH band index per micro-batch, but nothing
+  * folded newly-arriving VECTORS into the ANN cell layout — a
+  * production vector index must serve a vector soon after it lands,
+  * without retraining or rewriting the base lists. The e6s/e63s
+  * protocol applied to [[IvfServe]]'s layout:
+  *
+  *  - the BASE corpus (vec_id ≥ [[ArrivalBound]]) is trained and
+  *    persisted ONCE under the `ensure` staleness contract — the
+  *    coarse quantizer is then FROZEN (production IVF retrains on a
+  *    cadence, not per insert; a frozen quantizer keeps every already
+  *    -written list valid);
+  *  - arrivals (vec_id < [[ArrivalBound]]) land as file-source
+  *    micro-batches; each batch is assigned to its trained cell
+  *    map-side (the same [[SimOps.bestCentroid]] fold the build used)
+  *    and appended as its own `batch=<id>` fold dir — a replayed id
+  *    OVERWRITES its own dir, so at-least-once delivery cannot
+  *    duplicate a vector (idempotence by layout, the e63s claim);
+  *  - accumulated fold dirs compact via
+  *    [[EventStreams.maybeCompactFolds]] with CONCATENATION as the
+  *    re-merge (the fold rows are a set keyed by vec_id — compaction
+  *    relocates, never re-aggregates), so probe listings stay
+  *    O(RefreshCompactEvery) instead of O(batches);
+  *  - a PROBE reads base lists (partition-pruned to the query cells)
+  *    + the compacted folds (cell-filtered) — a vector arriving in
+  *    batch N is visible to any probe after batch N (E2fStreamSpec).
+  *
+  * The declared key drains the arrival stream fresh (the e6s stance)
+  * and probes: the DuckDB oracle replays base training (seeds
+  * 16..79, one Lloyd recompute), assigns the WHOLE corpus — base and
+  * arrivals alike — under the frozen centroids, and ranks the in-cell
+  * top-3, so a fold that dropped, duplicated, or mis-assigned an
+  * arriving vector is a hash miss.
+  *
+  * 100 TB path: per-batch work is one map-side assignment fold
+  * (k×dim literal, no shuffle, no state store) + one bounded append;
+  * the probe cost is the serve cost + O(folds-since-compaction); the
+  * base is never rewritten. */
+object VecStreams {
+
+  /** vec_id < this arrive as the stream; the rest are the trained base. */
+  val ArrivalBound = 16L
+
+  private val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private[graft] def foldBaseDir(d: String): String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
+      s"/embeddings_ivf_fold/${graft.util.PathKeys.keyedName(d)}"
+
+  /** One-time base build: train on vec_id ≥ [[ArrivalBound]] only —
+    * the corpus that existed before the arrivals — and persist
+    * centroids + base lists (the [[IvfServe]] build leg). */
+  private[graft] def ensureFoldBase(s: SparkSession, d: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val srcPath = Paths.get(d, "embeddings.parquet")
+    val sig = s"f1:k=${IvfServe.K}:b=$ArrivalBound:" +
+      s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
+    val root = foldBaseDir(d)
+    val marker = Paths.get(root, "_STAGED_SIG")
+    val stale = !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker), "UTF-8") != sig
+    if (stale) {
+      DocStreams.deleteTree(Paths.get(root))
+      IvfServe.buildTrainedLayout(s, root,
+        IvfServe.corpusView(s, d).where(col("vec_id") >= ArrivalBound))
+      Files.write(marker, sig.getBytes("UTF-8"))
+    }
+  }
+
+  /** Bucketed staging for the ARRIVING vectors: vec_id <
+    * [[ArrivalBound]] split into `nBuckets` contiguous-range files
+    * with staggered mtimes (the docsStreamBucketed protocol). */
+  private[graft] def vecStreamBucketed(s: SparkSession, dir: String,
+      nBuckets: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val src = Paths.get(dir, "embeddings.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-vecs-bucketed",
+      graft.util.PathKeys.keyedName(dir) + s"-$nBuckets")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val bucketsPresent = (0 until nBuckets)
+        .forall(i => Files.exists(landing.resolve(f"vecs-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !bucketsPresent ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing)) DocStreams.deleteTree(landing)
+        Files.createDirectories(landing)
+        val raw = s.read.schema(embSchema).parquet(src.toString)
+          .where(col("vec_id") < ArrivalBound)
+        val tmp = landing.resolve("_tmp")
+        (0 until nBuckets).foreach { i =>
+          val lo = ArrivalBound * i / nBuckets
+          val hi = ArrivalBound * (i + 1) / nBuckets
+          raw.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"vec bucket $i produced no parquet part"))
+          }
+          val dst = landing.resolve(f"vecs-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        DocStreams.deleteTree(tmp)
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** One micro-batch fold: assign the batch under the FROZEN trained
+    * centroids, write to its own overwrite dir — exposed so the
+    * restart spec can replay a duplicate id directly. */
+  private[graft] def e2fFoldBatch(df: DataFrame, id: Long,
+      cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit =
+    df.select(col("vec_id"), col("label"), col("embedding"),
+        SimOps.bestCentroid(col("embedding").cast("array<double>"), cents)
+          .getField("cid").as("cell"))
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"folds/batch=$id").toString)
+
+  private[graft] def e2fDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit = {
+    val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
+    val q = vecStreamBucketed(s, d, nBuckets = 4)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // concatenation as the re-merge: fold rows are a vec_id-keyed
+        // set, so compaction relocates and never re-aggregates
+        EventStreams.maybeCompactFolds(s, work.resolve("folds"), id, df => df)
+        e2fFoldBatch(df, id, cents, work)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** The probe's scored candidate relation (pre-top-k) — exposed so
+    * E2fStreamSpec can assert ARRIVAL VISIBILITY exactly: a folded
+    * vector sharing a query's cell must appear here after its batch
+    * lands (and not before), even when it misses the top-3. */
+  private[graft] def e2fCandidates(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    val root = foldBaseDir(d)
+    val cents = IvfServe.centroidsAt(s, root)
+    val q = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cell",
+        SimOps.bestCentroid(col("qv"), cents).getField("cid"))
+    val cells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
+    val base = s.read.parquet(s"$root/lists")
+      .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*)
+    val foldRoot = work.resolve("folds")
+    // a probe BEFORE the first arrival batch: base-only (the dir does
+    // not exist yet — the e63sResult empty-delta convention)
+    val foldDirs =
+      if (java.nio.file.Files.isDirectory(foldRoot))
+        EventStreams.foldDirsToRead(foldRoot)
+      else Seq.empty[String]
+    val all =
+      if (foldDirs.isEmpty) base
+      else base.unionByName(
+        s.read.parquet(foldDirs: _*)
+          .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*))
+    all
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(q), Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
+          .as("cos_sim"))
+  }
+
+  /** The probe over base + folds: query cells under the frozen
+    * centroids, base lists partition-pruned, folds cell-filtered. */
+  private[graft] def e2fProbe(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame =
+    SimOps.topK(e2fCandidates(s, d, work), 3)
+
+  /** E2f: the declared fold-stream key — fresh drain per invocation
+    * (the e6s stance), then the probe; oracle = the full trained-serve
+    * replay with the base/arrival split (see ivfServeOracleSql). */
+  def e2fIvfFoldStream(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2f", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    e2fDrain(s, dir, work)
+    e2fProbe(s, dir, work)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.IvfServe
+import graft.streaming.{EventStreams, VecStreams}
+
+/** e2f — incremental IVF maintenance (r11 verdict ask #3). Claims:
+  * a vector folded in batch N is probe-visible after batch N (and a
+  * same-cell NEAR-DUPLICATE of a query lands at rank 1 — visibility
+  * at the declared top-3, not just the candidate relation); replaying
+  * a batch id adds nothing (idempotence by overwrite layout, the e63s
+  * claim); compaction bounds the fold listing and leaves the answer
+  * bit-identical; and the incremental fold path equals the one-shot
+  * fold (batching must never change the answer). */
+class E2fStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def freshWork(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("e2f-spec")
+
+  private def cents() = {
+    VecStreams.ensureFoldBase(spark, sf)
+    IvfServe.centroidsAt(spark, VecStreams.foldBaseDir(sf))
+  }
+
+  private def arrivals() =
+    Tables.embeddings(spark, sf)
+      .where(col("vec_id") < VecStreams.ArrivalBound)
+
+  test("a vector folded in batch N is probe-visible after batch N — not before") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      // BEFORE any fold: no arrival id can be a candidate
+      val before = VecStreams.e2fCandidates(spark, sf, work)
+        .where(col("cand_id") < VecStreams.ArrivalBound).count()
+      assert(before == 0, "base lists must not contain arrivals")
+      // fold a synthetic exact near-duplicate of query 0 (same
+      // embedding, fresh id): it must assign to q0's cell, surface as
+      // a candidate at cos 1.0, and take the declared rank 1 — the
+      // sharpest form of "a vector arriving in batch N is returned by
+      // a probe after batch N"
+      val q0 = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+        .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
+      VecStreams.e2fFoldBatch(q0, 0L, cs, work)
+      val top = VecStreams.e2fProbe(spark, sf, work)
+        .where(col("q_id") === 0).orderBy("rank").collect()
+      assert(top.head.getLong(2) == 999999L && top.head.getDouble(3) == 1.0,
+        s"the folded near-dup must be q0's rank-1 neighbor: ${top.toSeq}")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("replaying a batch id overwrites its own fold — nothing doubles") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      VecStreams.e2fFoldBatch(arrivals(), 0L, cs, work)
+      val once = VecStreams.e2fCandidates(spark, sf, work)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      VecStreams.e2fFoldBatch(arrivals(), 0L, cs, work) // at-least-once replay
+      val twice = VecStreams.e2fCandidates(spark, sf, work)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(once.nonEmpty || arrivals().count() == 0)
+      assert(twice == once, "a replayed batch must overwrite, never append")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("compaction bounds the fold listing and leaves the probe bit-identical") {
+    val cs = cents()
+    val work = freshWork()
+    val oneShot = freshWork()
+    try {
+      // 8 single-vector batches with the drain's compaction cadence
+      val arr = arrivals().where(col("vec_id") < 8)
+      (0 until 8).foreach { i =>
+        EventStreams.maybeCompactFolds(spark, work.resolve("folds"), i.toLong, df => df)
+        VecStreams.e2fFoldBatch(arr.where(col("vec_id") === i), i.toLong, cs, work)
+      }
+      val dirs = EventStreams.foldDirsToRead(work.resolve("folds"))
+      assert(dirs.length <= EventStreams.RefreshCompactEvery + 1,
+        s"fold listing must stay O(CompactEvery): $dirs")
+      VecStreams.e2fFoldBatch(arr, 0L, cs, oneShot)
+      val inc = VecStreams.e2fProbe(spark, sf, work)
+        .collect().map(_.toSeq).toSeq
+      val one = VecStreams.e2fProbe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      assert(inc == one, "batch slicing + compaction must never change the answer")
+    } finally {
+      graft.streaming.DocStreams.deleteTree(work)
+      graft.streaming.DocStreams.deleteTree(oneShot)
+    }
+  }
+
+  test("declared stream drain equals the one-shot manual fold") {
+    val cs = cents()
+    val oneShot = freshWork()
+    try {
+      val declared = VecStreams.e2fIvfFoldStream(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      VecStreams.e2fFoldBatch(arrivals(), 0L, cs, oneShot)
+      val manual = VecStreams.e2fProbe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.nonEmpty && declared == manual)
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+}

@@ -93,11 +93,31 @@ class IvfLayoutSpec extends AnyFunSuite {
   }
 
   test("staleness: touching the source re-stages the layout") {
-    import java.nio.file.{Files, Paths}
-    IvfLayout.ensure(spark, sf)
-    val marker = Paths.get(IvfLayout.layoutDir(sf), "_STAGED_SIG")
-    val before = new String(Files.readAllBytes(marker), "UTF-8")
-    assert(before.nonEmpty && before.contains(":"),
-      "signature must carry size:mtime of the source")
+    // on a COPY of the fixture (the source dir is read-only): ensure,
+    // bump the source mtime, ensure again — the staged signature must
+    // change, i.e. the layout actually re-staged (r11 advice: the old
+    // form only checked the marker's format)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("ivf-stale")
+    try {
+      Files.copy(Paths.get(sf, "embeddings.parquet"),
+        tmp.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val d = tmp.toString
+      IvfLayout.ensure(spark, d)
+      val marker = Paths.get(IvfLayout.layoutDir(d), "_STAGED_SIG")
+      val before = new String(Files.readAllBytes(marker), "UTF-8")
+      assert(before.nonEmpty && before.contains(":"),
+        "signature must carry size:mtime of the source")
+      // +2s: coarse-mtime filesystems must still observe the change
+      val src = tmp.resolve("embeddings.parquet")
+      Files.setLastModifiedTime(src, java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(src).toMillis + 2000))
+      IvfLayout.ensure(spark, d)
+      val after = new String(Files.readAllBytes(marker), "UTF-8")
+      assert(after != before,
+        s"touched source must re-stage the layout: signature unchanged ($before)")
+      graft.streaming.DocStreams.deleteTree(
+        Paths.get(IvfLayout.layoutDir(d)))
+    } finally graft.streaming.DocStreams.deleteTree(tmp)
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.IvfServe
+
+/** The trained-IVF SERVE family (r11 verdict asks #1/#2/#7). Claims:
+  * the probe actually PRUNES (PartitionFilters on the trained cell;
+  * directories read bounded by queries × nprobe, strictly fewer than
+  * present), multi-probe's candidate superset can only raise recall
+  * against the exact top-3, the filtered-ANN key shows BOTH pruning
+  * layers (partition dirs + pushed row predicate) and its outputs
+  * honor the predicate, and the build re-stages on source change. */
+class IvfServeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def listCellDirs(root: String): Array[String] = {
+    val f = new java.io.File(root + "/lists")
+    f.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .map(_.getName).sorted
+  }
+
+  test("e2v probe: PartitionFilters on cell; dirs read ≤ |queries|, strictly fewer than present") {
+    val df = IvfServe.e2vIvfServe(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"),
+      s"cell predicate must prune directories, not filter rows: $scanLine")
+    val present = listCellDirs(IvfServe.serveDir(sf))
+    val probed = IvfServe.probedCells(spark, sf, 1)
+    assert(present.nonEmpty && probed.nonEmpty)
+    assert(probed.length <= 8, s"8 queries probe at most 8 cells: $probed")
+    assert(probed.length < present.length,
+      s"probe must read fewer lists than exist: ${probed.length}/${present.length}")
+    assert(probed.map(c => s"cell=$c").toSet.subsetOf(present.toSet))
+    assert(df.collect().nonEmpty)
+  }
+
+  test("e2w multiprobe: dirs ≤ queries × nprobe; candidate superset ⇒ recall never drops") {
+    val p1 = IvfServe.probedCells(spark, sf, 1)
+    val p4 = IvfServe.probedCells(spark, sf, IvfServe.NProbe)
+    assert(p4.length <= 8 * IvfServe.NProbe)
+    assert(p1.toSet.subsetOf(p4.toSet),
+      "probe 1 is the query's own cell — multiprobe must sweep a superset")
+    // recall against the exact full-corpus top-3 (driver-side replay,
+    // the IvfLayoutSpec pattern): the multiprobe superset can only
+    // add candidates, so per-query hits never drop
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def exactTop3(q: Long): Set[Long] =
+      v.toSeq.filter(_._1 != q)
+        .map { case (c, x) => (c, cos(v(q), x)) }
+        .sortBy { case (c, s2) => (-s2, c) }.take(3).map(_._1).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      byQ.map { case (q, rs) =>
+        rs.map(_.getLong(2)).toSet.intersect(exactTop3(q)).size / 3.0
+      }.sum / byQ.size
+    }
+    val r1 = recall(IvfServe.e2vIvfServe(spark, sf).collect())
+    val r4 = recall(IvfServe.e2wIvfMultiprobe(spark, sf).collect())
+    info(f"recall@3: nprobe=1 $r1%.3f -> nprobe=${IvfServe.NProbe} $r4%.3f " +
+      f"(cells read ${p1.length} -> ${p4.length} of ${listCellDirs(IvfServe.serveDir(sf)).length})")
+    assert(r4 >= r1,
+      f"multiprobe is a candidate superset — recall must not drop: $r4%.3f < $r1%.3f")
+  }
+
+  test("e2a filtered ANN: both pruning layers in the plan; outputs honor the predicate") {
+    val df = IvfServe.e2aFilteredAnn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"partition layer missing: $scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("label"),
+      s"label predicate must push to the SAME probed scan: $scanLine")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) < 5), "every survivor's label honors the filter")
+  }
+
+  test("staleness: touching the source re-stages the serve layout") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("ivf-serve-stale")
+    try {
+      Files.copy(Paths.get(sf, "embeddings.parquet"),
+        tmp.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val d = tmp.toString
+      IvfServe.ensure(spark, d)
+      val marker = Paths.get(IvfServe.serveDir(d), "_STAGED_SIG")
+      val before = new String(Files.readAllBytes(marker), "UTF-8")
+      val src = tmp.resolve("embeddings.parquet")
+      Files.setLastModifiedTime(src, java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(src).toMillis + 2000))
+      IvfServe.ensure(spark, d)
+      val after = new String(Files.readAllBytes(marker), "UTF-8")
+      assert(after != before, "touched source must re-stage the layout")
+      graft.streaming.DocStreams.deleteTree(Paths.get(IvfServe.serveDir(d)))
+    } finally graft.streaming.DocStreams.deleteTree(tmp)
+  }
+}
