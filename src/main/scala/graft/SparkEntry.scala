@@ -100,6 +100,7 @@ object SparkEntry {
     "e15_funnel"         -> (ClusterOps.e15Funnel _),
     "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
     "e19_dedup_pipeline" -> (ClusterOps.e19DedupPipeline _),
+    "e70_curation_pipeline" -> (CurationOps.e70CurationPipeline _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -2260,6 +2261,85 @@ object SparkEntry {
         |  CAST(sum(d.n_chars) FILTER (WHERE dr.node IS NULL) AS BIGINT) AS chars_kept
         |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // e70: the full-width curation DAG as ONE oracle — decon → quality
+    // → dedup (CC keeper) → mixture → packing → shard manifest, every
+    // stage consuming the previous stage's survivors; drift anywhere
+    // reshapes the windows and misses the 64-row hash
+    "e70_curation_pipeline" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM d0),
+        |shAll AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM shAll
+        |  WHERE doc_id % 23 = 7 AND doc_id < 100000),
+        |contam AS (SELECT doc_id FROM shAll JOIN bench USING (sh)
+        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
+        |  GROUP BY doc_id HAVING count(*) >= 4),
+        |s1 AS (SELECT * FROM d0
+        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok FROM s1
+        |  WHERE len(w) > 0
+        |    AND round(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) / len(w), 6) <= 0.14
+        |    AND coalesce(CASE WHEN len(w) >= 2 THEN
+        |      round(1 - len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> array_to_string(w[i:i+1], ' ')))) / (len(w) - 1), 6)
+        |      END, 0) <= 0.12),
+        |sh AS (SELECT * FROM shAll WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
+        |bands AS (SELECT doc_id, hid // 2 AS band,
+        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
+        |  JOIN sh x1 ON x1.doc_id = p.d1
+        |  JOIN sh x2 ON x2.doc_id = p.d2 AND x2.sh = x1.sh
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT p.d1, p.d2 FROM pairs p
+        |  JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
+        |  JOIN counts c1 ON c1.doc_id = p.d1
+        |  JOIN counts c2 ON c2.doc_id = p.d2
+        |  WHERE round(c.n_common / (c1.n_sh + c2.n_sh - c.n_common), 6) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION SELECT d2 AS a, d1 AS b FROM cand),
+        |verts AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b),
+        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM lab WHERE node != cluster_id),
+        |dd AS (SELECT q.* FROM q LEFT JOIN dropped dr ON q.doc_id = dr.node
+        |  WHERE dr.node IS NULL),
+        |dim(source, wt) AS (VALUES
+        |  ('src0', 3.0), ('src1', 3.0), ('src2', 3.0), ('src3', 3.0), ('src4', 3.0)),
+        |mx AS (SELECT dd.doc_id, dd.source, dd.n_tok
+        |  FROM dd LEFT JOIN dim USING (source)
+        |  WHERE CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0
+        |    < CAST(least(1.0, coalesce(wt, 1.0) * 0.25) AS DOUBLE)),
+        |pk AS (SELECT doc_id, source, n_tok,
+        |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 256)
+        |    AS BIGINT) AS window_id
+        |  FROM mx),
+        |wins AS (SELECT source, window_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(('0x' || substring(md5(source || ':' || CAST(window_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 64 AS shard
+        |  FROM pk GROUP BY source, window_id)
+        |SELECT shard, count(*) AS n_windows, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM wins GROUP BY shard ORDER BY shard""".stripMargin,
     "e3b_token_regex" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS tok

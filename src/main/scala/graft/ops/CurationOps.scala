@@ -332,6 +332,97 @@ object CurationOps {
         max("doc_id").as("max_doc"))
       .orderBy("shard")
 
+  /** E70: the FULL-WIDTH curation composition (r11 verdict ask #4) —
+    * e19 proved composition for the dedup third; this key chains the
+    * whole curation DAG as ONE dataflow, each stage consuming the
+    * previous stage's survivors:
+    *
+    *   decon (e20: drop benchmark members and docs sharing ≥4 shingles
+    *     with them)
+    *   → quality gates (e10b's repetition thresholds; token-less docs
+    *     fail)
+    *   → near-dup dedup (e6 verified pairs at jaccard ≥ 0.5 over the
+    *     SURVIVORS → e16's CC loop → min-id keeper, the e19 third)
+    *   → mixture accept (e24's deterministic md5 draw under the
+    *     broadcast weight table)
+    *   → sequence packing (e22's per-source running-offset windows —
+    *     over survivors, so an upstream drift reshapes every window)
+    *   → shard manifest (e26's hash sharding applied to the PACKED
+    *     WINDOWS — the unit a trainer actually loads).
+    *
+    * Declared output: per-shard survivor stats (windows, docs, tokens).
+    * The DuckDB oracle replays the entire chain as chained CTEs —
+    * including the recursive-CTE connected components — so stage drift
+    * ANYWHERE (a threshold, a hash, a keeper election, a window
+    * boundary) is a hash miss in the 64-row manifest.
+    *
+    * 100 TB path: every stage keeps its own plan shape (bounded bench
+    * broadcast; per-row quality projection; banded candidate join +
+    * O(diameter) CC rounds; broadcast weight dim; per-source window —
+    * the shard a real corpus is partitioned by; 64-group rollup), and
+    * the stage boundaries compose as plain DataFrame dependencies — no
+    * materialization barriers beyond the CC loop's own checkpoints, so
+    * Catalyst pipelines decon's anti-join into the quality projection
+    * in one scan. */
+  def e70CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val benchMember = col("doc_id") % 23 === 7 && col("doc_id") < 100000L
+    val docs = documents(s, d)
+    // stage 1: decon — e20's rule, reshaped to return the clean corpus
+    val bench = SimOps.shingleRowsOf(docs.where(benchMember))
+      .select("sh").distinct()
+    val contaminated = SimOps.shingleRowsOf(docs.where(!benchMember))
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= 4)
+      .select("doc_id")
+    val clean = docs.where(!benchMember)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 2: quality — the e10b rule set; survivors carry their token
+    // count forward (packing consumes it), text rides to the dedup stage
+    val q = repetitionMetrics(graft.Tables.spreadIfNarrow(clean, col("doc_id")))
+      .where(col("passes_repetition"))
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds dedup + the tail
+    // stage 3: dedup — e19's third over the survivors
+    val cand = SimOps.e6VerifiedUnsortedOf(q.select("doc_id", "source", "text"))
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+    val (labels, _, _) = ClusterOps.componentsWithStats(s, cand, Nil)
+    val deduped = q.join(
+      labels.where(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    // stage 4: mixture accept — e24's draw and weight table verbatim
+    import s.implicits._
+    val weights = broadcast(Seq(
+      ("src0", 3.0), ("src1", 3.0), ("src2", 3.0), ("src3", 3.0), ("src4", 3.0))
+      .toDF("source", "wt"))
+    val accepted = deduped
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+      .join(weights, Seq("source"), "left")
+      .where(col("u") < least(lit(1.0), coalesce(col("wt"), lit(1.0)) * 0.25))
+    // stage 5: packing — e22's running offset over the SURVIVORS
+    val cum = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = accepted
+      .withColumn("window_id",
+        floor((sum(col("n_tok")).over(cum) - col("n_tok")) / 256))
+    // stage 6: shard the packed windows (e26's hash over source:window)
+    val out = packed.groupBy("source", "window_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("shard",
+        conv(substring(md5(concat(col("source"), lit(":"),
+          col("window_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 64)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_windows"), sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("shard")
+    graft.Tables.materializeAndRelease(out, q)
+  }
+
   /** E27: TF-IDF top terms — the per-document top-5 terms by
     * tf·ln((N+1)/(df+1)), the keyword-extraction primitive quality
     * filters and topic mixers build on. Document frequency and the

@@ -353,9 +353,19 @@ object SimOps {
   private[graft] def minhashRelations(
       s: SparkSession, d: String,
       mh: (Int, Column) => Column,
+      bandHash: (Column, Column) => Column): MinhashRelations =
+    minhashRelationsOf(documents(s, d), mh, bandHash)
+
+  /** [[minhashRelations]] over any documents-shaped frame — the e70
+    * composition runs the dedup stage on the DECON+QUALITY SURVIVORS,
+    * not the raw corpus, so the relation builder takes the upstream
+    * stage's output directly. */
+  private[graft] def minhashRelationsOf(
+      docs: DataFrame,
+      mh: (Int, Column) => Column,
       bandHash: (Column, Column) => Column): MinhashRelations = {
     import org.apache.spark.storage.StorageLevel
-    val sh = shingleRows(s, d).select("doc_id", "sh")
+    val sh = shingleRowsOf(docs).select("doc_id", "sh")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // all 8 MinHash values AND the per-doc shingle count in ONE
     // aggregation pass (9 agg columns over one scan of the cached shingle
@@ -481,8 +491,13 @@ object SimOps {
   /** The oracle-stable (md5) e6 pipeline WITHOUT the presentation sort —
     * stage 1 of the end-to-end dedup pipeline (e19), which consumes the
     * verified pairs as graph edges. */
-  private[graft] def e6VerifiedUnsorted(s: SparkSession, d: String): DataFrame = {
-    val rel = minhashRelations(s, d,
+  private[graft] def e6VerifiedUnsorted(s: SparkSession, d: String): DataFrame =
+    e6VerifiedUnsortedOf(documents(s, d))
+
+  /** The e6 verified-pairs chain over any documents-shaped frame (the
+    * e70 composition's dedup stage runs it on upstream survivors). */
+  private[graft] def e6VerifiedUnsortedOf(docs: DataFrame): DataFrame = {
+    val rel = minhashRelationsOf(docs,
       mh = (h, sh) => md5(concat(lit(s"$h:"), sh)),
       bandHash = (a, b) => md5(concat(a, b)))
     minhashVerifyCore(rel, lshPairs(rel))
@@ -898,17 +913,6 @@ object SimOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
   }
 
-  /** The `w` nearest centroids' cids for a query vector, as an ordered
-    * array — the MULTI-PROBE cell sweep (nearest first). array_sort on
-    * (d2, cid) structs is exactly the (rounded d2 asc, cid asc) tie
-    * discipline every assignment in the family uses, so probe 1 is the
-    * query's own [[bestCentroid]] cell by construction. */
-  private[graft] def centroidProbes(v: Column, cs: Seq[(Int, Seq[Double])], w: Int): Column = {
-    val distArr = array(cs.map { case (cid, vec) =>
-      struct(dist2(v, array(vec.map(lit(_)): _*)).as("d2"), lit(cid).as("cid")) }: _*)
-    transform(slice(array_sort(distArr), 1, w), p => p.getField("cid"))
-  }
-
   /** E40: k-means TRAINING iterations (Lloyd) — the coarse-quantizer
     * trainer that produces the IVF cells e2 consumes as a precomputed
     * `label`. e32 gates one centroid step; this key gates the full
@@ -1223,7 +1227,10 @@ object SimOps {
     * the reason PQ indexes hold at billions of vectors. */
   def e65PqAnn(s: SparkSession, d: String): DataFrame = {
     val mSub = 4; val kCodes = 4
-    val e = vectors(embeddings(s, d))
+    // the encode/ADC tail is per-row HOF-heavy — stage-spread like the
+    // e65b twin (the single-split stall cost e65 111.7 s vs e65b's
+    // 32.9 s at sfx100 on IDENTICAL tail work, SCALE.md r12)
+    val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
     val dim = 64; val w = dim / mSub
     // seed codebooks: 6-dp rounded subspace slices of vecs 0..3 — k
     // rows collected (bounded by declaration, the e40 convention)

@@ -84,6 +84,24 @@ class IvfServeSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) < 5), "every survivor's label honors the filter")
   }
 
+  test("driver-side query routing is bit-parity with the in-plan assignment fold") {
+    IvfServe.ensure(spark, sf)
+    val cents = IvfServe.centroidsCached(spark, IvfServe.serveDir(sf))
+    val centsSeq = cents.map { case (c, a) => (c, a.toSeq) }
+    val qs = spark.read.parquet(IvfServe.serveDir(sf) + "/queries")
+    val inPlan = qs
+      .select(col("q_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cell",
+        graft.ops.SimOps.bestCentroid(col("qv"), centsSeq).getField("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val routed = qs.collect().map { r =>
+      r.getLong(0) -> IvfServe.nearestCells(
+        r.getSeq[Float](1).map(_.toDouble).toArray, cents, 1).head
+    }.toMap
+    assert(routed.nonEmpty && routed == inPlan,
+      s"server-side routing must match the plan fold: $routed vs $inPlan")
+  }
+
   test("staleness: touching the source re-stages the serve layout") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("ivf-serve-stale")
