@@ -876,12 +876,24 @@ object SimOps {
 
   /** Map-side nearest-centroid election over LITERAL centroids — the
     * e40 assignment step, shared by the Lloyd loop and the trained
-    * IVF index build ([[graft.sources.IvfLayout]]): k × dim rounded
-    * doubles ride the task closure as an array-of-structs literal (the
-    * "broadcast" side without even a broadcast), the fold keeps the
-    * earlier (lower-cid) centroid on a rounded-d2 tie. Returns the
-    * (d2, cid) struct; callers project the field they need. */
-  private[graft] def bestCentroid(v: Column, cs: Seq[(Int, Seq[Double])]): Column = {
+    * IVF index builds ([[graft.sources.IvfLayout]]/[[graft.sources.IvfServe]]):
+    * k × dim doubles ride the task closure (the "broadcast" side
+    * without even a broadcast), ties keep the earlier (lower-cid)
+    * centroid. Returns the (d2, cid) struct; callers project the
+    * field they need.
+    *
+    * Since r12 this is the NATIVE codegen kernel
+    * ([[graft.functions.NearestCentroid]]) — the HOF fold it replaces
+    * evaluated interpreted and allocated per (row, centroid), costing
+    * 152 s for the k=64 assignment over 2M vectors; the kernel is the
+    * identical arithmetic JIT-compiled (bit-parity pinned in
+    * NearestCentroidSpec against [[bestCentroidFold]]). */
+  private[graft] def bestCentroid(v: Column, cs: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.NearestCentroid.nearest(v, cs)
+
+  /** The original higher-order-function fold — kept as the
+    * spec-side reference implementation the kernel must equal. */
+  private[graft] def bestCentroidFold(v: Column, cs: Seq[(Int, Seq[Double])]): Column = {
     val centLit = array(cs.map { case (cid, vec) =>
       struct(lit(cid).as("cid"), array(vec.map(lit(_)): _*).as("c")) }: _*)
     aggregate(centLit,
