@@ -1,5 +1,9 @@
 package graft.sources
 import org.apache.spark.sql.SparkSession
+/** One-shot BUILD-cost measurement for the serve layout (SCALE.md's
+  * build-vs-serve economics rows): deletes the staged dir and times a
+  * cold `ensure` — the number a capacity planner amortizes against
+  * the per-probe saving. Not part of the declared key surface. */
 object IvfBuildProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/sfx10")
