@@ -1239,13 +1239,16 @@ object SimOps {
     * the reason PQ indexes hold at billions of vectors. */
   def e65PqAnn(s: SparkSession, d: String): DataFrame = {
     val mSub = 4; val kCodes = 4
-    // the encode/ADC tail is per-row HOF-heavy — stage-spread like the
-    // e65b twin (the single-split stall cost e65 111.7 s vs e65b's
-    // 32.9 s at sfx100 on IDENTICAL tail work, SCALE.md r12)
+    // stage-spread like the e65b twin (the single-split stall cost e65
+    // 111.7 s vs e65b's 32.9 s at sfx100 on identical tail work)
     val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
+      .select(col("vec_id"), col("v"))
     val dim = 64; val w = dim / mSub
     // seed codebooks: 6-dp rounded subspace slices of vecs 0..3 — k
-    // rows collected (bounded by declaration, the e40 convention)
+    // rows collected (bounded by declaration, the e40 convention);
+    // the shared [[e65TailWith]] runs encode/ADC/exact (query set
+    // 10..12 — disjoint from the seeds: a seed query's ADC to
+    // same-coded candidates is exactly 0, degenerate ranking)
     val seeds = e.where(col("vec_id") < kCodes)
       .select(col("vec_id").cast("int").as("cid"), col("v"))
       .collect()
@@ -1254,50 +1257,9 @@ object SimOps {
           BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble).toArray)
       .toMap
-    def cw(m: Int, j: Int): Array[Double] =
-      seeds(j).slice(m * w, m * w + w)
-    def cwLit(m: Int, j: Int): Column =
-      array(cw(m, j).map(lit(_)).toIndexedSeq: _*)
-    // ‖slice − codeword‖², 6-dp: zip_with + aggregate, fused in codegen
-    def subD2(vec: Column, m: Int, j: Int): Column =
-      round(aggregate(
-        zip_with(slice(vec, m * w + 1, w), cwLit(m, j),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 6)
-    // argmin over the k codewords, ties to lowest j
-    def encode(vec: Column, m: Int): Column =
-      (0 until kCodes).map(j => struct(subD2(vec, m, j).as("d"),
-        lit(j).as("j")))
-        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b)
-          .otherwise(a))
-        .getField("j")
-    val coded = e.select(
-      (col("vec_id") +: col("v") +:
-        (0 until mSub).map(m => encode(col("v"), m).as(s"c$m"))): _*)
-    // query set disjoint from the codebook seeds (a seed query's ADC to
-    // same-coded candidates is exactly 0 — degenerate ranking)
-    val q = e.where(col("vec_id") >= 10 && col("vec_id") < 13)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    def adcSub(m: Int): Column =
-      // reduceRight: otherwise() may be applied once per when-chain, so
-      // nest as w1.otherwise(w2.otherwise(...)), never (w1.otherwise).otherwise
-      (0 until kCodes).map(j =>
-        when(col(s"c$m") === j, subD2(col("qv"), m, j)))
-        .reduceRight((a, b) => a.otherwise(b))
-    val scored = coded.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
-        round((0 until mSub).map(adcSub).reduceLeft(_ + _), 6).as("adc_d2"),
-        round(aggregate(zip_with(col("qv"), col("v"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
-          .as("exact_d2"))
-    val win = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc_d2"), col("cand_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .where(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("cand_id"),
-        col("adc_d2"), col("exact_d2"))
-      .orderBy("q_id", "rank")
+    val cb = (0 until mSub).flatMap(m => (0 until kCodes).map(j =>
+      (m, j, seeds(j).slice(m * w, m * w + w))))
+    e65TailWith(e, cb, mSub, w)
   }
 
   /** E65b: PQ ANN with TRAINED codebooks — the e40 → e65 chaining the
@@ -1418,36 +1380,67 @@ object SimOps {
 
   /** e65's declared tail — encode the corpus, ADC + exact for the
     * 10..12 query set, top-5 — parameterized by the codebooks so the
-    * seed (e65) and trained (e65b) keys state one semantics. */
+    * seed (e65) and trained (e65b) keys state one semantics.
+    *
+    * Since r12 the tail is CODEGEN end to end (the HOF form cost 33 s
+    * at sfx100 — ~67 interpreted zip_with folds per row):
+    *
+    *  - ENCODE: the [[graft.functions.NearestCentroid]] kernel over
+    *    the subspace slice — identical fold, identical 6-dp round,
+    *    identical earlier-j-wins tie (the kernel's strict-< in input
+    *    order vs the old reduceLeft's keep-a-unless-strictly-less);
+    *  - ADC: the queries are COLLECTED (3 rows, bounded by
+    *    declaration — the e40 convention) and the per-(query, m, j)
+    *    ‖q_m − c_m[j]‖² values precompute driver-side with the same
+    *    fold order and BigDecimal HALF_UP round, so the in-plan ADC
+    *    is a literal when-chain on the stored code — the M×k LOOKUP
+    *    TABLE production PQ actually builds per query;
+    *  - EXACT: the same kernel with the query as a one-centroid set
+    *    ((v−q)² ≡ (q−v)², same index order, same round);
+    *  - the 3-query fan-out is a per-row explode of 3 literal-struct
+    *    results instead of a crossJoin (one corpus pass either way,
+    *    no join-row machinery).
+    *
+    * Every replaced expression is value-identical by construction, so
+    * both keys keep their oracles verbatim (re-verified at sf0.01 and
+    * sf1a); PqAnnSpec's independent plain-Scala recompute also pins
+    * the rows. */
   private def e65TailWith(e: DataFrame, cb: Seq[(Int, Int, Array[Double])],
       mSub: Int, w: Int): DataFrame = {
-    def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
-      round(aggregate(
-        zip_with(slice(vec, m * w + 1, w),
-          array(cw.map(lit(_)).toIndexedSeq: _*),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x), 6)
+    def bookOf(m: Int): Seq[(Int, Seq[Double])] =
+      cb.filter(_._1 == m).sortBy(_._2).map { case (_, j, cw) => (j, cw.toSeq) }
     def encode(vec: Column, m: Int): Column =
-      cb.filter(_._1 == m).map { case (_, j, cw) =>
-        struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
-        .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-        .getField("j")
+      graft.functions.NearestCentroid
+        .nearest(slice(vec, m * w + 1, w), bookOf(m)).getField("cid")
     val coded = e.select(
       (col("vec_id") +: col("v") +:
         (0 until mSub).map(m => encode(col("v"), m).as(s"c$m"))): _*)
-    val q = e.where(col("vec_id") >= 10 && col("vec_id") < 13)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    def adcSub(m: Int): Column =
-      cb.filter(_._1 == m).map { case (_, j, cw) =>
-        when(col(s"c$m") === j, subD2(col("qv"), m, cw)) }
-        .reduceRight((a, b) => a.otherwise(b))
-    val scored = coded.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"),
+    val qRows = e.where(col("vec_id") >= 10 && col("vec_id") < 13)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def subD2Const(qv: Array[Double], m: Int, cw: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < w) { val d = qv(m * w + i) - cw(i); acc += d * d; i += 1 }
+      r6(acc)
+    }
+    val qStructs = array(qRows.map { case (qid, qv) =>
+      def adcSub(m: Int): Column =
+        bookOf(m).map { case (j, cw) =>
+          when(col(s"c$m") === j, lit(subD2Const(qv, m, cw))) }
+          .reduceRight((a, b) => a.otherwise(b))
+      struct(lit(qid).as("q_id"),
         round((0 until mSub).map(adcSub).reduceLeft(_ + _), 6).as("adc_d2"),
-        round(aggregate(zip_with(col("qv"), col("v"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
-          .as("exact_d2"))
+        graft.functions.NearestCentroid.nearest(col("v"), Seq((0, qv.toSeq)))
+          .getField("d2").as("exact_d2"))
+    }.toIndexedSeq: _*)
+    val scored = coded
+      .select(col("vec_id").as("cand_id"), explode(qStructs).as("qs"))
+      .where(col("cand_id") =!= col("qs.q_id"))
+      .select(col("qs.q_id").as("q_id"), col("cand_id"),
+        col("qs.adc_d2").as("adc_d2"), col("qs.exact_d2").as("exact_d2"))
     val win = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_d2"), col("cand_id"))
     scored.withColumn("rank", row_number().over(win))
