@@ -219,6 +219,11 @@ object Bench {
       // e6_minhash_lsh 16.81x spread and the f-family 10-33% drift).
       // Unpersist them here, blocking, so every run starts block-free
       // and the cleanup cost is paid OUTSIDE the timed window.
+      // CONTRACT (r12 advice): this sweep also drops localCheckpoint
+      // blocks, whose lineage is truncated — no DataFrame handle may be
+      // held across timed runs (none is: every run rebuilds its plan
+      // from the key function; a held handle would throw, not silently
+      // recompute).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       graft.streaming.StreamBusy.reset()

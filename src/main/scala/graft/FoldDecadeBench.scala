@@ -32,6 +32,10 @@ object FoldDecadeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sfx10")
     val nBatches = if (args.length > 1) args(1).toInt else 64
+    // quartiles() divides slice sums by nBatches/4 — fewer than 4
+    // batches would divide by zero and emit NaN/Infinity JSON (r12
+    // advice)
+    require(nBatches >= 4, s"nBatches must be >= 4, got $nBatches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -46,7 +46,14 @@ object Plans {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // auxiliary dumps: plan-shape evidence for internal legs a declared
+    // key executes before its returned plan (e2pq's phase-1 ADC
+    // shortlist — the codes-only scan is the format's claim and would
+    // otherwise be invisible in the declared dump)
+    val aux: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("e2pq_adc_leg" -> ((s, d) => graft.sources.IvfServe.e2pqAdcLeg(s, d)._1))
+    (selected ++ (if (only.isEmpty) aux else aux.filter(kv => only.get(kv._1))))
+      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // streaming-drain and iterative queries execute on construction and
       // report their final batch plan like any other
       try {

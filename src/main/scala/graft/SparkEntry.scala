@@ -88,6 +88,9 @@ object SparkEntry {
     "e2v_ivf_serve"     -> (graft.sources.IvfServe.e2vIvfServe _),
     "e2w_ivf_multiprobe" -> (graft.sources.IvfServe.e2wIvfMultiprobe _),
     "e2a_filtered_ann"  -> (graft.sources.IvfServe.e2aFilteredAnn _),
+    "e2x_filtered_multiprobe" -> (graft.sources.IvfServe.e2xFilteredMultiprobe _),
+    "e2n_nprobe_sweep"  -> (graft.sources.IvfServe.e2nNprobeSweep _),
+    "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
@@ -365,23 +368,12 @@ object SparkEntry {
     * `nprobe > 1` ranks ALL trained cells per query by (rounded d2,
     * cid) and sweeps the nearest `nprobe`; `candLabelFilter` pushes
     * the filtered-ANN attribute predicate into the candidate side. */
-  private def ivfServeOracleSql(basePred: String, seedPred: String,
-      nprobe: Int, candLabelFilter: Boolean): String = {
-    val candPred = if (candLabelFilter) " AND c.label < 5" else ""
-    val candLabelCol = if (candLabelFilter) "c.label AS cand_label," else ""
-    val labelOut = if (candLabelFilter) "cand_label, " else ""
-    val qCte =
-      if (nprobe == 1)
-        "q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg WHERE vec_id < 8)"
-      else
-        s"""q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 8),
-           |q AS (SELECT q_id, qv, qn, cid AS cell FROM (
-           |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
-           |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
-           |      round(list_dot_product(
-           |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
-           |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
-           |  FROM q0 CROSS JOIN c1) WHERE rn <= $nprobe)""".stripMargin
+  /** The trained-serve BUILD replay shared by every IVF oracle: seed
+    * k=64 coarse centroids on the training base, one Lloyd recompute,
+    * assign the WHOLE corpus under the trained centroids. Ends at the
+    * `asg` CTE (vec_id, label, v, cell, nrm); `c1` (the trained
+    * centroids) stays visible for probe-cell ranking. */
+  private def ivfChainPrefix(basePred: String, seedPred: String): String =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v FROM e WHERE $basePred),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
@@ -407,7 +399,26 @@ object SparkEntry {
        |  FROM e CROSS JOIN c1),
        |asg AS (SELECT vec_id, label, v, cid AS cell, list_dot_product(v, v) AS nrm
        |  FROM (SELECT *, row_number() OVER
-       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1),
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1)""".stripMargin
+
+  private def ivfServeOracleSql(basePred: String, seedPred: String,
+      nprobe: Int, candLabelFilter: Boolean): String = {
+    val candPred = if (candLabelFilter) " AND c.label < 5" else ""
+    val candLabelCol = if (candLabelFilter) "c.label AS cand_label," else ""
+    val labelOut = if (candLabelFilter) "cand_label, " else ""
+    val qCte =
+      if (nprobe == 1)
+        "q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg WHERE vec_id < 8)"
+      else
+        s"""q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 8),
+           |q AS (SELECT q_id, qv, qn, cid AS cell FROM (
+           |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
+           |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
+           |      round(list_dot_product(
+           |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
+           |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+           |  FROM q0 CROSS JOIN c1) WHERE rn <= $nprobe)""".stripMargin
+    s"""${ivfChainPrefix(basePred, seedPred)},
        |$qCte,
        |j AS (SELECT q_id, c.vec_id AS cand_id, $candLabelCol
        |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
@@ -417,6 +428,54 @@ object SparkEntry {
        |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim FROM r WHERE "rank" <= 3
        |ORDER BY q_id, "rank"""".stripMargin
   }
+
+  /** e2n's oracle: the trained chain, every query's cells ranked to
+    * depth 8, per-(query, probe-rank) top-3, the sweep lifted by a
+    * correlated UNNEST (a rank-r survivor serves every nprobe ≥ r),
+    * hits against the full-corpus exact top-3, and the per-nprobe
+    * cells/candidate-row counts — the engine's whole declared table. */
+  private val e2nOracleSql: String =
+    s"""${ivfChainPrefix("TRUE", "vec_id < 64")},
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 8),
+       |pc AS (SELECT q_id, qv, qn, cid AS cell, CAST(rn AS INTEGER) AS pr FROM (
+       |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
+       |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
+       |      round(list_dot_product(
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+       |  FROM q0 CROSS JOIN c1) WHERE rn <= 8),
+       |j AS (SELECT pc.q_id, pc.pr, c.vec_id AS cand_id,
+       |    round(list_dot_product(pc.qv, c.v) / (sqrt(pc.qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM pc JOIN asg c ON pc.cell = c.cell AND c.vec_id <> pc.q_id),
+       |pcell AS (SELECT q_id, pr, cand_id, cos_sim FROM (
+       |  SELECT j.*, row_number() OVER
+       |    (PARTITION BY q_id, pr ORDER BY cos_sim DESC, cand_id) AS rk FROM j)
+       |  WHERE rk <= 3),
+       |sw AS (SELECT q_id, CAST(u.np AS INTEGER) AS nprobe, cand_id, cos_sim
+       |  FROM pcell, UNNEST(range(pr, 9)) AS u(np)),
+       |t3 AS (SELECT q_id, nprobe, cand_id FROM (
+       |  SELECT sw.*, row_number() OVER
+       |    (PARTITION BY q_id, nprobe ORDER BY cos_sim DESC, cand_id) AS rk FROM sw)
+       |  WHERE rk <= 3),
+       |ex AS (SELECT q_id, cand_id FROM (
+       |  SELECT q0.q_id, c.vec_id AS cand_id, row_number() OVER
+       |    (PARTITION BY q0.q_id ORDER BY
+       |      round(list_dot_product(q0.qv, c.v) / (sqrt(q0.qn) * sqrt(c.nrm)), 6) DESC,
+       |      c.vec_id) AS rk
+       |  FROM q0 CROSS JOIN asg c WHERE c.vec_id <> q0.q_id) WHERE rk <= 3),
+       |h AS (SELECT nprobe, count(*) AS n_hits FROM t3
+       |  JOIN ex ON t3.q_id = ex.q_id AND t3.cand_id = ex.cand_id GROUP BY nprobe),
+       |cl AS (SELECT CAST(u.np AS INTEGER) AS nprobe, count(DISTINCT cell) AS n_cells
+       |  FROM pc, UNNEST(range(pr, 9)) AS u(np) GROUP BY 1),
+       |cr AS (SELECT CAST(u.np AS INTEGER) AS nprobe, count(*) AS n_cand_rows
+       |  FROM j, UNNEST(range(pr, 9)) AS u(np) GROUP BY 1),
+       |nq AS (SELECT count(*) AS n FROM q0)
+       |SELECT cl.nprobe, cl.n_cells, cr.n_cand_rows,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  round(coalesce(h.n_hits, 0) / (3.0 * nq.n), 6) AS recall_at3
+       |FROM cl JOIN cr ON cl.nprobe = cr.nprobe
+       |LEFT JOIN h ON h.nprobe = cl.nprobe CROSS JOIN nq
+       |ORDER BY cl.nprobe""".stripMargin
 
   private val e6OracleSql: String =
     """WITH w AS (SELECT doc_id,
@@ -2134,6 +2193,18 @@ object SparkEntry {
       ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = false),
     "e2a_filtered_ann" ->
       ivfServeOracleSql("TRUE", "vec_id < 64", 1, candLabelFilter = true),
+    // e2x: the recall knob and the attribute predicate composed —
+    // e2w's 4-cell sweep with e2a's candidate predicate
+    "e2x_filtered_multiprobe" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = true),
+    // e2n: the declared recall/cost curve — see e2nOracleSql
+    "e2n_nprobe_sweep" -> e2nOracleSql,
+    // e2pq reads the SAME probed cells through the stored-codes ADC
+    // shortlist + exact rescore — the LAYOUT changes the plan (codes
+    // scan + point fetch), never the answer: exact top-3 ⊆ ADC top-64
+    // (spec-pinned), so the oracle IS e2v's (the e2i precedent)
+    "e2pq_ivfpq_probe" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 1, candLabelFilter = false),
     // e2f: the quantizer trains on the PRE-ARRIVAL base only (the
     // frozen-quantizer maintenance contract) but the assignment — and
     // so the probe's candidate set — covers base AND folded arrivals:

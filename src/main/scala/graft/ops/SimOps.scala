@@ -1332,44 +1332,7 @@ object SimOps {
         graft.streaming.DocStreams.deleteTree(Paths.get(root))
         val e = vectors(graft.Tables.spreadIfNarrow(embeddings(s, d), col("vec_id")))
           .select(col("vec_id"), col("v"))
-        def subD2(vec: Column, m: Int, cw: Array[Double]): Column =
-          round(aggregate(
-            zip_with(slice(vec, m * w + 1, w),
-              array(cw.map(lit(_)).toIndexedSeq: _*),
-              (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x), 6)
-        // argmin over subspace m's current codewords; the fold keeps the
-        // earlier (lower-j) codeword on a rounded-d2 tie, the e40 stance
-        def encodeWith(cb: Seq[(Int, Int, Array[Double])], vec: Column, m: Int): Column =
-          cb.filter(_._1 == m).map { case (_, j, cw) =>
-            struct(subD2(vec, m, cw).as("d"), lit(j).as("j")) }
-            .reduceLeft((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-            .getField("j")
-        def encodeAll(cb: Seq[(Int, Int, Array[Double])]): DataFrame =
-          e.select((col("vec_id") +: col("v") +:
-            (0 until mSub).map(m => encodeWith(cb, col("v"), m).as(s"c$m"))): _*)
-        // seed books: 6-dp rounded subspace slices of vecs 0..3 (e65's)
-        val seeds: Seq[(Int, Int, Array[Double])] =
-          e.where(col("vec_id") < kCodes)
-            .select(col("vec_id").cast("int").as("j"),
-              transform(col("v"), x => round(x, 6)).as("rv"))
-            .orderBy("j").collect().toSeq
-            .flatMap { r =>
-              val full = r.getSeq[Double](1).toArray
-              (0 until mSub).map(m => (m, r.getInt(0), full.slice(m * w, m * w + w)))
-            }.sortBy(t => (t._1, t._2))
-        // ONE Lloyd recompute round: assign under the seeds, re-center
-        // each (m, code) cell — M·k rows collected (bounded by the model)
-        val trained: Seq[(Int, Int, Array[Double])] =
-          encodeAll(seeds)
-            .select(explode(array((0 until mSub).map(m =>
-              struct(lit(m).as("m"), col(s"c$m").as("j"),
-                slice(col("v"), m * w + 1, w).as("sl"))): _*)).as("x"))
-            .select(col("x.m").as("m"), col("x.j").as("j"), col("x.sl").as("sl"))
-            .groupBy("m", "j")
-            .agg(graft.functions.VectorCentroid.centroid(col("sl")).as("cw"))
-            .orderBy("m", "j").collect().toSeq
-            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        val trained = trainPqBooks(s, e, mSub, kCodes, dim)
         import s.implicits._
         trained.map(t => (t._1, t._2, t._3.toSeq)).toDF("m", "j", "cw")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
@@ -1377,6 +1340,53 @@ object SimOps {
         trained
       }
     }
+
+  /** The shared PQ codebook TRAINER — e65b's one-Lloyd-round
+    * trajectory, parameterized in (M, k, dim) so the composed IVF-PQ
+    * layout ([[graft.sources.IvfServe]], r12 verdict ask #1) trains
+    * its per-cell codes with the identical discipline:
+    *
+    *  - seeds: the kCodes LOWEST-vec_id rows' 6-dp rounded subspace
+    *    slices, codeword id = seed RANK (on the dense fixture ids this
+    *    EQUALS vec_id, so e65b's oracle predicate `vec_id < k` replays
+    *    the same seed set; rank keeps the ids dense 0..k-1 when the
+    *    training base starts above 0 — the e2f fold base);
+    *  - ONE assign → re-center round per subspace: assignment runs on
+    *    the [[graft.functions.NearestCentroid]] kernel (bit-parity
+    *    with the HOF reduceLeft fold it replaced is pinned in
+    *    NearestCentroidSpec — identical 6-dp round, identical
+    *    earlier-j-wins tie), re-centering is the VectorCentroid
+    *    partial agg — M·k rows of driver state, bounded by the model;
+    *  - a codeword that loses every member DROPS OUT (the e40
+    *    empty-cluster convention) — and can then never appear as a
+    *    stored code, because encode argmins over survivors only. */
+  private[graft] def trainPqBooks(s: SparkSession, base: DataFrame,
+      mSub: Int, kCodes: Int, dim: Int): Seq[(Int, Int, Array[Double])] = {
+    val w = dim / mSub
+    def encode(cb: Seq[(Int, Int, Array[Double])], vec: Column, m: Int): Column =
+      graft.functions.NearestCentroid.nearest(slice(vec, m * w + 1, w),
+        cb.filter(_._1 == m).sortBy(_._2).map { case (_, j, cw) => (j, cw.toSeq) })
+        .getField("cid")
+    val seeds: Seq[(Int, Int, Array[Double])] =
+      base.orderBy("vec_id").limit(kCodes)
+        .select(col("vec_id"), transform(col("v"), x => round(x, 6)).as("rv"))
+        .collect().toSeq.zipWithIndex
+        .flatMap { case (r, j) =>
+          val full = r.getSeq[Double](1).toArray
+          (0 until mSub).map(m => (m, j, full.slice(m * w, m * w + w)))
+        }.sortBy(t => (t._1, t._2))
+    base
+      .select((col("vec_id") +: col("v") +:
+        (0 until mSub).map(m => encode(seeds, col("v"), m).as(s"c$m"))): _*)
+      .select(explode(array((0 until mSub).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("j"),
+          slice(col("v"), m * w + 1, w).as("sl"))): _*)).as("x"))
+      .select(col("x.m").as("m"), col("x.j").as("j"), col("x.sl").as("sl"))
+      .groupBy("m", "j")
+      .agg(graft.functions.VectorCentroid.centroid(col("sl")).as("cw"))
+      .orderBy("m", "j").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+  }
 
   /** e65's declared tail — encode the corpus, ADC + exact for the
     * 10..12 query set, top-5 — parameterized by the codebooks so the

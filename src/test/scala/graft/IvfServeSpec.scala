@@ -102,6 +102,103 @@ class IvfServeSpec extends AnyFunSuite {
       s"server-side routing must match the plan fold: $routed vs $inPlan")
   }
 
+  test("e2x filtered multiprobe: both pruning layers at nprobe=4; filtered recall never drops vs e2a") {
+    val df = IvfServe.e2xFilteredMultiprobe(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"partition layer missing: $scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("label"),
+      s"label predicate must push to the SAME probed scan: $scanLine")
+    val p4 = IvfServe.probedCells(spark, sf, IvfServe.NProbe)
+    assert(p4.length <= 8 * IvfServe.NProbe)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) < 5), "every survivor's label honors the filter")
+    // recall against the FILTERED exact top-3 (the honest denominator:
+    // the key's contract is "best matches AMONG label < 5")
+    val v = Tables.embeddings(spark, sf)
+      .where(col("label") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = Tables.embeddings(spark, sf).where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def filteredExactTop3(q: Long): Set[Long] =
+      v.toSeq.filter(_._1 != q)
+        .map { case (c, x) => (c, cos(qv(q), x)) }
+        .sortBy { case (c, s2) => (-s2, c) }.take(3).map(_._1).toSet
+    def recall(rs: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rs.groupBy(_.getLong(0))
+      byQ.map { case (q, qs) =>
+        qs.map(_.getLong(2)).toSet.intersect(filteredExactTop3(q)).size / 3.0
+      }.sum / byQ.size
+    }
+    val rA = recall(IvfServe.e2aFilteredAnn(spark, sf).collect())
+    val rX = recall(rows)
+    info(f"filtered recall@3: nprobe=1 $rA%.3f -> nprobe=${IvfServe.NProbe} $rX%.3f")
+    assert(rX >= rA,
+      f"e2x's candidates strictly contain e2a's — filtered recall must not drop: $rX%.3f < $rA%.3f")
+  }
+
+  test("e2n sweep: recall@3 monotone non-decreasing in nprobe; cells/candidates grow") {
+    val rows = IvfServe.e2nNprobeSweep(spark, sf).collect()
+    assert(rows.length == IvfServe.SweepMax, s"one row per nprobe 1..8: ${rows.length}")
+    val byNp = rows.sortBy(_.getInt(0))
+    assert(byNp.map(_.getInt(0)).toSeq == (1 to IvfServe.SweepMax),
+      "nprobe column must cover 1..SweepMax")
+    val recalls = byNp.map(_.getDouble(4)).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"candidate sets are supersets in nprobe — recall must be monotone: $recalls")
+    val cells = byNp.map(_.getLong(1)).toSeq
+    assert(cells.zip(cells.tail).forall { case (a, b) => b >= a },
+      s"cells read must not shrink with nprobe: $cells")
+    val cands = byNp.map(_.getLong(2)).toSeq
+    assert(cands.zip(cands.tail).forall { case (a, b) => b > a },
+      s"every extra probe adds candidates: $cands")
+    info(s"recall trajectory: ${recalls.mkString(", ")} over cells ${cells.mkString(", ")}")
+  }
+
+  test("e2pq: ADC leg scans codes only (no embedding column); rows equal e2v's; containment margin") {
+    val (topR, _, _) = IvfServe.e2pqAdcLeg(spark, sf)
+    val p = topR.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"partition layer missing: $scanLine")
+    // inspect the ReadSchema struct itself, not the whole scan line —
+    // the fixture PATH contains the substring "embedding"
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("").split("ReadSchema:").last
+    assert(readSchema.contains("c0") && readSchema.contains(s"c${IvfServe.PqM - 1}"),
+      s"ADC must read the stored codes: $readSchema")
+    assert(!readSchema.contains("embedding"),
+      s"ADC must NOT read the embedding column — that is the format's claim: $readSchema")
+    assert(!p.contains("NearestCentroid"),
+      "no per-row encode in the probe: codes are stored at build time")
+    // declared rows are exactly e2v's — the layout never changes the answer
+    val pq = IvfServe.e2pqIvfPqProbe(spark, sf).collect().map(_.toSeq)
+    val v = IvfServe.e2vIvfServe(spark, sf).collect().map(_.toSeq)
+    assert(pq.toSeq == v.toSeq, "IVF-PQ must return e2v's exact rows")
+    // containment margin: the exact top-3's WORST rank inside the ADC
+    // shortlist — how much of AdcR the quantization error actually uses
+    val adcRank = topR.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+    }
+    val worst = v.groupBy(_.head.asInstanceOf[Long]).map { case (q, rows3) =>
+      rows3.map(r => adcRank(q).indexOf(r(2).asInstanceOf[Long]) + 1).max
+    }.max
+    info(s"containment margin: worst exact-top-3 rank in ADC shortlist = $worst of ${IvfServe.AdcR}")
+    assert(worst >= 1, "every exact top-3 member must be in the ADC shortlist")
+    // the rescore fetch is a pushed point lookup
+    val fp = IvfServe.e2pqIvfPqProbe(spark, sf).queryExecution.executedPlan.toString
+    val fetchLine = fp.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("vec_id")).getOrElse("")
+    assert(fetchLine.nonEmpty, s"survivor ids must push into the fetch scan:\n$fp")
+  }
+
   test("staleness: touching the source re-stages the serve layout") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("ivf-serve-stale")
