@@ -92,6 +92,7 @@ object SparkEntry {
     "e2n_nprobe_sweep"  -> (graft.sources.IvfServe.e2nNprobeSweep _),
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
+    "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "e16_dedup_clusters" -> (ClusterOps.e16DedupClusters _),
     "e19_dedup_pipeline" -> (ClusterOps.e19DedupPipeline _),
     "e70_curation_pipeline" -> (CurationOps.e70CurationPipeline _),
+    "e70b_curation_split"   -> (CurationOps.e70bCurationSplit _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -477,6 +479,74 @@ object SparkEntry {
        |LEFT JOIN h ON h.nprobe = cl.nprobe CROSS JOIN nq
        |ORDER BY cl.nprobe""".stripMargin
 
+  /** e70/e70b's shared stage 1-4 replay (decon → quality → dedup
+    * with recursive-CTE connected components → mixture), ending at
+    * the `mx` survivors CTE; `lab` (the CC labels) stays visible for
+    * e70b's cluster-keyed split. Hoisted so both oracles splice the
+    * IDENTICAL chain (never self-reference oracleSql entries). */
+  private val e70ChainSql: String =
+    """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END) AS sh FROM d0),
+        |shAll AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |bench AS (SELECT DISTINCT sh FROM shAll
+        |  WHERE doc_id % 23 = 7 AND doc_id < 100000),
+        |contam AS (SELECT doc_id FROM shAll JOIN bench USING (sh)
+        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
+        |  GROUP BY doc_id HAVING count(*) >= 4),
+        |s1 AS (SELECT * FROM d0
+        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok FROM s1
+        |  WHERE len(w) > 0
+        |    AND round(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) / len(w), 6) <= 0.14
+        |    AND coalesce(CASE WHEN len(w) >= 2 THEN
+        |      round(1 - len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> array_to_string(w[i:i+1], ' ')))) / (len(w) - 1), 6)
+        |      END, 0) <= 0.12),
+        |sh AS (SELECT * FROM shAll WHERE doc_id IN (SELECT doc_id FROM q)),
+        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
+        |bands AS (SELECT doc_id, hid // 2 AS band,
+        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
+        |  JOIN sh x1 ON x1.doc_id = p.d1
+        |  JOIN sh x2 ON x2.doc_id = p.d2 AND x2.sh = x1.sh
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT p.d1, p.d2 FROM pairs p
+        |  JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
+        |  JOIN counts c1 ON c1.doc_id = p.d1
+        |  JOIN counts c2 ON c2.doc_id = p.d2
+        |  WHERE round(c.n_common / (c1.n_sh + c2.n_sh - c.n_common), 6) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM cand
+        |  UNION SELECT d2 AS a, d1 AS b FROM cand),
+        |verts AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b),
+        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM lab WHERE node != cluster_id),
+        |dd AS (SELECT q.* FROM q LEFT JOIN dropped dr ON q.doc_id = dr.node
+        |  WHERE dr.node IS NULL),
+        |dim(source, wt) AS (VALUES
+        |  ('src0', 3.0), ('src1', 3.0), ('src2', 3.0), ('src3', 3.0), ('src4', 3.0)),
+        |mx AS (SELECT dd.doc_id, dd.source, dd.n_tok
+        |  FROM dd LEFT JOIN dim USING (source)
+        |  WHERE CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0
+        |    < CAST(least(1.0, coalesce(wt, 1.0) * 0.25) AS DOUBLE))""".stripMargin
+
   private val e6OracleSql: String =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -684,15 +754,17 @@ object SparkEntry {
         |FROM p ORDER BY event_id""".stripMargin,
     "e22_seq_pack" ->
       """WITH t AS (SELECT doc_id, source,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tok,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |    AS shard
         |  FROM documents),
-        |c AS (SELECT doc_id, source, n_tok,
-        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |c AS (SELECT doc_id, source, shard, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT source, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS window_id,
+        |SELECT source, shard, CAST(floor((cum - n_tok) / 256) AS BIGINT) AS window_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY source, window_id""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3 ORDER BY source, shard, window_id""".stripMargin,
     "e14b_stratified_sample" ->
       """WITH k AS (SELECT doc_id, lang,
         |  md5(text || '|' || CAST(doc_id AS VARCHAR)) AS sample_key FROM documents),
@@ -2211,6 +2283,29 @@ object SparkEntry {
     // a dropped/duplicated/mis-assigned arriving vector is a hash miss
     "e2f_ivf_fold" ->
       ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false),
+    // e2g: per-cell occupancy of base vs folded arrivals under e2f's
+    // frozen quantizer — the drift gate's declared metric; the oracle
+    // recomputes both occupancy sides from the same assignment chain,
+    // so a mis-assigned/dropped/double-counted arrival is a hash miss
+    "e2g_drift_gate" ->
+      s"""${ivfChainPrefix("vec_id >= 16", "vec_id < 80")},
+         |bc AS (SELECT cell, count(*) AS n_base FROM asg WHERE vec_id >= 16 GROUP BY cell),
+         |ac AS (SELECT cell, count(*) AS n_arr FROM asg WHERE vec_id < 16 GROUP BY cell),
+         |tot AS (SELECT (SELECT count(*) FROM asg WHERE vec_id >= 16) AS tb,
+         |               (SELECT count(*) FROM asg WHERE vec_id < 16) AS ta),
+         |cells AS (SELECT coalesce(bc.cell, ac.cell) AS cell,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_arr, 0) AS n_arr
+         |  FROM bc FULL JOIN ac ON bc.cell = ac.cell),
+         |sh2 AS (SELECT cell, n_base, n_arr,
+         |    round(n_base / CAST(tb AS DOUBLE), 6) AS base_share,
+         |    round(n_arr / CAST(ta AS DOUBLE), 6) AS arr_share,
+         |    round(abs(round(n_arr / CAST(ta AS DOUBLE), 6)
+         |      - round(n_base / CAST(tb AS DOUBLE), 6)), 6) AS share_drift
+         |  FROM cells CROSS JOIN tot),
+         |mxd AS (SELECT max(share_drift) AS max_drift FROM sh2)
+         |SELECT cell, n_base, n_arr, base_share, arr_share, share_drift,
+         |  mxd.max_drift, mxd.max_drift > CAST(0.5 AS DOUBLE) AS gate_tripped
+         |FROM sh2 CROSS JOIN mxd WHERE n_arr > 0 ORDER BY cell""".stripMargin,
     "e2c_topk_native" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS nrm FROM e),
@@ -2335,82 +2430,62 @@ object SparkEntry {
     // e70: the full-width curation DAG as ONE oracle — decon → quality
     // → dedup (CC keeper) → mixture → packing → shard manifest, every
     // stage consuming the previous stage's survivors; drift anywhere
-    // reshapes the windows and misses the 64-row hash
-    "e70_curation_pipeline" ->
-      """WITH RECURSIVE
-        |d0 AS (SELECT doc_id, source,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-        |  THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
-        |  ELSE [] END) AS sh FROM d0),
-        |shAll AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        |bench AS (SELECT DISTINCT sh FROM shAll
-        |  WHERE doc_id % 23 = 7 AND doc_id < 100000),
-        |contam AS (SELECT doc_id FROM shAll JOIN bench USING (sh)
-        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
-        |  GROUP BY doc_id HAVING count(*) >= 4),
-        |s1 AS (SELECT * FROM d0
-        |  WHERE NOT (doc_id % 23 = 7 AND doc_id < 100000)
-        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
-        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok FROM s1
-        |  WHERE len(w) > 0
-        |    AND round(list_max(list_transform(list_distinct(w),
-        |      x -> len(list_filter(w, y -> y = x)))) / len(w), 6) <= 0.14
-        |    AND coalesce(CASE WHEN len(w) >= 2 THEN
-        |      round(1 - len(list_distinct(list_transform(range(1, len(w)),
-        |        i -> array_to_string(w[i:i+1], ' ')))) / (len(w) - 1), 6)
-        |      END, 0) <= 0.12),
-        |sh AS (SELECT * FROM shAll WHERE doc_id IN (SELECT doc_id FROM q)),
-        |sigs AS (SELECT doc_id, hid, min(md5(CAST(hid AS VARCHAR) || ':' || sh)) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS hid) h GROUP BY doc_id, hid),
-        |bands AS (SELECT doc_id, hid // 2 AS band,
-        |  md5(string_agg(mh, '' ORDER BY hid)) AS bh FROM sigs GROUP BY doc_id, hid // 2),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (SELECT p.d1, p.d2, count(*) AS n_common FROM pairs p
-        |  JOIN sh x1 ON x1.doc_id = p.d1
-        |  JOIN sh x2 ON x2.doc_id = p.d2 AND x2.sh = x1.sh
-        |  GROUP BY 1, 2),
-        |cand AS (SELECT p.d1, p.d2 FROM pairs p
-        |  JOIN common c ON p.d1 = c.d1 AND p.d2 = c.d2
-        |  JOIN counts c1 ON c1.doc_id = p.d1
-        |  JOIN counts c2 ON c2.doc_id = p.d2
-        |  WHERE round(c.n_common / (c1.n_sh + c2.n_sh - c.n_common), 6) >= 0.5),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM cand
-        |  UNION SELECT d2 AS a, d1 AS b FROM cand),
-        |verts AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (
-        |  SELECT node, node AS r FROM verts
-        |  UNION
-        |  SELECT e.a AS node, reach.r AS r FROM edges e JOIN reach ON reach.node = e.b),
-        |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
-        |dropped AS (SELECT node FROM lab WHERE node != cluster_id),
-        |dd AS (SELECT q.* FROM q LEFT JOIN dropped dr ON q.doc_id = dr.node
-        |  WHERE dr.node IS NULL),
-        |dim(source, wt) AS (VALUES
-        |  ('src0', 3.0), ('src1', 3.0), ('src2', 3.0), ('src3', 3.0), ('src4', 3.0)),
-        |mx AS (SELECT dd.doc_id, dd.source, dd.n_tok
-        |  FROM dd LEFT JOIN dim USING (source)
-        |  WHERE CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) / 4294967296.0
-        |    < CAST(least(1.0, coalesce(wt, 1.0) * 0.25) AS DOUBLE)),
-        |pk AS (SELECT doc_id, source, n_tok,
-        |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+    // reshapes the windows and misses the 64-row hash. Since r13 the
+    // packing window is keyed by (source, pack_shard) — e26's hash —
+    // and e70b appends the leakage-safe split (the e70Chain CTEs are
+    // shared verbatim).
+    "e70_curation_pipeline" -> (e70ChainSql +
+      """,
+        |pk0 AS (SELECT doc_id, source, n_tok,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |    AS pack_shard FROM mx),
+        |pk AS (SELECT doc_id, source, pack_shard, n_tok,
+        |  CAST(floor((sum(n_tok) OVER (PARTITION BY source, pack_shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 256)
         |    AS BIGINT) AS window_id
-        |  FROM mx),
-        |wins AS (SELECT source, window_id, count(*) AS n_docs,
+        |  FROM pk0),
+        |wins AS (SELECT source, pack_shard, window_id, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |  CAST(('0x' || substring(md5(source || ':' || CAST(window_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) % 64 AS shard
-        |  FROM pk GROUP BY source, window_id)
+        |  CAST(('0x' || substring(md5(source || ':' || CAST(pack_shard AS VARCHAR)
+        |    || ':' || CAST(window_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS shard
+        |  FROM pk GROUP BY source, pack_shard, window_id)
         |SELECT shard, count(*) AS n_windows, CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM wins GROUP BY shard ORDER BY shard""".stripMargin,
+        |FROM wins GROUP BY shard ORDER BY shard""".stripMargin),
+    // e70b: the chain + e67's cluster-keyed split (md5 of the stage-3
+    // CC rep, 80/10/10), split-then-pack so a window can never straddle
+    // splits, leak_clusters recomputed relationally
+    "e70b_curation_split" -> (e70ChainSql +
+      """,
+        |rp AS (SELECT mx.doc_id, mx.source, mx.n_tok,
+        |    coalesce(lab.cluster_id, mx.doc_id) AS rep
+        |  FROM mx LEFT JOIN lab ON lab.node = mx.doc_id),
+        |spl AS (SELECT doc_id, source, n_tok, rep,
+        |  CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+        |    THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+        |    THEN 'val' ELSE 'test' END AS split FROM rp),
+        |lk AS (SELECT count(*) AS leak_clusters FROM (
+        |  SELECT rep FROM spl GROUP BY rep HAVING count(DISTINCT split) > 1)),
+        |pk0 AS (SELECT doc_id, source, split, n_tok,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |    AS pack_shard FROM spl),
+        |pk AS (SELECT doc_id, source, split, pack_shard, n_tok,
+        |  CAST(floor((sum(n_tok) OVER (PARTITION BY split, source, pack_shard
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 256)
+        |    AS BIGINT) AS window_id
+        |  FROM pk0),
+        |wins AS (SELECT split, source, pack_shard, window_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(('0x' || substring(md5(split || ':' || source || ':'
+        |    || CAST(pack_shard AS VARCHAR) || ':' || CAST(window_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 64 AS shard
+        |  FROM pk GROUP BY split, source, pack_shard, window_id)
+        |SELECT split, shard, count(*) AS n_windows, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  (SELECT leak_clusters FROM lk) AS leak_clusters
+        |FROM wins GROUP BY split, shard ORDER BY split, shard""".stripMargin),
     "e3b_token_regex" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS tok

@@ -165,8 +165,14 @@ object VecStreams {
     * vector sharing a query's cell must appear here after its batch
     * lands (and not before), even when it misses the top-3. */
   private[graft] def e2fCandidates(s: SparkSession, d: String,
-      work: java.nio.file.Path): DataFrame = {
-    val root = foldBaseDir(d)
+      work: java.nio.file.Path): DataFrame =
+    candidatesAt(s, foldBaseDir(d), Some(work.resolve("folds")), d)
+
+  /** The same probe against ANY trained layout root (queries routed
+    * under THAT root's centroids) with optional fold dirs — the
+    * re-stage spec probes the rebuilt index through this. */
+  private[graft] def candidatesAt(s: SparkSession, root: String,
+      foldRootOpt: Option[java.nio.file.Path], d: String): DataFrame = {
     val cents = IvfServe.centroidsAt(s, root)
     val q = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"),
@@ -175,16 +181,40 @@ object VecStreams {
         SimOps.bestCentroid(col("qv"), cents).getField("cid"))
     val cells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
+    scoredAgainst(s, root, foldRootOpt, q, cells)
+  }
+
+  /** Multi-probe variant (the e2w knob against an arbitrary root) —
+    * queries routed driver-side to their `nprobe` nearest cells; the
+    * re-stage spec measures that a REBALANCED index serves the same
+    * recall through its probe knob while reading fewer candidates
+    * than one drift-fattened frozen cell. */
+  private[graft] def multiprobeCandidatesAt(s: SparkSession, root: String,
+      foldRootOpt: Option[java.nio.file.Path], d: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cents = IvfServe.centroidsAt(s, root).map { case (c, v) => (c, v.toArray) }
+    val qRows = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val routed = qRows.toSeq.flatMap { case (qid, qv) =>
+      IvfServe.nearestCells(qv, cents, nprobe).map(c => (qid, qv.toSeq, c)) }
+    val q = routed.toDF("q_id", "qv", "cell")
+    scoredAgainst(s, root, foldRootOpt, q, routed.map(_._3).distinct.sorted)
+  }
+
+  private def scoredAgainst(s: SparkSession, root: String,
+      foldRootOpt: Option[java.nio.file.Path], q: DataFrame,
+      cells: Seq[Int]): DataFrame = {
     val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
     val base = s.read.parquet(s"$root/lists")
       .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*)
-    val foldRoot = work.resolve("folds")
     // a probe BEFORE the first arrival batch: base-only (the dir does
     // not exist yet — the e63sResult empty-delta convention)
-    val foldDirs =
+    val foldDirs = foldRootOpt.toSeq.flatMap { foldRoot =>
       if (java.nio.file.Files.isDirectory(foldRoot))
         EventStreams.foldDirsToRead(foldRoot)
       else Seq.empty[String]
+    }
     val all =
       if (foldDirs.isEmpty) base
       else base.unionByName(
@@ -217,5 +247,108 @@ object VecStreams {
     DocStreams.deleteTree(work)
     e2fDrain(s, dir, work)
     e2fProbe(s, dir, work)
+  }
+
+  /** Occupancy-drift bar for [[e2gDriftGate]]: re-stage when some
+    * cell's arrival share diverges from its base share by more than
+    * this. 1/16-granular arrival shares on iid fixtures measure ≤ 0.1
+    * (sf0.01: 0.096, sf0.1: 0.051); a one-cell drift cluster measures
+    * ~1 − base_share ≈ 0.98 — the bar sits in the dead middle. */
+  val DriftBar = 0.5
+
+  /** E2g: the QUANTIZER-LIFECYCLE drift gate (r12 verdict ask #2) —
+    * [[e2fIvfFoldStream]] freezes the trained quantizer forever, which
+    * is the right per-insert contract, but a production IVF index
+    * RETRAINS ON A CADENCE when arrivals drift: an ever-fattening cell
+    * ruins probe cost (answers stay exact — in-cell rescore — so the
+    * failure is COST, which is exactly what occupancy skew sees).
+    *
+    * The declared key drains the arrival stream fresh (the e2f
+    * protocol, its own work dir), folds arrivals under the frozen
+    * quantizer, and emits the per-cell occupancy comparison: for every
+    * cell with arrivals — base count/share, arrival count/share, the
+    * |arr − base| share drift, the corpus-wide max drift, and the gate
+    * verdict. [[maybeRestage]] then applies the lifecycle contract:
+    * rebuild the trained layout over base+arrivals when the gate
+    * trips (a no-op on the iid fixture — VecDriftSpec plants a real
+    * drift cluster, trips it, and measures that the rebuild
+    * redistributes the mass and shrinks the drifted probe while recall
+    * holds).
+    *
+    * The DuckDB oracle replays the whole base-trained chain and both
+    * occupancy sides from the same assignment, so a mis-assigned,
+    * dropped, or double-counted arrival is a hash miss.
+    *
+    * 100 TB path: both occupancy sides are metadata-sized aggregates
+    * (≤ k rows out of partial counts — the lists' footers could even
+    * answer the base side); the gate decision reads k rows; the
+    * rebuild, when it fires, costs what the build cost — the point of
+    * the gate is paying it on MEASURED drift instead of on a timer. */
+  def e2gDriftGate(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2g", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    e2fDrain(s, dir, work)
+    maybeRestage(s, dir, work) // the lifecycle contract; no-op unless tripped
+    driftReport(s, dir, work)
+  }
+
+  /** Per-cell occupancy drift of the folded arrivals vs the trained
+    * base — the declared e2g relation (cells with arrivals, ordered). */
+  private[graft] def driftReport(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    val root = foldBaseDir(d)
+    val base = s.read.parquet(s"$root/lists")
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val foldRoot = work.resolve("folds")
+    val foldDirs =
+      if (java.nio.file.Files.isDirectory(foldRoot))
+        EventStreams.foldDirsToRead(foldRoot)
+      else Seq.empty[String]
+    require(foldDirs.nonEmpty, s"drift gate needs folded arrivals under $foldRoot")
+    val arr = s.read.parquet(foldDirs: _*)
+      .groupBy("cell").agg(count(lit(1)).as("n_arr"))
+    val cells = base.join(arr, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_arr"), lit(0L)).as("n_arr"))
+    // k-row relation from here on: the scalar attaches are broadcast
+    // 1-row aggregates (the suite convention)
+    val tot = cells.agg(sum("n_base").as("tb"), sum("n_arr").as("ta"))
+    val sh = cells.crossJoin(broadcast(tot))
+      .withColumn("base_share", round(col("n_base") / col("tb").cast("double"), 6))
+      .withColumn("arr_share", round(col("n_arr") / col("ta").cast("double"), 6))
+      .withColumn("share_drift", round(abs(col("arr_share") - col("base_share")), 6))
+    val mx = sh.agg(max(col("share_drift")).as("max_drift"))
+    sh.crossJoin(broadcast(mx))
+      .withColumn("gate_tripped", col("max_drift") > DriftBar)
+      .where(col("n_arr") > 0)
+      .select("cell", "n_base", "n_arr", "base_share", "arr_share",
+        "share_drift", "max_drift", "gate_tripped")
+      .orderBy("cell")
+  }
+
+  /** The re-stage decision: read the gate, rebuild when tripped.
+    * Returns the restaged root when a rebuild happened. */
+  private[graft] def maybeRestage(s: SparkSession, d: String,
+      work: java.nio.file.Path): Option[java.nio.file.Path] = {
+    val md = driftReport(s, d, work)
+      .agg(max(col("max_drift"))).head().getDouble(0)
+    if (md > DriftBar) Some(restageWithArrivals(s, d, work)) else None
+  }
+
+  /** The rebuild leg: retrain the full layout (coarse quantizer AND
+    * PQ books) over base + arrivals — the e57/e63 refresh discipline
+    * applied to the index itself. The frozen-quantizer fold protocol
+    * resumes from the new layout; every already-written base list is
+    * superseded, never edited in place. */
+  private[graft] def restageWithArrivals(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    val dst = work.resolve("restaged")
+    DocStreams.deleteTree(dst)
+    IvfServe.buildTrainedLayout(s, dst.toString, IvfServe.corpusView(s, d))
+    dst
   }
 }

@@ -120,29 +120,36 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("e22: packing is exhaustive and matches a re-derived running-offset assignment") {
     val rows = CurationOps.e22SeqPack(spark, sf).collect()
-    val totalDocs = rows.map(_.getLong(2)).sum
+    val totalDocs = rows.map(_.getLong(3)).sum
     assert(totalDocs == graft.Tables.documents(spark, sf).count())
-    // re-derive window_id = floor(prior_cum / 256) per source directly —
-    // no contiguity assumption (a doc longer than the 256-token window
+    // re-derive window_id = floor(prior_cum / 256) per (source, shard)
+    // — shard = e26's md5(doc_id) % 64 (r13 keying) — directly; no
+    // contiguity assumption (a doc longer than the 256-token window
     // legitimately skips window ids)
+    def md5shard(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 64
+    }
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),
         size(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).as("n_tok"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
-    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
-      var cum = 0L
-      ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
-        val w = cum / 256; cum += n; ((src, w), (id, n))
+    val expected = docs.groupBy(d => (d._2, md5shard(d._1))).toSeq
+      .flatMap { case ((src, sh), ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
+          val w = cum / 256; cum += n; ((src, sh, w), (id, n))
+        }
+      }.groupBy(_._1).map { case (k, xs) =>
+        k -> ((xs.size.toLong, xs.map(_._2._2).sum,
+          xs.map(_._2._1).min, xs.map(_._2._1).max))
       }
-    }.groupBy(_._1).map { case (k, xs) =>
-      k -> ((xs.size.toLong, xs.map(_._2._2).sum,
-        xs.map(_._2._1).min, xs.map(_._2._1).max))
-    }
     assert(rows.length == expected.size, "window set must match the re-derivation")
     rows.foreach { r =>
-      val k = (r.getString(0), r.getLong(1))
-      assert(expected(k) == ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))),
+      val k = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(expected(k) == ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))),
         s"window $k stats diverge from the running-offset re-derivation")
     }
   }

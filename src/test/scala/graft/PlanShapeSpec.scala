@@ -200,6 +200,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("E22/E70 packing window partitions by (source, shard) — bounded per-task sort at any skew") {
+    // r12 verdict ask #6: the running-offset window keyed by source
+    // alone sorts a whole source per task; the shard key (e26's md5
+    // hash) makes the no-global-sort claim STRUCTURAL — per-task sort
+    // volume is |source|/64 at any source skew
+    val p = plan(CurationOps.e22SeqPack(spark, sf))
+    val winLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(winLine.contains("source") && winLine.contains("shard"),
+      s"packing window must partition by (source, shard): $winLine")
+    // keepLazyForPlans: e70's materializeAndRelease would otherwise
+    // collapse the dump to Scan ExistingRDD (the r11 localCheckpoint
+    // lesson)
+    Tables.keepLazyForPlans = true
+    try {
+      val p70 = plan(CurationOps.e70CurationPipeline(spark, sf))
+      val win70 = p70.linesIterator.find(_.contains("Window ")).getOrElse("")
+      assert(win70.contains("source") && win70.contains("pack_shard"),
+        s"e70 stage-5 window must partition by (source, pack_shard): $win70")
+    } finally Tables.keepLazyForPlans = false
+  }
+
   test("E36 epoch order: the shard window's exchange is reused by the final aggregation") {
     val p = plan(CurationOps.e36EpochOrder(spark, sf))
     // one hashpartitioning exchange (window on shard; groupBy(shard) is
