@@ -226,6 +226,33 @@ object Bench {
       // recompute).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // Reliable-checkpoint leftovers (the CC loops' rdd-N dirs) are
+      // never reclaimed by Spark (cleanCheckpoints defaults false, and
+      // enabling it would put the cleanup at GC-arbitrary points INSIDE
+      // later timed windows — the exact r11 hazard). The r13 5-pass
+      // diag probe measured the growth: +10 files per pass, unbounded
+      // in count even though ~0 MB at sf0.1 — and the dir lives on
+      // tmpfs, where growth steals the same RAM the executors use.
+      // Every run rebuilds its plan from scratch (the contract above),
+      // so prior runs' checkpoint data is garbage by construction:
+      // delete it here, outside the timed window.
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(ckptDir)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val st = java.nio.file.Files.walk(root)
+          try st.iterator().asScala.toList
+            .filter(p => java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("rdd-"))
+            .foreach { d =>
+              val fs = java.nio.file.Files.walk(d)
+              try fs.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally fs.close()
+            }
+          finally st.close()
+        }
+      }
       graft.streaming.StreamBusy.reset()
       val t0 = System.nanoTime()
       try {
@@ -253,9 +280,57 @@ object Bench {
       sys.error("SPARK_GRAFT_BENCH_ONLY matched no queries — nothing to bench")
     val names = ordered.map(_._1)
     val byName = ordered.toMap
+    // Per-pass resource diagnostics (SPARK_GRAFT_BENCH_DIAG=1): the r12
+    // driver artifact's pass totals rose monotonically 158.8 → 167.6 →
+    // 186.6 s (+17%) where the builder's run was flat — something
+    // accumulates ACROSS passes in that environment. This probe logs,
+    // after every pass (outside any timed window): used heap after a
+    // forced GC, cumulative GC time, the checkpoint dir's bytes/files
+    // (tmpfs — growth there steals the same RAM the executors use),
+    // Spark's scratch trees under java.io.tmpdir (blockmgr-*/spark-*:
+    // shuffle files whose cleanup is GC-driven), and the staged fixture
+    // tree — so a rising pass total can be read against the resource
+    // that rose with it.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def du(path: String): (Long, Long) = scala.util.Try {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) (0L, 0L)
+      else {
+        var bytes = 0L; var files = 0L
+        val s = java.nio.file.Files.walk(root)
+        try s.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            bytes += scala.util.Try(java.nio.file.Files.size(p)).getOrElse(0L)
+            files += 1
+          }
+        } finally s.close()
+        (bytes, files)
+      }
+    }.getOrElse((0L, 0L))
+    def diagLine(tag: String, passWall: Double): Unit = if (diag) {
+      System.gc()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / 1048576
+      val (cb, cf) = du(ckptDir)
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      val scratch = Option(tmpRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+      val (tb, tf) = scratch.map(f => du(f.getPath))
+        .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      val (fb, _) = du("target/fixtures")
+      println(f"[bench-diag] $tag wall=$passWall%.1f heap_mb=$heapMb " +
+        f"gc_ms=${gcMillis()} ckpt_mb=${cb / 1048576} ckpt_files=$cf " +
+        f"scratch_mb=${tb / 1048576} scratch_files=$tf fixtures_mb=${fb / 1048576}")
+    }
     // warm pass doubles as streaming-key detection (busy > 0)
     val warm = ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
     val streamingKeys = names.filter(n => warm(n)._2 > 0).toSet
+    diagLine("warm", warm.values.map(_._1).filter(_ >= 0).sum)
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
@@ -264,8 +339,21 @@ object Bench {
       if (r._1 < 0) -1.0
       else if (streamingKeys(name) && r._2 > 0) r._2
       else r._1
+    // 1-min loadavg sampled at every pass boundary (not just start/end):
+    // the r12 driver artifact's monotone pass-total rise (158.8 → 186.6)
+    // was unattributable because the two endpoint samples looked flat —
+    // a per-pass series lets a reader line a rising total up against
+    // rising AMBIENT load (the r13 probe reproduced exactly that: its
+    // slowest pass coincided with load climbing 1.65 → 5.57).
+    val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
     val passRepeats: Seq[Map[String, (Double, Double)]] =
-      (1 to passes).map { _ => ordered.map { case (n, f) => n -> run(n, f) }.toMap }
+      (1 to passes).map { k =>
+        val m = ordered.map { case (n, f) => n -> run(n, f) }.toMap
+        passLoads += loadavg()
+        diagLine(s"pass$k",
+          names.map(n => contributed(n, m(n))).filter(_ >= 0).sum)
+        m
+      }
     // raws per query, in pass order; contended queries get extra repeats
     val raws = scala.collection.mutable.Map[String, Vector[Double]]() ++
       names.map(n => n -> passRepeats.map(r => contributed(n, r(n))).toVector)
@@ -304,7 +392,9 @@ object Bench {
     val passTotals = passRepeats
       .map(r => fmt(names.map(n => contributed(n, r(n))).filter(_ >= 0).sum))
       .mkString("[", ",", "]")
+    val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
     val proto = s""""attempt":"$attemptId","passes":$passes,"pass_totals":$passTotals,""" +
+      s""""pass_loads":$passLoadsJson,""" +
       s""""run_order":"alphabetical-interleaved","warmup":1,""" +
       s""""contended":$contended,"load_start":${fmt(loadStart)},""" +
       s""""load_end":${fmt(loadEnd)},"checkpoint_dir":"$ckptDir""""
