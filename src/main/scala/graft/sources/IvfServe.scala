@@ -294,6 +294,35 @@ object IvfServe {
     rankedTop3(rescored(probedLists(s, d, cells), q))
   }
 
+  /** Multi-probe top-`k` candidates for the staged queries with
+    * `q_id < qMax` — the VECTOR LEG of hybrid retrieval
+    * (`RetrievalOps.e71HybridRrf`). Same driver-side routing, probed
+    * cell pruning, exact rescore and bounded-heap tail as [[probe]];
+    * only the query subset and the leg depth are the caller's.
+    * Returns (q_id, cand_id, cos_sim, vec_rank), rank 1 = best, ties
+    * (cos desc, cand_id asc) — the discipline every serve key shares. */
+  private[graft] def multiprobeTopK(s: SparkSession, d: String,
+      nprobe: Int, k: Int, qMax: Long): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    val cents = centroidsCached(s, serveDir(d))
+    val rows = s.read.parquet(s"${serveDir(d)}/queries").collect().toSeq
+      .filter(_.getLong(0) < qMax)
+      .flatMap { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble)
+        nearestCells(qv.toArray, cents, nprobe)
+          .map(cell => (r.getLong(0), qv, cell))
+      }
+    val q = rows.toDF("q_id", "qv", "cell")
+    val cells = rows.map(_._3).distinct.sorted
+    val top = graft.plans.TopKPerKey.topKPerKey(
+      rescored(probedLists(s, d, cells), q), k,
+      keys = Seq("q_id"), orderBy = Seq(("cos_sim", false), ("cand_id", true)))
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("vec_rank", row_number().over(
+      Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+  }
+
   /** E2v: the PROBE-ONLY trained-IVF key — nprobe=1. The number this
     * key exists to put on the board: probe seconds < e2's flat-scan
     * seconds at the same SF (SCALE.md), because only ~|query cells|/64

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.RetrievalOps
+import graft.sources.IvfServe
+
+/** e71 — hybrid BM25 + IVF-multiprobe retrieval with RRF fusion.
+  * Claims beyond the DuckDB oracle:
+  *  (1) shape: exactly 5 rows per query, dense ranks 1..5, no query
+  *      doc retrieved as its own candidate;
+  *  (2) the fused score IS reciprocal-rank fusion: a plain-Scala
+  *      1/(60+rank) recompute from the emitted leg ranks matches
+  *      rrf_score bit-for-bit at the declared 6-dp rounding;
+  *  (3) fusion is load-bearing on the fixture: at least one answer
+  *      row is surfaced by BOTH legs, and a dual-leg row outranks
+  *      every single-leg row of the same query (2/61-ish beats 1/61 —
+  *      the reason hybrid retrieval exists);
+  *  (4) leg consistency: the vector leg's candidates contain e2w's
+  *      declared top-3 for the shared queries (same layout, same
+  *      routing, same tie discipline — e71 only deepens k). */
+class E71RetrievalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private lazy val rows = RetrievalOps.e71HybridRrf(spark, sf).collect()
+
+  test("shape: 5 dense-ranked rows per query, self excluded") {
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until RetrievalOps.NQueries).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"ranks of q=$q")
+      assert(rs.forall(_.getLong(2) != q), s"q=$q retrieved itself")
+    }
+  }
+
+  test("rrf_score is the declared 1/(60+rank) fusion, 6-dp") {
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(4)) 0.0 else 1.0 / (RetrievalOps.RrfK + r.getInt(4))
+      val vec = if (r.isNullAt(5)) 0.0 else 1.0 / (RetrievalOps.RrfK + r.getInt(5))
+      assert(r.getDouble(3) == r6(lex + vec),
+        s"rrf mismatch at (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("a dual-leg candidate exists and outranks single-leg rows") {
+    val dual = rows.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+    assert(dual.nonEmpty, "fixture must exercise actual fusion")
+    dual.foreach { d =>
+      rows.filter(r => r.getLong(0) == d.getLong(0) &&
+          (r.isNullAt(4) || r.isNullAt(5)))
+        .foreach(s => assert(d.getDouble(3) > s.getDouble(3),
+          s"dual-leg row must out-score single-leg rows for q=${d.getLong(0)}"))
+    }
+  }
+
+  test("vector leg contains e2w's declared top-3 for the shared queries") {
+    val e2w = IvfServe.e2wIvfMultiprobe(spark, sf).collect()
+      .filter(_.getLong(0) < RetrievalOps.NQueries)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val vecLeg = IvfServe.multiprobeTopK(spark, sf, IvfServe.NProbe,
+        RetrievalOps.LegK, RetrievalOps.NQueries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2w.subsetOf(vecLeg),
+      s"missing: ${e2w.diff(vecLeg)} — the deeper leg must contain the top-3")
+  }
+}
