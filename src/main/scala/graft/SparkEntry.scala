@@ -193,6 +193,7 @@ object SparkEntry {
     "e62_zorder_scan"       -> (graft.sources.ZOrderLayout.e62ZorderScan _),
     "e63_incr_agg"          -> (EventOps.e63IncrAgg _),
     "e63s_incr_stream"      -> (graft.streaming.EventStreams.e63sStreamIncrAgg _),
+    "e72_snapshot_read"     -> (graft.streaming.SnapshotFolds.e72SnapshotRead _),
     "e64_pagerank"          -> (ClusterOps.e64Pagerank _),
     "e65_pq_ann"            -> (SimOps.e65PqAnn _),
     "e66_hll_state_merge"   -> (EventOps.e66HllStateMerge _),
@@ -1789,6 +1790,28 @@ object SparkEntry {
     // e63s folds the SAME refresh through micro-batch deltas — drained
     // state must equal the batch key's answer under the same oracle
     "e63s_incr_stream" -> e63OracleSql,
+    // e72: read-at-snapshot over the manifested fold — the pinned
+    // snapshot (batch 2 of 4) equals the full recompute over the
+    // pre-boundary state plus the first 3 deterministic time-range
+    // buckets (eventsStreamBucketed's [tmin + span*i/4) slices)
+    "e72_snapshot_read" ->
+      """WITH bnd AS (SELECT min(epoch_us(ts)) AS tmin,
+        |    max(epoch_us(ts)) AS tmax FROM events),
+        |ev AS (SELECT e.* FROM events e, bnd
+        |  WHERE e.ts < TIMESTAMP '2024-01-24 00:00:00'
+        |     OR epoch_us(e.ts) < bnd.tmin + (bnd.tmax - bnd.tmin + 1) * 3 // 4),
+        |p AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+        |  min(min_cents) AS min_cents, max(max_cents) AS max_cents,
+        |  count(*) AS n_day_partials,
+        |  round(CAST(sum(sum_cents) AS DOUBLE) / sum(n), 6) AS avg_cents,
+        |  CAST(2 AS BIGINT) AS snapshot_id
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     // e66: the exact side is the recomputable contract (e18 convention —
     // the oracle cannot build a DataSketches HLL, so it pins the gate);
     // n_day_sketches is the state grain count, recomputed relationally

@@ -632,13 +632,19 @@ object EventStreams {
     * `> c` filter makes a half-finished cleanup harmless. */
   private[graft] def maybeCompactFolds(s: SparkSession,
       root: java.nio.file.Path, id: Long,
-      merge: DataFrame => DataFrame): Unit = {
+      merge: DataFrame => DataFrame,
+      spare: Set[String] = Set.empty): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     if (!Files.isDirectory(root)) return
     val c0 = latestFoldCompact(root).getOrElse(-1L)
+    // `spare` (SnapshotFolds): covered dirs still referenced by a
+    // retained snapshot manifest are merged forward like any other —
+    // the CURRENT read set never includes them — but not deleted, so
+    // a pinned read-at-snapshot stays resolvable under compaction.
     def cleanupCovered(c: Long): Unit = listFoldDirs(root)
       .filter(p => foldDirId(p, "batch=").exists(_ <= c) ||
         foldDirId(p, "compact=").exists(_ < c))
+      .filterNot(p => spare.contains(p.getFileName.toString))
       .foreach(deleteTree)
     val pending = listFoldDirs(root)
       .filter(p => foldDirId(p, "batch=").exists(b => b > c0 && b < id))
