@@ -97,8 +97,8 @@ object IvfServe {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "embeddings.parquet")
-    val sig = // s3: + PQ books, stored codes, vec_id-sorted point-fetch lists
-      s"s3:k=$K:pq=m${PqM}k$PqK:" +
+    val sig = // s5: refine (fetch) index sharded to ~100k rows/file
+      s"s5:k=$K:pq=m${PqM}k$PqK:" +
         s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -150,18 +150,37 @@ object IvfServe {
       // real scale the same exchange is the bucketed-table build, with
       // maxRecordsPerFile splitting oversized lists.
       .repartition(col("cell"))
-      // vec_id-SORTED within each list + 1 MiB row groups: the e2pq
-      // rescore is a POINT FETCH of ≤ queries×AdcR ids, and sorted
-      // row-group/page stats let that `vec_id IN (...)` prune to O(R)
-      // row groups instead of re-reading the probed cells' embedding
-      // column in full — the random-access contract a rescore needs.
-      // Full-cell scans (e2v/e2w/e2a) are insensitive to row-group
-      // granularity.
+      // vec_id-SORTED within each list, 1 MiB row groups — the
+      // full-cell probes' (e2v/e2w/e2a) scan unit.
       .sortWithinPartitions("cell", "vec_id")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.block.size", (1024 * 1024).toString)
       .partitionBy("cell")
       .parquet(s"$root/lists")
+    // The REFINE index (FAISS's IVFPQ+refine shape): the raw vectors a
+    // second time, vec_id-range-sharded and sorted, in ~64 KB row
+    // groups (~230 rows each). The e2pq rescore is a POINT FETCH of
+    // ≤ queries×AdcR scattered ids; fetching them from the LISTS
+    // re-reads the probed cells' embedding column nearly in full
+    // (AdcR ids per cell land in every 1 MiB group — measured ≈ e2v's
+    // whole read at sfx100, which ate the ADC leg's win), while tiny
+    // sorted groups bound the fetch at O(survivors × 64 KB) bytes AT
+    // ANY CORPUS SIZE. File sizing matters as much as group sizing:
+    // the reader parses each touched file's FOOTER in full, so ~100k
+    // rows per file keeps footer metadata O(400 groups) — an 8-file
+    // layout at 20M vectors put 10k row groups in every footer and the
+    // fetch spent more time parsing stats than reading data (measured
+    // 127 MB of I/O for a 12 MB fetch). Storage honestly doubles on
+    // the vector column — the trade every production refine index
+    // makes.
+    val nFetchFiles = math.max(8, math.min(256,
+      math.ceil(base.count() / 100000.0).toInt))
+    base.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(nFetchFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$root/fetch")
     cents
   }
 
@@ -477,9 +496,11 @@ object IvfServe {
     *     O(1) array indexings per subspace; TopKPerKey keeps the
     *     [[AdcR]] best per query;
     *  2. exact rescore: a POINT FETCH of the ≤ queries×AdcR survivor
-    *     ids (`vec_id IN (...)` pushed into the vec_id-sorted lists —
-    *     row-group/page stats prune the fetch to O(R) row groups),
-    *     exact cosine, top-3.
+    *     ids (`vec_id IN (...)` pushed into the REFINE index — the
+    *     vec_id-range-sharded, 64 KB-row-group second copy of the raw
+    *     vectors the build writes; sorted group stats prune the fetch
+    *     to O(survivors) tiny groups at any corpus size), exact
+    *     cosine, top-3.
     *
     * The LAYOUT NEVER CHANGES THE ANSWER: the declared rows are e2v's
     * (oracle shared verbatim — the e2i precedent), which holds exactly
@@ -495,7 +516,7 @@ object IvfServe {
     * has anyway (route → shortlist → fetch). SCALE.md measures the
     * probe beside e2v across the vector decades. */
   def e2pqIvfPqProbe(s: SparkSession, d: String): DataFrame = {
-    val (topR, routed, cells) = e2pqAdcLeg(s, d)
+    val (topR, routed, _) = e2pqAdcLeg(s, d)
     val surv = topR.select("q_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     // the In-list must reach the parquet reader as an exact predicate:
@@ -505,9 +526,8 @@ object IvfServe {
     // of 512 stats checks per row group is noise next to a read)
     s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "600")
     val ids = surv.map(_._2).distinct.sorted
-    val fetch = s.read.parquet(s"${serveDir(d)}/lists")
-      .where(col("cell").isin(cells.map(Int.box): _*) &&
-        col("vec_id").isin(ids.map(Long.box): _*))
+    val fetch = s.read.parquet(s"${serveDir(d)}/fetch")
+      .where(col("vec_id").isin(ids.map(Long.box): _*))
       .select(col("vec_id").as("cand_id"),
         col("embedding").cast("array<double>").as("v"))
     import s.implicits._
