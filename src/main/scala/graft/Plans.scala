@@ -20,7 +20,13 @@ object Plans {
       re.replaceAllIn(t, m => fmt(ids.getOrElseUpdate(m.group(1), ids.size)))
     }
     val a = renumber(text, "#(\\d+)".r, n => s"#$n")
-    renumber(a, "plan_id=(\\d+)".r, n => s"plan_id=$n")
+    val b = renumber(a, "plan_id=(\\d+)".r, n => s"plan_id=$n")
+    // two more session-global counters that churned every regeneration:
+    // lambda variable ids (x_179 → x_180 whenever an earlier query adds
+    // a HOF) and JVM identity hashes in native-Expression literal
+    // arguments ([[D@63c25f3a — a new array object every run)
+    val c = renumber(b, "lambda x_(\\d+)".r, n => s"lambda x_$n")
+    c.replaceAll("@[0-9a-f]{6,10}", "@~")
   }
 
   def main(args: Array[String]): Unit = {
