@@ -61,10 +61,18 @@ object RetrievalOps {
     val toks = SimOps.tokensArr
     val docs = graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d),
       col("doc_id"))
-    val lens = docs.select(col("doc_id"), size(toks).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // tf is PERSISTED (the e6 shared-sub-relation discipline): four
+    // consumers read it (scoring join, dfreq, doc lengths, query-term
+    // selection), and unpersisted each would re-tokenize and re-shuffle
+    // the corpus — measured ~3 full tf evaluations at sfx100. Doc
+    // length dl is derived as sum(tf) per doc instead of a second
+    // tokenization pass (identical value: tokens are counted either
+    // way; the oracle's len(w) agrees).
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // query terms: each query doc's top-QTerms by (tf desc, term asc) —
     // the window sorts ≤ the query docs' own vocabularies, never the
