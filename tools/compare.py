@@ -19,6 +19,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    # The heavy recursive-CTE oracles (e70/e70b connected components at
+    # sf1a) materialize every iteration's frontier; insertion-order
+    # preservation roughly doubles that working set and pushed the
+    # spill past the disk budget. Optional env overrides for memory
+    # limit and temp placement keep the big re-verifies runnable.
+    con.execute("SET preserve_insertion_order=false")
+    import os as _os
+    if _os.environ.get("GRAFT_DUCKDB_MEMORY"):
+        con.execute(
+            f"SET memory_limit='{_os.environ['GRAFT_DUCKDB_MEMORY']}'")
+    if _os.environ.get("GRAFT_DUCKDB_TEMP"):
+        con.execute(
+            f"SET temp_directory='{_os.environ['GRAFT_DUCKDB_TEMP']}'")
+    if _os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(
+            f"SET threads={int(_os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
