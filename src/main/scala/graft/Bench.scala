@@ -59,6 +59,33 @@ object BenchStats {
 
   def needsRerun(xs: Seq[Double]): Boolean = spread(xs) > SpreadLimit
 
+  /** LOAD-AWARE per-key aggregation (r13 verdict ask #4 — closes the
+    * bench-drift saga): the r13 artifact recorded pass loads
+    * [6.0, 5.2, 26.8] but still reported per-key medians over ALL
+    * passes, so with 2 of 3 passes contended the median WAS a contended
+    * sample. Every repeat now carries the 1-minute loadavg sampled at
+    * its pass boundary (extra repeats sample their own), and the
+    * reported figure is:
+    *
+    *  - the median over repeats whose load sat under `bar` (ambient
+    *    load is the HOST's doing — those repeats measure the code);
+    *  - falling back to the MIN of all valid repeats when no repeat ran
+    *    clean (min is the sample least inflated by contention; the
+    *    artifact's `contended` stamp still marks the run);
+    *  - falling back to the tightest-window median when the load signal
+    *    itself is unavailable (/proc/loadavg unreadable → -1 samples).
+    */
+  def loadRobust(xs: Seq[Double], loads: Seq[Double], bar: Double,
+      windowK: Int): Double = {
+    val paired = xs.zipAll(loads, -1.0, -1.0).filter(_._1 >= 0)
+    if (paired.isEmpty) -1.0
+    else if (paired.forall(_._2 < 0)) tightestWindow(xs, windowK)._1
+    else {
+      val clean = paired.collect { case (v, l) if l >= 0 && l <= bar => v }
+      if (clean.nonEmpty) median(clean) else paired.map(_._1).min
+    }
+  }
+
   /** The subset of per-query medians whose rendered JSON map fits in
     * `budget` bytes, preferring the SLOWEST queries (the ones a perf
     * reader needs), returned in name order.
@@ -98,10 +125,16 @@ object BenchStats {
   *    alphabetical order, so a transient machine-load spike lands on one
   *    repeat of many queries instead of all repeats of one query;
   *  - per-query repeats whose max/min spread exceeds 3× are re-run (up
-  *    to 3 extra repeats) and the reported number is the median of the
-  *    TIGHTEST window of `passes` repeats; if even that window spreads
-  *    >3× the artifact carries `"contended": true`. 1-minute /proc
-  *    loadavg is recorded at start and end either way;
+  *    to 3 extra repeats); if even the tightest window of `passes`
+  *    repeats spreads >3× the artifact carries `"contended": true`.
+  *    1-minute /proc loadavg is recorded at start, at every pass
+  *    boundary, and at end;
+  *  - the REPORTED per-key figure is LOAD-AWARE (r13 ask #4): the
+  *    median over repeats whose pass-boundary loadavg sat under the
+  *    bar (default cpus/2; SPARK_GRAFT_BENCH_LOADBAR overrides),
+  *    falling back to the min of valid repeats when every pass ran
+  *    contended, so one (or even two) load-spiked passes cannot
+  *    inflate the per-key numbers — see BenchStats.loadRobust;
   *  - STREAMING keys (detected by a nonzero StreamBusy reading) report
   *    BUSY seconds — the sum of micro-batch batchDurations — not wall:
   *    a file-replay stream's wall time is micro-batch scheduling
@@ -151,6 +184,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // e2pq refine-fetch In-list pushdown — IvfServe.InFilterThresholdPin
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.IvfServe.InFilterThresholdPin.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Evidence-chain hygiene (r9 ask: no unexplained [error] lines in the
@@ -354,9 +390,14 @@ object Bench {
           names.map(n => contributed(n, m(n))).filter(_ >= 0).sum)
         m
       }
-    // raws per query, in pass order; contended queries get extra repeats
+    // raws per query, in pass order; contended queries get extra repeats.
+    // Each repeat carries the loadavg sampled at its pass boundary (extra
+    // repeats sample their own) so the reported figure can prefer
+    // load-clean repeats — see BenchStats.loadRobust.
     val raws = scala.collection.mutable.Map[String, Vector[Double]]() ++
       names.map(n => n -> passRepeats.map(r => contributed(n, r(n))).toVector)
+    val rawLoads = scala.collection.mutable.Map[String, Vector[Double]]() ++
+      names.map(n => n -> passLoads.toVector)
     val wallRaws = scala.collection.mutable.Map[String, Vector[Double]]() ++
       names.map(n => n -> passRepeats.map(r => r(n)._1).toVector)
     val reruns = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -365,6 +406,7 @@ object Bench {
       while (BenchStats.needsRerun(raws(n)) && extra < BenchStats.MaxExtraRepeats) {
         val r = run(n, byName(n))
         raws(n) :+= contributed(n, r)
+        rawLoads(n) :+= loadavg()
         wallRaws(n) :+= r._1
         extra += 1
       }
@@ -378,7 +420,16 @@ object Bench {
           s"after $extra extra repeat(s)")
     }
     val windows = names.map(n => n -> BenchStats.tightestWindow(raws(n), passes)).toMap
-    val med = names.map(n => n -> windows(n)._1)
+    // reported per-key figure: load-filtered median (min / tightest-window
+    // fallbacks — BenchStats.loadRobust). Bar defaults to half the worker
+    // thread count: the suite's own steady load measures ~cpus/5 on this
+    // host while the r13 contended pass measured ~0.84×cpus, so cpus/2
+    // sits between the two regimes; override with SPARK_GRAFT_BENCH_LOADBAR.
+    val loadBar = sys.env.get("SPARK_GRAFT_BENCH_LOADBAR")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(cpus.toDouble / 2)
+    val med = names.map(n => n ->
+      BenchStats.loadRobust(raws(n), rawLoads(n), loadBar, passes))
     val contended = names.exists(n => windows(n)._2 > BenchStats.SpreadLimit)
     val loadEnd = loadavg()
     val total = med.map(_._2).filter(_ >= 0).sum
@@ -395,6 +446,7 @@ object Bench {
     val passLoadsJson = passLoads.map(fmt).mkString("[", ",", "]")
     val proto = s""""attempt":"$attemptId","passes":$passes,"pass_totals":$passTotals,""" +
       s""""pass_loads":$passLoadsJson,""" +
+      s""""agg":"load-robust","load_bar":${fmt(loadBar)},""" +
       s""""run_order":"alphabetical-interleaved","warmup":1,""" +
       s""""contended":$contended,"load_start":${fmt(loadStart)},""" +
       s""""load_end":${fmt(loadEnd)},"checkpoint_dir":"$ckptDir""""
@@ -423,12 +475,15 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val runsJson = jmap(names.map(n =>
       n -> raws(n).map(fmt).mkString("[", ",", "]")))
+    val loadsJson = jmap(names.map(n =>
+      n -> rawLoads(n).map(fmt).mkString("[", ",", "]")))
     val spreadJson = jmap(names.map(n => n -> fmt(windows(n)._2)))
     val rerunJson = jmap(names.filter(reruns(_) > 0).map(n => n -> reruns(n).toString))
     val streamWallJson = jmap(streamingKeys.toSeq.sorted.map(n =>
       n -> fmt(BenchStats.median(wallRaws(n)))))
     val detail = line.dropRight(1) +
-      s""","queries_runs":$runsJson,"queries_spread":$spreadJson""" +
+      s""","queries_runs":$runsJson,"queries_loads":$loadsJson""" +
+      s""","queries_spread":$spreadJson""" +
       s""","queries_rerun":$rerunJson,"streaming_wall":$streamWallJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath.toString)

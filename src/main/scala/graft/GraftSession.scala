@@ -25,6 +25,10 @@ object GraftSession {
       // GC'd checkpointed RDDs (e16's final per-query state) release
       // their files; intermediate loop state is deleted eagerly in-op
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // e2pq's refine fetch pushes a ~512-id In-list into the parquet
+      // reader — see graft.sources.IvfServe.InFilterThresholdPin
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.IvfServe.InFilterThresholdPin.toString)
 
   def local(
       cores: Int = Runtime.getRuntime.availableProcessors(),

@@ -26,7 +26,13 @@ object Plans {
     // a HOF) and JVM identity hashes in native-Expression literal
     // arguments ([[D@63c25f3a — a new array object every run)
     val c = renumber(b, "lambda x_(\\d+)".r, n => s"lambda x_$n")
-    c.replaceAll("@[0-9a-f]{6,10}", "@~")
+    // identity hashes only where the JVM prints them — `<type>@<hex>`
+    // with the type token ending in an identifier char, `;` (object
+    // array like [Ljava.lang.String;) or a primitive-array letter
+    // after `[`. A blanket `@hex` match also canonicalized hex-ish
+    // tokens inside string literals/names and could mask a real plan
+    // diff (r13 advice).
+    c.replaceAll("([A-Za-z0-9_$;\\]])@[0-9a-f]{6,10}\\b", "$1@~")
   }
 
   def main(args: Array[String]): Unit = {
@@ -37,6 +43,9 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // e2pq refine-fetch In-list pushdown — IvfServe.InFilterThresholdPin
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.IvfServe.InFilterThresholdPin.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // keep declared results lazy: materializeAndRelease would otherwise

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // e2pq refine-fetch In-list pushdown — IvfServe.InFilterThresholdPin
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.IvfServe.InFilterThresholdPin.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

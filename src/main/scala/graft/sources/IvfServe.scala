@@ -75,6 +75,18 @@ object IvfServe {
     * absorb quantization. */
   val AdcR = 64
 
+  /** Session-build pin for `spark.sql.parquet.pushdown.inFilterThreshold`
+    * — the e2pq rescore pushes a queries×[[AdcR]] = 512-id In-list into
+    * the refine-index scan, and past the default 10-value threshold
+    * Spark degrades In to a (min, max) range that prunes nothing over
+    * id-scattered survivors. 600 clears the worst-case list; an
+    * or-chain of 512 stats checks per row group is noise next to a
+    * read. Applied where every suite session is built (GraftSession,
+    * Bench, Verify, Plans, SparkTestSession) because the probe's plan
+    * is lazy — an in-key set could not be save/restored without
+    * defeating its own pushdown at execution time. */
+  val InFilterThresholdPin = 600
+
   def serveDir(d: String): String =
     sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures") +
       s"/embeddings_ivf_serve/${graft.util.PathKeys.keyedName(d)}"
@@ -172,9 +184,11 @@ object IvfServe {
     // fetch spent more time parsing stats than reading data (measured
     // 127 MB of I/O for a 12 MB fetch). Storage honestly doubles on
     // the vector column — the trade every production refine index
-    // makes.
-    val nFetchFiles = math.max(8, math.min(256,
-      math.ceil(base.count() / 100000.0).toInt))
+    // makes. File COUNT is uncapped (r13 advice: a 256-file cap would
+    // regrow per-footer group counts past ~25.6M vectors — the exact
+    // pathology this sharding exists to prevent); files are
+    // metadata-cheap at ~100k rows each regardless of corpus size.
+    val nFetchFiles = math.max(8, math.ceil(base.count() / 100000.0).toInt)
     base.select(col("vec_id"), col("embedding"))
       .repartitionByRange(nFetchFiles, col("vec_id"))
       .sortWithinPartitions("vec_id")
@@ -522,9 +536,12 @@ object IvfServe {
     // the In-list must reach the parquet reader as an exact predicate:
     // past the default 10-value threshold Spark degrades In to a
     // (min, max) range, which over id-scattered survivors prunes
-    // nothing — raise it past queries×AdcR (session-wide; an or-chain
-    // of 512 stats checks per row group is noise next to a read)
-    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "600")
+    // nothing. The threshold ([[InFilterThresholdPin]]) is pinned at
+    // SESSION BUILD (GraftSession / Bench / Verify / Plans / the test
+    // session) rather than mutated here: the returned plan is LAZY, so
+    // an in-key set could not be restored without defeating its own
+    // pushdown at execution time, and a key function mutating shared
+    // session state is a side-channel between queries (r13 advisory #1).
     val ids = surv.map(_._2).distinct.sorted
     val fetch = s.read.parquet(s"${serveDir(d)}/fetch")
       .where(col("vec_id").isin(ids.map(Long.box): _*))

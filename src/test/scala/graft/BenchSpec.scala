@@ -54,6 +54,27 @@ class BenchSpec extends AnyFunSuite {
     assert(tightestWindow(xs, 3)._2 > SpreadLimit)
   }
 
+  test("loadRobust: median over load-clean repeats; one contended pass cannot inflate") {
+    // r13's shape: passes 1 and 3 contended (loads 26.8-ish), pass 2 clean
+    // — the reported figure must be the clean repeat, not a contended median
+    assert(loadRobust(Seq(2.54, 0.85, 2.60), Seq(26.8, 5.2, 24.0), 16.0, 3) == 0.85)
+    // two clean passes: their median
+    assert(loadRobust(Seq(1.0, 1.2, 9.0), Seq(3.0, 4.0, 30.0), 16.0, 3) == 1.1)
+  }
+
+  test("loadRobust fallbacks: all-contended -> min; no load signal -> tightest window") {
+    // every pass contended: min is the least-inflated sample
+    assert(loadRobust(Seq(5.0, 3.0, 8.0), Seq(30.0, 28.0, 25.0), 16.0, 3) == 3.0)
+    // loadavg unreadable (-1 samples): the pre-r14 tightest-window median
+    assert(loadRobust(Seq(1.0, 1.1, 50.0), Seq(-1.0, -1.0, -1.0), 16.0, 2) == 1.05)
+    // crash sentinels excluded before any load filtering
+    assert(loadRobust(Seq(-1.0, 2.0), Seq(3.0, 3.0), 16.0, 3) == 2.0)
+    assert(loadRobust(Seq(-1.0, -1.0), Seq(3.0, 3.0), 16.0, 3) == -1.0)
+    // a repeat with no load sample is never "clean", but it still
+    // participates in the min fallback when no clean repeat exists
+    assert(loadRobust(Seq(9.0, 9.5, 1.0), Seq(30.0, 29.0), 16.0, 3) == 1.0)
+  }
+
   private val fmt3 = (v: Double) =>
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 

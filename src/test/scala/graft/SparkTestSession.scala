@@ -11,6 +11,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // e2pq refine-fetch In-list pushdown — IvfServe.InFilterThresholdPin
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.sources.IvfServe.InFilterThresholdPin.toString)
       // force Spark's external sorters onto their real spill path once a
       // task holds >16k rows (core conf, fixed at context creation) — lets
       // TopKOperatorSpec prove the sort-based final survives actual

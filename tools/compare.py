@@ -26,12 +26,20 @@ def main(sf_dir, out_dir, json_out=None):
     # limit and temp placement keep the big re-verifies runnable.
     con.execute("SET preserve_insertion_order=false")
     import os as _os
+    import re as _re
     if _os.environ.get("GRAFT_DUCKDB_MEMORY"):
-        con.execute(
-            f"SET memory_limit='{_os.environ['GRAFT_DUCKDB_MEMORY']}'")
+        mem = _os.environ["GRAFT_DUCKDB_MEMORY"]
+        # validate before interpolating into SET (r13 advice: a malformed
+        # value fails obscurely inside DuckDB or alters the statement)
+        if not _re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", mem, _re.IGNORECASE):
+            raise SystemExit(
+                f"GRAFT_DUCKDB_MEMORY must look like '24GB', got: {mem!r}")
+        con.execute(f"SET memory_limit='{mem}'")
     if _os.environ.get("GRAFT_DUCKDB_TEMP"):
-        con.execute(
-            f"SET temp_directory='{_os.environ['GRAFT_DUCKDB_TEMP']}'")
+        # DuckDB SET does not accept prepared parameters — escape the
+        # single-quote literal delimiter instead of splicing raw text
+        tmp = _os.environ["GRAFT_DUCKDB_TEMP"].replace("'", "''")
+        con.execute(f"SET temp_directory='{tmp}'")
     if _os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(
             f"SET threads={int(_os.environ['GRAFT_DUCKDB_THREADS'])}")
