@@ -160,6 +160,7 @@ object SparkEntry {
     "e32_centroid_agg"      -> (SimOps.e32CentroidAgg _),
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
+    "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -750,6 +751,35 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** e35's full BM25 replay — shared VERBATIM by `e35s_bm25_serve`
+    * (the staged inverted index serves the identical declared rows; a
+    * layout never changes the answer — the e2v/e2i precedent, applied
+    * to text). */
+  private val e35OracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term, df FROM (
+      |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
+      |    FROM dfreq)
+      |  WHERE r BETWEEN 20 AND 31),
+      |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+      |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+      |      (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+      |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id), st
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM sc)
+      |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
@@ -1154,30 +1184,12 @@ object SparkEntry {
     // 20-31 by (df DESC, term) split 4-per-query — derived from the
     // corpus in both engines identically; scores round to 6 dp BEFORE
     // ranking so both engines rank the same number, ties on doc_id
-    "e35_bm25_topk" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |lens AS (SELECT doc_id, len(w) AS dl FROM w),
-        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term, df FROM (
-        |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
-        |    FROM dfreq)
-        |  WHERE r BETWEEN 20 AND 31),
-        |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
-        |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
-        |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id), st
-        |  GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER
-        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM sc)
-        |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+    "e35_bm25_topk" -> e35OracleSql,
+    // e35s serves the SAME rows from the staged inverted index — the
+    // oracle replays the full recompute; a layout drift (stale
+    // postings, wrong bucket routing, lost df/dl denormalization) is
+    // a hash miss
+    "e35s_bm25_serve" -> e35OracleSql,
     "e36_epoch_order" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))

@@ -5,15 +5,24 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval: the production RAG serving stack's top query
-  * shape — a LEXICAL retriever (BM25 over the document corpus, e35's
-  * statistics discipline) and a VECTOR retriever (the trained-IVF
-  * multi-probe over the embeddings layout, e2w's probe discipline)
-  * fused by reciprocal-rank fusion into one ranked answer. Neither leg
-  * alone is what a retrieval system ships: keyword search misses
-  * paraphrases, vector search misses exact identifiers; RRF is the
-  * standard parameter-free fusion (Cormack et al., SIGIR 2009 — rank
-  * positions only, so the two legs' incomparable score scales never
-  * meet).
+  * shape — a LEXICAL retriever (BM25 over the document corpus) and a
+  * VECTOR retriever (the trained-IVF multi-probe over the embeddings
+  * layout, e2w's probe discipline) fused by reciprocal-rank fusion
+  * into one ranked answer. Neither leg alone is what a retrieval
+  * system ships: keyword search misses paraphrases, vector search
+  * misses exact identifiers; RRF is the standard parameter-free fusion
+  * (Cormack et al., SIGIR 2009 — rank positions only, so the two
+  * legs' incomparable score scales never meet).
+  *
+  * Since r14 BOTH legs probe stored layouts (r13 verdict ask #1): the
+  * vector leg reads nprobe/64 of the corpus through the trained IVF
+  * lists, and the lexical leg reads ONLY the query terms' postings
+  * through the term-bucketed inverted index
+  * ([[graft.sources.LexIndex]]) — the r13 shape recomputed tf/df/avgdl
+  * from the whole corpus on every call (63.4 s at sfx100, ~5×/decade,
+  * plus a corpus-sized persist the caller had to sweep). The fusion
+  * joins two ≤ NQueries×LegK relations — a driver-trivial tail at any
+  * corpus size.
   *
   * Reference scope note: the reference scraper has no retrieval
   * surface at all (its "search" is Selenium paging,
@@ -48,54 +57,15 @@ object RetrievalOps {
     * that retriever did not surface the candidate (its RRF
     * contribution is 0).
     *
-    * 100 TB path: the lexical leg is one pass of partial-aggregated
-    * tf/df statistics (e35's shapes — no window over corpus-sized
-    * relations) with the ≤ NQueries×QTerms query-term dim BROADCAST
-    * into the tf relation, so only rows sharing a query term are ever
-    * scored; the vector leg reads nprobe/K of the corpus through the
-    * partition-pruned trained layout and keeps top-LegK on map-side
-    * bounded heaps; fusion joins two ≤ NQueries×LegK relations — a
-    * driver-trivial tail at any corpus size. */
+    * 100 TB path: the lexical leg is one term-pruned postings scan
+    * (PartitionFilters on the query terms' buckets + pushed In(term);
+    * df/dl ride denormalized on the posting rows, stats broadcast
+    * 1-row) feeding map-side bounded heaps; the vector leg reads
+    * nprobe/K of the corpus through the partition-pruned trained
+    * layout; fusion joins two ≤ NQueries×LegK relations. */
   def e71HybridRrf(s: SparkSession, d: String): DataFrame = {
-    val (k1, b) = (1.2, 0.75)
-    val toks = SimOps.tokensArr
-    val docs = graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d),
-      col("doc_id"))
-    // tf is PERSISTED (the e6 shared-sub-relation discipline): four
-    // consumers read it (scoring join, dfreq, doc lengths, query-term
-    // selection), and unpersisted each would re-tokenize and re-shuffle
-    // the corpus — measured ~3 full tf evaluations at sfx100. Doc
-    // length dl is derived as sum(tf) per doc instead of a second
-    // tokenization pass (identical value: tokens are counted either
-    // way; the oracle's len(w) agrees).
-    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lens = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // query terms: each query doc's top-QTerms by (tf desc, term asc) —
-    // the window sorts ≤ the query docs' own vocabularies, never the
-    // corpus (the tf relation is pre-filtered to q_id rows)
-    val qsel = tf.where(col("doc_id") < NQueries)
-      .withColumn("r", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))))
-      .where(col("r") <= QTerms)
-      .select(col("doc_id").as("q_id"), col("term"))
-    // attach df: broadcast the tiny term set INTO dfreq (≤ N·Q rows out)
-    val qterms = dfreq.join(broadcast(qsel), Seq("term"))
-    val lexScored = tf.join(broadcast(qterms), Seq("term"))
-      .where(col("doc_id") =!= col("q_id"))
-      .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib",
-        log(lit(1.0) +
-          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("q_id", "doc_id")
-      .agg(round(sum(col("contrib")), 6).as("lex_score"))
-    val lexTop = graft.plans.TopKPerKey.topKPerKey(lexScored, LegK,
+    val lexTop = graft.plans.TopKPerKey.topKPerKey(
+        graft.sources.LexIndex.lexLegScored(s, d, NQueries, QTerms), LegK,
         keys = Seq("q_id"), orderBy = Seq(("lex_score", false), ("doc_id", true)))
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("lex_score").desc, col("doc_id"))))

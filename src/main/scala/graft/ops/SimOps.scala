@@ -259,7 +259,7 @@ object SimOps {
   /** Per-doc token array: lowercased whitespace split, empties dropped —
     * the single tokenizer definition shared by the shingle and bigram
     * builders and the stream-side per-row bands. */
-  private[ops] def tokensArr: Column =
+  private[graft] def tokensArr: Column =
     filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
 
   /** Distinct word-3-gram shingles per document — built PER ROW with
