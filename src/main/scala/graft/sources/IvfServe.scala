@@ -109,8 +109,8 @@ object IvfServe {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "embeddings.parquet")
-    val sig = // s5: refine (fetch) index sharded to ~100k rows/file
-      s"s5:k=$K:pq=m${PqM}k$PqK:" +
+    val sig = // s6: PQ codes quantize the RESIDUAL (v − cell centroid)
+      s"s6:k=$K:pq=m${PqM}k$PqK:" +
         s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -119,41 +119,60 @@ object IvfServe {
     if (stale) {
       graft.streaming.DocStreams.deleteTree(Paths.get(root))
       buildTrainedLayout(s, root, corpus(s, d))
-      Tables.embeddings(s, d).where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding"))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
+      stageQueries(s, root, d)
       Files.write(marker, sig.getBytes("UTF-8"))
     }
   }
+
+  /** Stage the bounded declared query set under `root` — shared with
+    * the spec-side raw-encode comparison layout. */
+  private[graft] def stageQueries(s: SparkSession, root: String, d: String): Unit =
+    Tables.embeddings(s, d).where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
 
   /** The shared BUILD leg (also the e2f fold stream's base build over
     * a filtered corpus): train k centroids on `base`, persist them and
     * the cell-partitioned inverted lists under `root`. */
   private[graft] def buildTrainedLayout(s: SparkSession, root: String,
-      base: DataFrame): Seq[(Int, Seq[Double])] = {
+      base: DataFrame, residualPq: Boolean = true): Seq[(Int, Seq[Double])] = {
     val cents = SimOps.trainCoarseCentroids(base.select("vec_id", "v"), K)
     import s.implicits._
     cents.toDF("cid", "c").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
-    // PQ books trained on the same base (M=8 × k=8, one Lloyd recompute
-    // — the e65b trajectory via the shared trainer), then every vector
-    // ENCODED AT BUILD TIME: the codes ride as c0..c7 int columns IN
-    // the inverted lists, so an ADC probe scans ~M small columns of the
-    // probed cells instead of the dim×4-byte embedding column — the
-    // read-bandwidth claim the IVF-PQ format exists to make. Column
-    // pruning keeps every non-PQ probe's scan unchanged.
-    val books = SimOps.trainPqBooks(s, base.select("vec_id", "v"), PqM, PqK, Dim)
+    // Every vector is assigned its trained cell, then PQ-ENCODED AT
+    // BUILD TIME: the codes ride as c0..c7 int columns IN the inverted
+    // lists, so an ADC probe scans ~M small columns of the probed cells
+    // instead of the dim×4-byte embedding column — the read-bandwidth
+    // claim the IVF-PQ format exists to make. Column pruning keeps
+    // every non-PQ probe's scan unchanged.
+    //
+    // The codes quantize the RESIDUAL `v − centroid(cell)` (r13 ask
+    // #2 — the FAISS IVF-PQ default), not the raw vector: within one
+    // cell every member shares the coarse offset, so quantizing what
+    // REMAINS spends the same 8 bytes on a strictly smaller-variance
+    // signal — finer codewords, tighter ADC ranking, and the same
+    // AdcR buys a thicker containment margin (measured raw-vs-residual
+    // in IvfServeSpec; `residualPq = false` builds the raw-encode
+    // comparison layout the spec measures against). Books train on the
+    // residuals via the shared one-Lloyd-round trainer.
+    val assigned = base
+      .withColumn("cell", SimOps.bestCentroid(col("v"), cents).getField("cid"))
+      .withColumn("ev", if (residualPq)
+        residualCol(col("v"), col("cell"), cents) else col("v"))
+    val books = SimOps.trainPqBooks(s,
+      assigned.select(col("vec_id"), col("ev").as("v")), PqM, PqK, Dim)
     books.map(t => (t._1, t._2, t._3.toSeq)).toDF("m", "j", "cw").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/pqbooks")
     def bookOf(m: Int): Seq[(Int, Seq[Double])] =
       books.filter(_._1 == m).sortBy(_._2).map { case (_, j, cw) => (j, cw.toSeq) }
     val enc = (0 until PqM).map(m =>
       graft.functions.NearestCentroid.nearest(
-        slice(col("v"), m * PqW + 1, PqW), bookOf(m)).getField("cid").as(s"c$m"))
-    base
+        slice(col("ev"), m * PqW + 1, PqW), bookOf(m)).getField("cid").as(s"c$m"))
+    assigned
       .select((Seq(col("vec_id"), col("label"), col("embedding"),
-        SimOps.bestCentroid(col("v"), cents).getField("cid").as("cell")) ++ enc): _*)
+        col("cell")) ++ enc): _*)
       // ONE exchange on the cell key before the partitioned write: the
       // spread build otherwise leaves every task writing into every
       // cell dir (32 files × 64 cells at fixture scale), and the probe
@@ -196,6 +215,18 @@ object IvfServe {
       .option("parquet.block.size", (64 * 1024).toString)
       .parquet(s"$root/fetch")
     cents
+  }
+
+  /** `v − centroid(cell)` as a per-row column: the trained centroids
+    * (k × dim, bounded by the model) enter as a cid→array literal map;
+    * the subtraction is one zip_with over dim elements — O(dim) per
+    * row beside the O(k·dim) assignment fold that precedes it. */
+  private def residualCol(v: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val cmap = map(cents.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit(_)): _*)) }: _*)
+    zip_with(v, element_at(cmap, cell), (a, b) => a - b)
   }
 
   /** The double-view corpus rooted at a table dir — shared with the
@@ -500,8 +531,11 @@ object IvfServe {
   /** E2pq: the COMPOSED IVF-PQ probe (r12 verdict ask #1 — the
     * production billion-vector index format in one layout). Both
     * halves were green separately; this key stores the per-vector PQ
-    * codes IN the cell-partitioned lists at build time and serves in
-    * two legs, both timed (Bench times key construction):
+    * codes IN the cell-partitioned lists at build time — since r14 the
+    * codes quantize the RESIDUAL v − centroid(cell), the FAISS IVF-PQ
+    * default (see [[buildTrainedLayout]]; the ADC tables below are
+    * per-(query, cell) over the query's residual accordingly) — and
+    * serves in two legs, both timed (Bench times key construction):
     *
     *  1. ADC: partition-pruned scan of the probed cells reading ONLY
     *     (vec_id, codes) — the embedding column never loads — with the
@@ -565,7 +599,17 @@ object IvfServe {
   private[graft] def e2pqAdcLeg(s: SparkSession, d: String)
       : (DataFrame, Seq[(Long, Int, Seq[Double])], Seq[Int]) = {
     ensure(s, d)
-    val root = serveDir(d)
+    adcLegAt(s, serveDir(d), AdcR, residualPq = true)
+  }
+
+  /** The ADC leg against ANY staged root — the declared key probes
+    * the residual-encoded serve layout; the margin spec also probes a
+    * raw-encode comparison layout (`residualPq = false`, matching how
+    * that layout's codes were built) and a wider `topWidth` to measure
+    * where the exact top-3 sits in each ranking. */
+  private[graft] def adcLegAt(s: SparkSession, root: String, topWidth: Int,
+      residualPq: Boolean)
+      : (DataFrame, Seq[(Long, Int, Seq[Double])], Seq[Int]) = {
     val cents = centroidsCached(s, root)
     val books = booksCached(s, root)
     def r6(x: Double): Double =
@@ -581,17 +625,27 @@ object IvfServe {
     val routed = qRows.map { case (qid, qv) =>
       (qid, nearestCells(qv, cents, 1).head, qv.toSeq)
     }
-    // per-query ADC lookup tables: tabs(m)(j) = ‖q_m − c_m[j]‖², 6-dp
-    // HALF_UP like every staged distance — the M×k table production PQ
-    // builds per query, entered as one array<array<double>> column
+    // per-query ADC lookup tables over the query's probe-side vector
+    // `qe` — the RESIDUAL q − centroid(cell) when the layout's codes
+    // quantize residuals (the per-(query, cell) table production
+    // IVF-PQ builds; the routing already carries the cell), the raw q
+    // against a raw-encode layout. tabs(m)(j) = ‖qe_m − c_m[j]‖², 6-dp
+    // HALF_UP like every staged distance, entered as one
+    // array<array<double>> column.
+    val centByCid = cents.toMap
     val tabs = routed.map { case (qid, cell, qv) =>
+      val qe: IndexedSeq[Double] =
+        if (residualPq) {
+          val c = centByCid(cell)
+          qv.indices.map(i => qv(i) - c(i))
+        } else qv.toIndexedSeq
       (qid, cell, (0 until PqM).map { m =>
         (0 until PqK).map { j =>
           bySlot.get((m, j)) match {
             case Some(cw) =>
               var acc = 0.0
               var i = 0
-              while (i < PqW) { val df = qv(m * PqW + i) - cw(i); acc += df * df; i += 1 }
+              while (i < PqW) { val df = qe(m * PqW + i) - cw(i); acc += df * df; i += 1 }
               r6(acc)
             case None => Double.NaN
           }
@@ -611,7 +665,7 @@ object IvfServe {
       .join(qTabs, Seq("cell"))
       .where(col("cand_id") =!= col("q_id"))
       .select(col("q_id"), col("cand_id"), round(adc, 6).as("adc_d2"))
-    val topR = graft.plans.TopKPerKey.topKPerKey(adcLeg, AdcR,
+    val topR = graft.plans.TopKPerKey.topKPerKey(adcLeg, topWidth,
       keys = Seq("q_id"), orderBy = Seq(("adc_d2", true), ("cand_id", true)))
     (topR, routed, cells)
   }

@@ -65,7 +65,7 @@ object VecStreams {
   private[graft] def ensureFoldBase(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "embeddings.parquet")
-    val sig = s"f3:k=${IvfServe.K}:b=$ArrivalBound:" + // f3: build leg gained PQ books/codes
+    val sig = s"f4:k=${IvfServe.K}:b=$ArrivalBound:" + // f4: PQ codes encode residuals
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = foldBaseDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")

@@ -199,6 +199,98 @@ class IvfServeSpec extends AnyFunSuite {
     assert(fetchLine.nonEmpty, s"survivor ids must push into the fetch scan:\n$fp")
   }
 
+  /** Per-query worst rank of the exact in-cell top-3 inside the full
+    * ADC ordering of `root`'s codes — the margin AdcR must cover. */
+  private def adcMargins(root: String, residual: Boolean,
+      exact: Map[Long, Set[Long]]): Map[Long, Int] = {
+    val (ranked, _, _) = IvfServe.adcLegAt(spark, root, 1 << 20, residual)
+    ranked.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+      val order = rs.sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1))
+      q -> exact(q).map(c => order.indexOf(c) + 1).max
+    }
+  }
+
+  /** Build the raw-encode comparison layout over `d`'s corpus (identical
+    * coarse training — only the codes differ) and return both margin
+    * maps (residual from the staged serve layout, raw from the temp). */
+  private def marginPair(d: String): (Map[Long, Int], Map[Long, Int]) = {
+    import java.nio.file.Files
+    IvfServe.ensure(spark, d)
+    val rawRoot = Files.createTempDirectory("ivf-raw-pq")
+    try {
+      IvfServe.buildTrainedLayout(spark, rawRoot.toString,
+        IvfServe.corpusView(spark, d), residualPq = false)
+      IvfServe.stageQueries(spark, rawRoot.toString, d)
+      Files.write(rawRoot.resolve("_STAGED_SIG"), "raw-compare".getBytes("UTF-8"))
+      val exact = IvfServe.e2vIvfServe(spark, d).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      (adcMargins(IvfServe.serveDir(d), residual = true, exact),
+        adcMargins(rawRoot.toString, residual = false, exact))
+    } finally graft.streaming.DocStreams.deleteTree(rawRoot)
+  }
+
+  test("residual PQ: margin strictly tighter than raw encode on clustered data (r13 ask #2)") {
+    // Residual encoding's claim is conditional on the data having
+    // coarse structure that is DENSE per subspace: within a cell every
+    // member shares the centroid offset, so quantizing what REMAINS
+    // spends the codebook on a smaller-variance signal — but only if
+    // the raw codebook could NOT have covered the centers itself (few
+    // axis-aligned centers are 2-3 patterns per 8-dim subspace, which
+    // 8 raw codewords absorb; and the iid fixture has no structure at
+    // all, so both of those shapes measure a wash — reported below for
+    // honesty, not asserted). The ASSERTED comparison runs on a
+    // PLANTED corpus with the shape real embedding corpora have (and
+    // the reason FAISS defaults to residual): 64 clusters around
+    // deterministic pseudo-random unit centers — dense in every
+    // subspace, far more center patterns than codewords — with small
+    // deterministic perturbations, unit-normalized.
+    import java.nio.file.{Files, Paths}
+    val dim = 64
+    val tmp = Files.createTempDirectory("ivf-clustered")
+    try {
+      import spark.implicits._
+      val centers = Array.tabulate(64) { c =>
+        val v = Array.tabulate(dim)(j => math.sin(c * 104729.0 + j * 7919.0 + 0.5))
+        val nr = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nr)
+      }
+      val rows = (0 until 1024).map { i =>
+        val c = i % 64
+        val v = Array.tabulate(dim) { j =>
+          (centers(c)(j) + math.sin(i * 7919.0 + j * 104729.0) * 0.1).toFloat
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        (i.toLong, v.map(_ / n).toSeq, c)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("_stage").toString)
+      val part = scala.util.Using.resource(Files.list(tmp.resolve("_stage"))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      }
+      Files.move(part, tmp.resolve("embeddings.parquet"))
+      val (res, raw) = marginPair(tmp.toString)
+      val (resWorst, rawWorst) = (res.values.max, raw.values.max)
+      val (resSum, rawSum) = (res.values.sum, raw.values.sum)
+      info(s"clustered corpus margin worst: residual $resWorst vs raw $rawWorst " +
+        s"(per-query sum $resSum vs $rawSum) of AdcR=${IvfServe.AdcR}")
+      assert(resWorst <= IvfServe.AdcR,
+        "declared containment must hold on the clustered corpus")
+      assert(resWorst < rawWorst,
+        s"residual codes must rank the exact top-3 strictly tighter on " +
+          s"clustered data: worst $resWorst vs $rawWorst")
+      // the iid fixture: measured and reported, NOT asserted — no coarse
+      // structure means no signal for residual to exploit (a wash)
+      val (resF, rawF) = marginPair(sf)
+      info(s"iid fixture margin worst (not asserted): residual ${resF.values.max} " +
+        s"vs raw ${rawF.values.max} (sum ${resF.values.sum} vs ${rawF.values.sum})")
+      assert(resF.values.max <= IvfServe.AdcR,
+        "declared containment must hold on the shipped fixture")
+      graft.streaming.DocStreams.deleteTree(Paths.get(IvfServe.serveDir(tmp.toString)))
+    } finally graft.streaming.DocStreams.deleteTree(tmp)
+  }
+
   test("staleness: touching the source re-stages the serve layout") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("ivf-serve-stale")
