@@ -91,6 +91,7 @@ object SparkEntry {
     "e2x_filtered_multiprobe" -> (graft.sources.IvfServe.e2xFilteredMultiprobe _),
     "e2n_nprobe_sweep"  -> (graft.sources.IvfServe.e2nNprobeSweep _),
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
+    "e2y_recall_policy" -> (graft.sources.IvfServe.e2yRecallPolicy _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
@@ -440,6 +441,15 @@ object SparkEntry {
     * hits against the full-corpus exact top-3, and the per-nprobe
     * cells/candidate-row counts — the engine's whole declared table. */
   private val e2nOracleSql: String =
+    s"""${e2nCurveCtes}
+       |SELECT nprobe, n_cells, n_cand_rows, n_hits, recall_at3
+       |FROM curve ORDER BY nprobe""".stripMargin
+
+  /** The e2n sweep as a CTE chain ending at `curve` (one row per
+    * nprobe 1..8) with the scored relation `j` still visible — shared
+    * by e2n's oracle and e2y's policy replay (never self-reference
+    * oracleSql entries — the e70 hoisting precedent). */
+  private def e2nCurveCtes: String =
     s"""${ivfChainPrefix("TRUE", "vec_id < 64")},
        |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 8),
        |pc AS (SELECT q_id, qv, qn, cid AS cell, CAST(rn AS INTEGER) AS pr FROM (
@@ -474,13 +484,37 @@ object SparkEntry {
        |  FROM pc, UNNEST(range(pr, 9)) AS u(np) GROUP BY 1),
        |cr AS (SELECT CAST(u.np AS INTEGER) AS nprobe, count(*) AS n_cand_rows
        |  FROM j, UNNEST(range(pr, 9)) AS u(np) GROUP BY 1),
-       |nq AS (SELECT count(*) AS n FROM q0)
-       |SELECT cl.nprobe, cl.n_cells, cr.n_cand_rows,
+       |nq AS (SELECT count(*) AS n FROM q0),
+       |curve AS (SELECT cl.nprobe, cl.n_cells, cr.n_cand_rows,
        |  coalesce(h.n_hits, 0) AS n_hits,
        |  round(coalesce(h.n_hits, 0) / (3.0 * nq.n), 6) AS recall_at3
        |FROM cl JOIN cr ON cl.nprobe = cr.nprobe
-       |LEFT JOIN h ON h.nprobe = cl.nprobe CROSS JOIN nq
-       |ORDER BY cl.nprobe""".stripMargin
+       |LEFT JOIN h ON h.nprobe = cl.nprobe CROSS JOIN nq)""".stripMargin
+
+  /** e2y's oracle: e2n's whole curve replay, the per-target argmin
+    * (minimal nprobe meeting the target, SweepMax fallback), and the
+    * multiprobe serve replayed at each chosen width from the same
+    * scored relation `j`. */
+  private val e2yOracleSql: String =
+    s"""$e2nCurveCtes,
+       |tgt AS (SELECT CAST(t.target AS DOUBLE) AS target
+       |  FROM (VALUES (0.5), (0.75), (0.85), (0.95)) AS t(target)),
+       |pick AS (SELECT t.target, coalesce(
+       |    (SELECT min(c.nprobe) FROM curve c WHERE c.recall_at3 >= t.target),
+       |    (SELECT max(nprobe) FROM curve)) AS chosen_nprobe
+       |  FROM tgt t),
+       |sel AS (SELECT p.target, p.chosen_nprobe, c.recall_at3 AS achieved_recall,
+       |    c.n_cells, c.n_cand_rows
+       |  FROM pick p JOIN curve c ON c.nprobe = p.chosen_nprobe),
+       |srv AS (SELECT s.target, s.chosen_nprobe, s.achieved_recall,
+       |    s.n_cells, s.n_cand_rows, j.q_id, j.cand_id, j.cos_sim,
+       |    row_number() OVER (PARTITION BY s.target, j.q_id
+       |      ORDER BY j.cos_sim DESC, j.cand_id) AS rk
+       |  FROM sel s JOIN j ON j.pr <= s.chosen_nprobe)
+       |SELECT target, chosen_nprobe, achieved_recall, n_cells, n_cand_rows,
+       |  q_id, CAST(rk AS INTEGER) AS "rank", cand_id, cos_sim
+       |FROM srv WHERE rk <= 3
+       |ORDER BY target, q_id, rk""".stripMargin
 
   /** e71's oracle: the trained-IVF chain (vector leg: q_id < 3 routed
     * to their 4 nearest trained cells, in-cell exact rescore, top-10)
@@ -2369,6 +2403,9 @@ object SparkEntry {
       ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = true),
     // e2n: the declared recall/cost curve — see e2nOracleSql
     "e2n_nprobe_sweep" -> e2nOracleSql,
+    // e2y: curve + argmin + serve replay at the chosen widths — see
+    // e2yOracleSql
+    "e2y_recall_policy" -> e2yOracleSql,
     // e71: hybrid retrieval — BM25 leg + IVF-multiprobe leg + RRF
     // fusion, all three replayed end-to-end (see e71OracleSql)
     "e71_hybrid_rrf" -> e71OracleSql,

@@ -528,6 +528,59 @@ object IvfServe {
       .orderBy("nprobe")
   }
 
+  /** Declared recall targets for [[e2yRecallPolicy]] — the SLOs a
+    * vector-search service is actually configured with. */
+  val RecallTargets = Seq(0.5, 0.75, 0.85, 0.95)
+
+  /** E2y: the SERVING POLICY over e2n's measured recall/cost curve
+    * (r13 verdict ask #3) — production IVF is configured with a RECALL
+    * TARGET, not a probe count; e2n declared the curve, this key
+    * closes the loop by CHOOSING from it and SERVING with the choice.
+    * For each declared target: the minimal nprobe whose measured
+    * recall@3 meets it (the curve is monotone — spec-pinned in e2n —
+    * so minimal is well-defined; a target above the curve's ceiling
+    * falls back to [[SweepMax]], the honest "best this index can do"),
+    * the achieved recall and read cost of that choice, and the
+    * multiprobe serve REPLAYED at the chosen width. Output one row per
+    * (target, q_id, rank): (target, chosen_nprobe, achieved_recall,
+    * n_cells, n_cand_rows, q_id, rank, cand_id, cos_sim).
+    *
+    * The selection is an argmin over the ≤ [[SweepMax]]-row declared
+    * curve (collected — bounded by the model, never the data); the
+    * serve is [[probe]] at each DISTINCT chosen width (≤ |targets|
+    * probes, deduplicated). The oracle chains e2n's whole curve replay,
+    * the same argmin, and the probe replay at the chosen widths — a
+    * drift anywhere (curve, choice, or serve) is a hash miss.
+    *
+    * 100 TB path: the curve is maintained by e2n (a measurement key —
+    * its exact denominator is the one full scan); the POLICY costs an
+    * 8-row argmin plus the serve it would have run anyway. Spec pins
+    * that a higher target never chooses a smaller nprobe and that
+    * achieved ≥ target whenever the curve reaches the target at all. */
+  def e2yRecallPolicy(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    // (nprobe, n_cells, n_cand_rows, recall@3) — ≤ SweepMax rows by
+    // declaration (the e40 bounded-collect convention)
+    val curve = e2nNprobeSweep(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    val chosen = RecallTargets.map { t =>
+      val hit = curve.find(_._4 >= t).getOrElse(curve.last)
+      (t, hit._1, hit._4, hit._2, hit._3)
+    }
+    import s.implicits._
+    val sel = chosen
+      .toDF("target", "chosen_nprobe", "achieved_recall", "n_cells", "n_cand_rows")
+    val serves = chosen.map(_._2).distinct.sorted
+      .map(np => probe(s, d, np).withColumn("chosen_nprobe", lit(np)))
+      .reduce(_ unionByName _)
+    serves.join(broadcast(sel), Seq("chosen_nprobe"))
+      .select(col("target"), col("chosen_nprobe"), col("achieved_recall"),
+        col("n_cells"), col("n_cand_rows"),
+        col("q_id"), col("rank"), col("cand_id"), col("cos_sim"))
+      .orderBy("target", "q_id", "rank")
+  }
+
   /** E2pq: the COMPOSED IVF-PQ probe (r12 verdict ask #1 — the
     * production billion-vector index format in one layout). Both
     * halves were green separately; this key stores the per-vector PQ

@@ -199,6 +199,41 @@ class IvfServeSpec extends AnyFunSuite {
     assert(fetchLine.nonEmpty, s"survivor ids must push into the fetch scan:\n$fp")
   }
 
+  test("e2y policy: higher target never chooses smaller nprobe; achieved meets reachable targets") {
+    val rows = IvfServe.e2yRecallPolicy(spark, sf).collect()
+    val sel = rows.map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2))).distinct
+      .sortBy(_._1)
+    assert(sel.map(_._1).toSeq == IvfServe.RecallTargets,
+      s"one selection per declared target: ${sel.map(_._1).toSeq}")
+    val chosen = sel.map(_._2)
+    assert(chosen.zip(chosen.tail).forall { case (a, b) => b >= a },
+      s"a higher recall target must never choose a smaller nprobe: ${chosen.toSeq}")
+    val ceiling = IvfServe.e2nNprobeSweep(spark, sf).collect()
+      .map(_.getDouble(4)).max
+    sel.foreach { case (t, np, achieved) =>
+      if (t <= ceiling)
+        assert(achieved >= t,
+          f"reachable target $t%.2f must be met: achieved $achieved%.3f at nprobe=$np")
+      else
+        assert(np == IvfServe.SweepMax,
+          s"a target above the curve's ceiling must fall back to SweepMax, got $np")
+    }
+    // the serve rows at each chosen width ARE the multiprobe's rows
+    val byNp = rows.groupBy(_.getInt(1))
+    byNp.foreach { case (np, rs) =>
+      val served = rs.map(r => (r.getLong(5), r.getInt(6), r.getLong(7))).distinct.sorted
+      val direct = (if (np == 1) IvfServe.e2vIvfServe(spark, sf)
+        else if (np == IvfServe.NProbe) IvfServe.e2wIvfMultiprobe(spark, sf)
+        else null)
+      if (direct != null) {
+        val want = direct.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .toSeq.sorted
+        assert(served.toSeq == want, s"serve at nprobe=$np must equal the declared probe")
+      }
+    }
+    info(s"policy: ${sel.map { case (t, np, a) => f"$t%.2f->np$np(a=$a%.3f)" }.mkString(", ")}")
+  }
+
   /** Per-query worst rank of the exact in-cell top-3 inside the full
     * ADC ordering of `root`'s codes — the margin AdcR must cover. */
   private def adcMargins(root: String, residual: Boolean,
