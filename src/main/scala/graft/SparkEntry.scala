@@ -93,6 +93,7 @@ object SparkEntry {
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2y_recall_policy" -> (graft.sources.IvfServe.e2yRecallPolicy _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
+    "e2z_fold_snapshot" -> (graft.streaming.VecStreams.e2zFoldSnapshot _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
@@ -408,10 +409,14 @@ object SparkEntry {
        |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1)""".stripMargin
 
   private def ivfServeOracleSql(basePred: String, seedPred: String,
-      nprobe: Int, candLabelFilter: Boolean): String = {
-    val candPred = if (candLabelFilter) " AND c.label < 5" else ""
+      nprobe: Int, candLabelFilter: Boolean,
+      extraCandPred: String = "", snapshotIdOut: Option[Long] = None): String = {
+    val candPred = (if (candLabelFilter) " AND c.label < 5" else "") +
+      (if (extraCandPred.nonEmpty) s" AND ($extraCandPred)" else "")
     val candLabelCol = if (candLabelFilter) "c.label AS cand_label," else ""
     val labelOut = if (candLabelFilter) "cand_label, " else ""
+    val snapOut = snapshotIdOut
+      .map(id => s", CAST($id AS BIGINT) AS snapshot_id").getOrElse("")
     val qCte =
       if (nprobe == 1)
         "q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg WHERE vec_id < 8)"
@@ -431,7 +436,7 @@ object SparkEntry {
        |  FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.q_id$candPred),
        |r AS (SELECT *, CAST(row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
-       |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim FROM r WHERE "rank" <= 3
+       |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim$snapOut FROM r WHERE "rank" <= 3
        |ORDER BY q_id, "rank"""".stripMargin
   }
 
@@ -2421,6 +2426,15 @@ object SparkEntry {
     // a dropped/duplicated/mis-assigned arriving vector is a hash miss
     "e2f_ivf_fold" ->
       ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false),
+    // e2z: the e2f chain probed AT snapshot 2 — candidates restricted
+    // to base ∪ the batch prefix ≤ 2 (arrival buckets are contiguous
+    // vec_id ranges of 16/4 = 4, so prefix ≤ 2 is vec_id < 12); a
+    // snapshot that leaked batch 3's arrivals or lost a pinned one is
+    // a hash miss
+    "e2z_fold_snapshot" ->
+      ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false,
+        extraCandPred = "c.vec_id >= 16 OR c.vec_id < 12",
+        snapshotIdOut = Some(graft.streaming.VecStreams.DeclaredVecSnap)),
     // e2g: per-cell occupancy of base vs folded arrivals under e2f's
     // frozen quantizer — the drift gate's declared metric; the oracle
     // recomputes both occupancy sides from the same assignment chain,

@@ -144,13 +144,23 @@ object VecStreams {
   private[graft] def e2fDrain(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
+    val foldRoot = work.resolve("folds")
     val q = vecStreamBucketed(s, d, nBuckets = 4)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
         // concatenation as the re-merge: fold rows are a vec_id-keyed
-        // set, so compaction relocates and never re-aggregates
-        EventStreams.maybeCompactFolds(s, work.resolve("folds"), id, df => df)
+        // set, so compaction relocates and never re-aggregates. Covered
+        // dirs a retained snapshot manifest still references are SPARED
+        // from cleanup, and every batch stamps a manifest of the live
+        // read set (r13 ask #5 — the e72 discipline on the VECTOR
+        // folds): "probe the index as of batch k" stays answerable
+        // after compaction for the retention window, which is the
+        // reproducibility a training run needs when its eval set was
+        // retrieved at a pinned index version.
+        EventStreams.maybeCompactFolds(s, foldRoot, id, df => df,
+          spare = SnapshotFolds.retainedRefs(foldRoot))
         e2fFoldBatch(df, id, cents, work)
+        SnapshotFolds.writeManifest(foldRoot, id)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
@@ -205,9 +215,6 @@ object VecStreams {
   private def scoredAgainst(s: SparkSession, root: String,
       foldRootOpt: Option[java.nio.file.Path], q: DataFrame,
       cells: Seq[Int]): DataFrame = {
-    val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
-    val base = s.read.parquet(s"$root/lists")
-      .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*)
     // a probe BEFORE the first arrival batch: base-only (the dir does
     // not exist yet — the e63sResult empty-delta convention)
     val foldDirs = foldRootOpt.toSeq.flatMap { foldRoot =>
@@ -215,6 +222,17 @@ object VecStreams {
         EventStreams.foldDirsToRead(foldRoot)
       else Seq.empty[String]
     }
+    scoredWithDirs(s, root, foldDirs, q, cells)
+  }
+
+  /** The probe's scored relation against an EXPLICIT fold-dir list —
+    * the current read set ([[scoredAgainst]]) or a snapshot manifest's
+    * pinned set ([[e2zFoldSnapshot]]). */
+  private def scoredWithDirs(s: SparkSession, root: String,
+      foldDirs: Seq[String], q: DataFrame, cells: Seq[Int]): DataFrame = {
+    val cols = Seq("vec_id", "label", "embedding", "cell").map(col)
+    val base = s.read.parquet(s"$root/lists")
+      .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*)
     val all =
       if (foldDirs.isEmpty) base
       else base.unionByName(
@@ -337,6 +355,62 @@ object VecStreams {
     val md = driftReport(s, d, work)
       .agg(max(col("max_drift"))).head().getDouble(0)
     if (md > DriftBar) Some(restageWithArrivals(s, d, work)) else None
+  }
+
+  /** The declared read-back snapshot for [[e2zFoldSnapshot]]: batch 2
+    * of the 4-bucket drain — a PAST index version (batch 3 lands after
+    * it AND its step compacts batches 0..2 away from the current read
+    * set), so the declared rows prove the pinned probe survives both a
+    * later write and a later compaction. */
+  val DeclaredVecSnap = 2L
+
+  /** E2z: PROBE-AT-SNAPSHOT over the manifested vector folds (r13
+    * verdict ask #5 — e72's read-at-version, on the ANN index). Drains
+    * the arrival stream fresh (the e2f protocol; every batch stamps a
+    * manifest, compaction spares manifest-referenced dirs), then probes
+    * base + the folds AS OF [[DeclaredVecSnap]] — arrivals of batches
+    * 0..2 (vec_id < 12) visible, batch 3's (vec_id 12..15) NOT, even
+    * though the current layout has folded and compacted past them.
+    * This is the reproducibility contract a training run needs when
+    * its eval set was retrieved at a pinned index version. Oracle: the
+    * trained-serve replay with the candidate corpus restricted to
+    * base ∪ the batch prefix ≤ 2 — a snapshot that leaked a later
+    * arrival (or lost a pinned one) is a hash miss. Spec
+    * (E2fStreamSpec) pins prefix-fold equality against a one-shot
+    * replay, survival under the batch-3 compaction, and loud expiry.
+    *
+    * 100 TB path: the manifest is O(live dirs) metadata; the pinned
+    * probe costs exactly the e2f probe (base partition-pruned, ≤
+    * Retain fold dirs cell-filtered); spared-dir storage is bounded by
+    * the retention window, never history. */
+  def e2zFoldSnapshot(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2z", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    e2fDrain(s, dir, work)
+    SimOps.topK(candidatesAtSnapshot(s, dir, work, DeclaredVecSnap), 3)
+      .withColumn("snapshot_id", lit(DeclaredVecSnap))
+  }
+
+  /** The e2f probe against the fold dirs a RETAINED manifest pinned,
+    * instead of the current read set. */
+  private[graft] def candidatesAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    val root = foldBaseDir(d)
+    val cents = IvfServe.centroidsAt(s, root)
+    val q = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("cell",
+        SimOps.bestCentroid(col("qv"), cents).getField("cid"))
+    val cells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val foldRoot = work.resolve("folds")
+    val dirs = SnapshotFolds.readManifest(foldRoot, snap)
+      .map(n => foldRoot.resolve(n).toString)
+    scoredWithDirs(s, root, dirs, q, cells)
   }
 
   /** The rebuild leg: retrain the full layout (coarse quantizer AND

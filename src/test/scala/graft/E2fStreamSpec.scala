@@ -105,4 +105,52 @@ class E2fStreamSpec extends AnyFunSuite {
       assert(declared.nonEmpty && declared == manual)
     } finally graft.streaming.DocStreams.deleteTree(oneShot)
   }
+
+  test("e2z snapshot probe: prefix equality, survival under compaction, loud expiry") {
+    val cs = cents()
+    val oneShot = freshWork()
+    try {
+      // the declared key: drain (batch 3's step compacts batches 0..2
+      // away from the CURRENT read set), probe AT snapshot 2
+      val declared = VecStreams.e2zFoldSnapshot(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.nonEmpty)
+      assert(declared.forall(_.last == VecStreams.DeclaredVecSnap))
+      // SURVIVAL: the drain's work dir now holds a compact=2 covering
+      // batches 0..2, yet the pinned dirs must still resolve
+      val work = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+        "stream-e2z", graft.util.PathKeys.keyedName(sf) + "-4")
+      val foldRoot = work.resolve("folds")
+      assert(java.nio.file.Files.isDirectory(foldRoot.resolve("compact=2")),
+        "batch 3 must have compacted the earlier batches")
+      val pinned = graft.streaming.SnapshotFolds.readManifest(foldRoot, 2L)
+      assert(pinned == Seq("batch=0", "batch=1", "batch=2"), s"pinned: $pinned")
+      pinned.foreach(n => assert(
+        java.nio.file.Files.isDirectory(foldRoot.resolve(n)),
+        s"compaction must SPARE manifest-referenced dir $n"))
+      // PREFIX EQUALITY: the pinned probe equals a one-shot fold of
+      // exactly the batch-prefix arrivals (vec_id < 12 — buckets 0..2)
+      VecStreams.e2fFoldBatch(arrivals().where(col("vec_id") < 12), 0L, cs, oneShot)
+      val manual = VecStreams.e2fProbe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.map(_.dropRight(1)) == manual,
+        "snapshot probe must equal the one-shot batch-prefix fold")
+      // batch 3's arrivals (vec_id 12..15) are candidates of the
+      // CURRENT read set but must NOT be candidates at the pinned
+      // version (asserted on the candidate relation — the declared
+      // top-3 may or may not happen to include them)
+      val curLate = VecStreams.e2fCandidates(spark, sf, work)
+        .where(col("cand_id") >= 12 && col("cand_id") < VecStreams.ArrivalBound)
+      val snapLate = VecStreams.candidatesAtSnapshot(spark, sf, work, 2L)
+        .where(col("cand_id") >= 12 && col("cand_id") < VecStreams.ArrivalBound)
+      assert(snapLate.count() == 0,
+        "a pinned read must not see arrivals that landed after its snapshot")
+      assert(curLate.count() >= snapLate.count())
+      // LOUD EXPIRY: snap 0 expired when snap 3 was written (Retain=3)
+      val ex = intercept[IllegalArgumentException](
+        graft.streaming.SnapshotFolds.readManifest(foldRoot, 0L))
+      assert(ex.getMessage.contains("not resolvable"))
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
 }
