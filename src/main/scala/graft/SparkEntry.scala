@@ -288,8 +288,14 @@ object SparkEntry {
          |  a$k.vocab_pairs
          |FROM b$k, a$k, a${k + 1}, nd""".stripMargin
     }
-    (header +: iters).mkString(",\n") + "\n" +
-      rows.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+    // the ORDER BY must wrap the WHOLE union from a subquery: a bare
+    // trailing ORDER BY after a UNION ALL chain binds to the last
+    // operand in DuckDB, which LOOKED ordered only while
+    // preserve_insertion_order kept operand order — under the r13
+    // spill knob (preserve_insertion_order=false) the operands
+    // interleave and the compare read it as a value mismatch
+    (header +: iters).mkString(",\n") + ",\nu AS (\n" +
+      rows.mkString("\nUNION ALL\n") + ")\nSELECT * FROM u ORDER BY iter"
   }
 
   /** Shared by e41 (HOF build) and e41b (native Generator): both
@@ -1550,7 +1556,8 @@ object SparkEntry {
         |    t1a.toks_after - t2a.toks_after AS n_merged,
         |    t1a.toks_after AS toks_before, t2a.toks_after, v2.vocab_pairs
         |  FROM b2, v2, t1a, t2a)
-        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY iter""".stripMargin,
+        |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+        |ORDER BY iter""".stripMargin,
     // e48b: the generalized trainer — 8 chained iterations of the same
     // template, generated (e48bOracleSql); token totals derived via the
     // shared Σlen = Σpairs + n_docs identity
@@ -1579,7 +1586,8 @@ object SparkEntry {
         |  FROM bt),
         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |    a.dig AS dig_a, a.len AS len_a, b.dig AS dig_b, b.len AS len_b
-        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        |scd AS (
         |SELECT doc_id, 1 AS version, dig_a AS digest, len_a AS n_chars,
         |  1 AS valid_from,
         |  CASE WHEN dig_b IS NULL OR dig_b <> dig_a THEN 2 END AS valid_to,
@@ -1589,7 +1597,7 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN dig_a IS NULL THEN 1 ELSE 2 END, dig_b, len_b,
         |  2, NULL, TRUE
         |FROM j WHERE dig_b IS NOT NULL AND (dig_a IS NULL OR dig_a <> dig_b)
-        |ORDER BY doc_id, valid_from""".stripMargin,
+        |) SELECT * FROM scd ORDER BY doc_id, valid_from""".stripMargin,
     // e49: cosine rounds 6 dp INSIDE the max on both engines (the
     // Spark side's codegen cosine already rounds), and the p99 bar is
     // exact quantile_cont for parity (the e38/e17 stance)
@@ -1637,13 +1645,14 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN fs OR fl OR fn OR fm
         |      THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
         |    count(*) AS n_docs
-        |  FROM f)
+        |  FROM f),
+        |u AS (
         |SELECT 'lowttr' AS filter, l AS n_flagged, sl AS n_sole,
         |    round(l * 1.0 / dropped, 6) AS drop_share, dropped, n_docs FROM a
         |UNION ALL SELECT 'mtl', m, sm, round(m * 1.0 / dropped, 6), dropped, n_docs FROM a
         |UNION ALL SELECT 'nostop', n, sn, round(n * 1.0 / dropped, 6), dropped, n_docs FROM a
         |UNION ALL SELECT 'short', s, ss, round(s * 1.0 / dropped, 6), dropped, n_docs FROM a
-        |ORDER BY filter""".stripMargin,
+        |) SELECT * FROM u ORDER BY filter""".stripMargin,
     "e33_range_join" ->
       """WITH e AS (SELECT event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS ets_us
         |  FROM events WHERE event_type = 'error'),
@@ -3109,7 +3118,8 @@ object SparkEntry {
          |  SELECT file, dataset_id, reaction_id, o.out_pos AS out_pos,
          |    o.reaction_role AS out_role, o.is_desired_product AS is_desired_product,
          |    unnest(list_transform(o.measurements, (x, i) -> {'p': i - 1, 'm': x})) AS u
-         |  FROM o WHERE len(o.measurements) > 0)
+         |  FROM o WHERE len(o.measurements) > 0),
+         |u AS (
          |SELECT file, dataset_id, reaction_id, out_pos, out_role, is_desired_product,
          |  CAST(u.p AS INTEGER) AS m_pos, u.m.m_type AS m_type,
          |  u.m.details AS details, u.m.mass_value AS mass_value,
@@ -3119,6 +3129,7 @@ object SparkEntry {
          |SELECT file, dataset_id, reaction_id, o.out_pos, o.reaction_role,
          |  o.is_desired_product, NULL, NULL, NULL, NULL, NULL
          |FROM o WHERE len(o.measurements) = 0
+         |) SELECT * FROM u
          |ORDER BY file, dataset_id, reaction_id, out_pos, m_pos NULLS FIRST""".stripMargin,
     "ord_s4_decode" ->
       s"""SELECT file, dataset_id, reaction_id,

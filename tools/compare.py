@@ -24,8 +24,17 @@ def main(sf_dir, out_dir, json_out=None):
     # preservation roughly doubles that working set and pushed the
     # spill past the disk budget. Optional env overrides for memory
     # limit and temp placement keep the big re-verifies runnable.
-    con.execute("SET preserve_insertion_order=false")
+    #
+    # preserve_insertion_order=false is OPT-IN (GRAFT_DUCKDB_PIO=false),
+    # not the default: DuckDB 1.0.0 drops the OUTERMOST ORDER BY of some
+    # multi-threaded plans under it (reproduced on e48b's 8-way UNION
+    # ALL chain: `SELECT * FROM u ORDER BY iter` returns interleaved
+    # rows at threads=8, ordered at threads=1) — an oracle-engine bug
+    # that reads as a value mismatch. The heavy sf1a re-verifies set it
+    # together with threads=2, where the plans in question stay ordered.
     import os as _os
+    if _os.environ.get("GRAFT_DUCKDB_PIO", "").lower() == "false":
+        con.execute("SET preserve_insertion_order=false")
     import re as _re
     if _os.environ.get("GRAFT_DUCKDB_MEMORY"):
         mem = _os.environ["GRAFT_DUCKDB_MEMORY"]
