@@ -163,6 +163,7 @@ object SparkEntry {
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
     "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
+    "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -1235,6 +1236,35 @@ object SparkEntry {
     // postings, wrong bucket routing, lost df/dl denormalization) is
     // a hash miss
     "e35s_bm25_serve" -> e35OracleSql,
+    // e35f: the segment-fold index — query selection FROZEN at the
+    // base corpus (doc_id >= 16, the frozen-quantizer analogue), every
+    // scoring statistic (df, n_docs, avgdl, dl) from the WHOLE corpus;
+    // a dropped/doubled arrival or a stale base-df score is a hash miss
+    "e35f_postings_fold" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |bdf AS (SELECT term, count(*) AS df FROM tf WHERE doc_id >= 16 GROUP BY term),
+        |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM bdf)
+        |  WHERE r BETWEEN 20 AND 31),
+        |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+        |    round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |    JOIN lens USING (doc_id), st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM sc)
+        |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "e36_epoch_order" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))

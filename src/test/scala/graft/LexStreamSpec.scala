@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.LexStreams
+
+/** e35f — incremental postings maintenance (the Lucene segment model).
+  * Claims: a document folded in batch N is scoreable after batch N
+  * (and a synthetic high-tf arrival takes the declared rank 1 — the
+  * E2fStreamSpec visibility form); replaying a batch id adds nothing;
+  * the declared stream drain equals the one-shot fold; and a
+  * TOKEN-LESS arrival still shifts the global statistics (it has a
+  * lens row but no posting row — the structural fix for the r13-advice
+  * stats defect class). */
+class LexStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def freshWork(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("e35f-spec")
+
+  private def arrivals() =
+    Tables.documents(spark, sf).where(col("doc_id") < LexStreams.ArrivalDocBound)
+
+  private def q0Terms(): Seq[String] = {
+    LexStreams.ensureFoldBase(spark, sf)
+    spark.read.parquet(LexStreams.foldBaseDir(sf) + "/queries")
+      .where(col("qid") === 0).orderBy("term").collect().map(_.getString(1)).toSeq
+  }
+
+  test("a document folded in batch N is scoreable after batch N — not before") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      val before = LexStreams.probe(spark, sf, work)
+        .where(col("doc_id") < LexStreams.ArrivalDocBound).count()
+      assert(before == 0, "the base index must not score arrivals")
+      // a synthetic arrival saturated with ALL of qid 0's query terms
+      // must surface in qid 0's declared top-5 once folded — the
+      // sharpest form of "a doc arriving in batch N is served after N"
+      import spark.implicits._
+      val text = q0Terms().map(t => (t + " ") * 50).mkString(" ")
+      val doc = Seq((999999L, text, "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.foldBatch(doc, 0L, work)
+      val top = LexStreams.probe(spark, sf, work)
+        .where(col("qid") === 0).orderBy("rnk").collect()
+      assert(top.exists(_.getLong(2) == 999999L),
+        s"the folded all-terms arrival must surface in qid 0's top-5: ${top.toSeq}")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("replaying a batch id overwrites its own segment — nothing doubles") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      LexStreams.foldBatch(arrivals(), 0L, work)
+      val once = LexStreams.probe(spark, sf, work).collect().map(_.toSeq).toSeq
+      LexStreams.foldBatch(arrivals(), 0L, work)
+      val twice = LexStreams.probe(spark, sf, work).collect().map(_.toSeq).toSeq
+      assert(once == twice)
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("declared stream drain equals the one-shot manual fold") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val oneShot = freshWork()
+    try {
+      val declared = LexStreams.e35fPostingsFold(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      LexStreams.foldBatch(arrivals(), 0L, oneShot)
+      val manual = LexStreams.probe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.nonEmpty && declared == manual)
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+
+  test("a token-less arrival shifts n_docs/avgdl — lens fold, no posting row") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      val baseOnly = LexStreams.probe(spark, sf, freshWork())
+        .collect().map(_.toSeq).toSeq
+      val empty = Seq((999998L, "   ", "en", "t", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.foldBatch(empty, 0L, work)
+      val shifted = LexStreams.probe(spark, sf, work).collect().map(_.toSeq).toSeq
+      // the empty doc can never be a hit (no posting rows) but it raises
+      // n_docs and lowers avgdl — every BM25 score must move
+      assert(baseOnly.map(r => (r(0), r(2))) == shifted.map(r => (r(0), r(2))),
+        "an empty arrival must not change WHICH docs rank")
+      assert(baseOnly.map(_(4)) != shifted.map(_(4)),
+        "an empty arrival must shift the scores through n_docs/avgdl")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+}
