@@ -92,6 +92,7 @@ object SparkEntry {
     "e2n_nprobe_sweep"  -> (graft.sources.IvfServe.e2nNprobeSweep _),
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2y_recall_policy" -> (graft.sources.IvfServe.e2yRecallPolicy _),
+    "e2pw_ivfpq_multiprobe" -> (graft.sources.IvfServe.e2pwIvfPqMultiprobe _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e2z_fold_snapshot" -> (graft.streaming.VecStreams.e2zFoldSnapshot _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
@@ -2459,6 +2460,10 @@ object SparkEntry {
     // (spec-pinned), so the oracle IS e2v's (the e2i precedent)
     "e2pq_ivfpq_probe" ->
       ivfServeOracleSql("TRUE", "vec_id < 64", 1, candLabelFilter = false),
+    // e2pw: the multi-probe serve through the PQ format — e2w's oracle
+    // verbatim (layout invariance at nprobe=4)
+    "e2pw_ivfpq_multiprobe" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = false),
     // e2f: the quantizer trains on the PRE-ARRIVAL base only (the
     // frozen-quantizer maintenance contract) but the assignment — and
     // so the probe's candidate set — covers base AND folded arrivals:

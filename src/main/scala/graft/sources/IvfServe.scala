@@ -616,8 +616,25 @@ object IvfServe {
     * predicates; the two driver hops are the shape a serving system
     * has anyway (route → shortlist → fetch). SCALE.md measures the
     * probe beside e2v across the vector decades. */
-  def e2pqIvfPqProbe(s: SparkSession, d: String): DataFrame = {
-    val (topR, routed, _) = e2pqAdcLeg(s, d)
+  def e2pqIvfPqProbe(s: SparkSession, d: String): DataFrame = pqProbe(s, d, 1)
+
+  /** E2pw: MULTI-PROBE IVF-PQ (r14, unasked — the full FAISS probe
+    * shape: e2w's recall knob through e2pq's compressed format). Each
+    * query sweeps its [[NProbe]] nearest cells; the codes-only ADC
+    * scan reads all probed lists with one RESIDUAL lookup table per
+    * (query, cell) — the tabs relation already keys on the pair, so
+    * the recall knob costs routed rows, never a new dataflow — then
+    * the shared refine fetch rescores the per-query ADC top-[[AdcR]]
+    * exactly. Declared rows are e2w's verbatim (the layout-invariance
+    * argument at nprobe=4: exact top-3 of the probed-cell candidates ⊆
+    * ADC top-AdcR, spec-pinned), so the oracle is shared. */
+  def e2pwIvfPqMultiprobe(s: SparkSession, d: String): DataFrame =
+    pqProbe(s, d, NProbe)
+
+  private def pqProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    ensure(s, d)
+    val (topR, routed, _) = adcLegAt(s, serveDir(d), AdcR,
+      residualPq = true, nprobe = nprobe)
     val surv = topR.select("q_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     // the In-list must reach the parquet reader as an exact predicate:
@@ -636,7 +653,9 @@ object IvfServe {
         col("embedding").cast("array<double>").as("v"))
     import s.implicits._
     val pairs = broadcast(surv.toDF("q_id", "cand_id"))
-    val qv = broadcast(routed.map(t => (t._1, t._3)).toDF("q_id", "qv"))
+    // routed carries one row per (query, probed cell) — distinct before
+    // the qv join, or a multi-probe rescore would multiply candidates
+    val qv = broadcast(routed.map(t => (t._1, t._3)).distinct.toDF("q_id", "qv"))
     val scored = fetch.join(pairs, Seq("cand_id")).join(qv, Seq("q_id"))
       .select(col("q_id"), col("cand_id"),
         round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
@@ -655,13 +674,17 @@ object IvfServe {
     adcLegAt(s, serveDir(d), AdcR, residualPq = true)
   }
 
-  /** The ADC leg against ANY staged root — the declared key probes
-    * the residual-encoded serve layout; the margin spec also probes a
-    * raw-encode comparison layout (`residualPq = false`, matching how
-    * that layout's codes were built) and a wider `topWidth` to measure
-    * where the exact top-3 sits in each ranking. */
+  /** The ADC leg against ANY staged root — the declared keys probe
+    * the residual-encoded serve layout (nprobe=1 for [[e2pqIvfPqProbe]],
+    * [[NProbe]] cells for [[e2pwIvfPqMultiprobe]] with one residual
+    * table per (query, cell) — the tabs relation already keys on the
+    * pair, so multi-probe is more routed rows, not a new dataflow);
+    * the margin spec also probes a raw-encode comparison layout
+    * (`residualPq = false`, matching how that layout's codes were
+    * built) and a wider `topWidth` to measure where the exact top-3
+    * sits in each ranking. */
   private[graft] def adcLegAt(s: SparkSession, root: String, topWidth: Int,
-      residualPq: Boolean)
+      residualPq: Boolean, nprobe: Int = 1)
       : (DataFrame, Seq[(Long, Int, Seq[Double])], Seq[Int]) = {
     val cents = centroidsCached(s, root)
     val books = booksCached(s, root)
@@ -675,8 +698,8 @@ object IvfServe {
       books.map(t => (t._1, t._2) -> t._3).toMap
     val qRows = s.read.parquet(s"$root/queries").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val routed = qRows.map { case (qid, qv) =>
-      (qid, nearestCells(qv, cents, 1).head, qv.toSeq)
+    val routed = qRows.flatMap { case (qid, qv) =>
+      nearestCells(qv, cents, nprobe).map(cell => (qid, cell, qv.toSeq))
     }
     // per-query ADC lookup tables over the query's probe-side vector
     // `qe` — the RESIDUAL q − centroid(cell) when the layout's codes

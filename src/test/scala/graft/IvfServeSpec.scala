@@ -199,6 +199,24 @@ class IvfServeSpec extends AnyFunSuite {
     assert(fetchLine.nonEmpty, s"survivor ids must push into the fetch scan:\n$fp")
   }
 
+  test("e2pw multiprobe PQ: rows equal e2w's; codes-only scan over the 4-cell sweep") {
+    val pw = IvfServe.e2pwIvfPqMultiprobe(spark, sf).collect().map(_.toSeq)
+    val w = IvfServe.e2wIvfMultiprobe(spark, sf).collect().map(_.toSeq)
+    assert(pw.toSeq == w.toSeq,
+      "the PQ format at nprobe=4 must return the multiprobe's exact rows")
+    // the ADC leg sweeps the same cells e2w probes, reading codes only
+    val (topR, routed, cells) = IvfServe.adcLegAt(spark, IvfServe.serveDir(sf),
+      IvfServe.AdcR, residualPq = true, nprobe = IvfServe.NProbe)
+    assert(cells.toSet == IvfServe.probedCells(spark, sf, IvfServe.NProbe).toSet)
+    assert(routed.map(_._1).distinct.size.toLong * IvfServe.NProbe == routed.size,
+      "one residual table per (query, probed cell)")
+    val p = topR.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("").split("ReadSchema:").last
+    assert(!readSchema.contains("embedding"),
+      s"the multiprobe ADC must stay codes-only: $readSchema")
+  }
+
   test("e2y policy: higher target never chooses smaller nprobe; achieved meets reachable targets") {
     val rows = IvfServe.e2yRecallPolicy(spark, sf).collect()
     val sel = rows.map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2))).distinct
