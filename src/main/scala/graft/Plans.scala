@@ -25,7 +25,15 @@ object Plans {
     // lambda variable ids (x_179 → x_180 whenever an earlier query adds
     // a HOF) and JVM identity hashes in native-Expression literal
     // arguments ([[D@63c25f3a — a new array object every run)
-    val c = renumber(b, "lambda x_(\\d+)".r, n => s"lambda x_$n")
+    val c0 = renumber(b, "lambda x_(\\d+)".r, n => s"lambda x_$n")
+    // HOF binder variables use other letters too (zip_with's second arg
+    // prints as `lambda y_58`) — same session-global counter noise
+    val c1 = renumber(c0, "lambda y_(\\d+)".r, n => s"lambda y_$n")
+    // JVM synthetic lambda class ids (`$$Lambda$8402/0x00007fe9...`)
+    // carry a per-JVM registration counter AND an address — both churn
+    // every run; the `@hex` rule below never sees them because the
+    // address is embedded before any `@`
+    val c = c1.replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$~")
     // identity hashes only where the JVM prints them — `<type>@<hex>`
     // with the type token ending in an identifier char, `;` (object
     // array like [Ljava.lang.String;) or a primitive-array letter
