@@ -165,6 +165,7 @@ object SparkEntry {
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
     "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
     "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
+    "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -827,6 +828,38 @@ object SparkEntry {
       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** The segment-fold BM25 replay shared by e35f (whole corpus) and
+    * e35z (base + the pinned batch prefix): query selection from the
+    * BASE corpus (doc_id >= 16 — the frozen query set), every scoring
+    * statistic from `corpusPred`'s rows. */
+  private def e35FoldOracleSql(corpusPred: String, snap: Option[Long]): String = {
+    val snapCol = snap.map(id => s", CAST($id AS BIGINT) AS snapshot_id").getOrElse("")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents WHERE $corpusPred),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |bdf AS (SELECT term, count(*) AS df FROM tf WHERE doc_id >= 16 GROUP BY term),
+       |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM bdf)
+       |  WHERE r BETWEEN 20 AND 31),
+       |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |    JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, n_match, score$snapCol FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
@@ -1241,31 +1274,15 @@ object SparkEntry {
     // base corpus (doc_id >= 16, the frozen-quantizer analogue), every
     // scoring statistic (df, n_docs, avgdl, dl) from the WHOLE corpus;
     // a dropped/doubled arrival or a stale base-df score is a hash miss
-    "e35f_postings_fold" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |lens AS (SELECT doc_id, len(w) AS dl FROM w),
-        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |bdf AS (SELECT term, count(*) AS df FROM tf WHERE doc_id >= 16 GROUP BY term),
-        |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term FROM (
-        |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM bdf)
-        |  WHERE r BETWEEN 20 AND 31),
-        |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
-        |    round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-        |      (tf.tf * 2.2) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
-        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-        |    JOIN lens USING (doc_id), st
-        |  GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER
-        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-        |  FROM sc)
-        |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+    "e35f_postings_fold" -> e35FoldOracleSql("TRUE", None),
+    // e35z: the same chain over base + the batch prefix <= 2 (arrival
+    // buckets are contiguous doc_id ranges of 16/4 = 4, so prefix <= 2
+    // is doc_id < 12) — df/n_docs/avgdl all roll back with the pinned
+    // posting set; a current-stats score of pinned postings, a leaked
+    // batch-3 arrival, or a lost pinned one is a hash miss
+    "e35z_lex_snapshot" ->
+      e35FoldOracleSql("doc_id >= 16 OR doc_id < 12",
+        Some(graft.streaming.LexStreams.DeclaredLexSnap)),
     "e36_epoch_order" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))

@@ -181,12 +181,22 @@ object LexStreams {
 
   private[graft] def drain(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
+    val segs = work.resolve("segs")
+    val lens = work.resolve("lens")
     val q = docsArrivalStream(s, d, nBuckets = 4)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
-        EventStreams.maybeCompactFolds(s, work.resolve("segs"), id, df => df)
-        EventStreams.maybeCompactFolds(s, work.resolve("lens"), id, df => df)
+        // manifests on BOTH fold trees (the e2z/e72 discipline): a
+        // pinned text-index read needs the postings prefix AND the
+        // doc-length prefix — statistics at version k are part of the
+        // version. Compaction spares manifest-referenced dirs.
+        EventStreams.maybeCompactFolds(s, segs, id, df => df,
+          spare = SnapshotFolds.retainedRefs(segs))
+        EventStreams.maybeCompactFolds(s, lens, id, df => df,
+          spare = SnapshotFolds.retainedRefs(lens))
         foldBatch(df, id, work)
+        SnapshotFolds.writeManifest(segs, id)
+        SnapshotFolds.writeManifest(lens, id)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
@@ -205,7 +215,23 @@ object LexStreams {
     * term-filtered segments, ADDITIVE df/stats merge, top-5. Exposed
     * pre-drain so the visibility spec can probe between folds. */
   private[graft] def probe(s: SparkSession, d: String,
-      work: java.nio.file.Path): DataFrame = {
+      work: java.nio.file.Path): DataFrame =
+    probeWithDirs(s, d, foldDirs(work.resolve("segs")),
+      foldDirs(work.resolve("lens")))
+
+  /** The probe AT a pinned snapshot: both fold trees resolved through
+    * their `snap` manifests instead of the current read set. */
+  private[graft] def probeAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    val segs = work.resolve("segs")
+    val lens = work.resolve("lens")
+    probeWithDirs(s, d,
+      SnapshotFolds.readManifest(segs, snap).map(n => segs.resolve(n).toString),
+      SnapshotFolds.readManifest(lens, snap).map(n => lens.resolve(n).toString))
+  }
+
+  private def probeWithDirs(s: SparkSession, d: String,
+      segDirs: Seq[String], lensDirs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val root = foldBaseDir(d)
@@ -218,7 +244,6 @@ object LexStreams {
       .where(col("tb").isin(buckets.map(Int.box): _*))
       .where(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
-    val segDirs = foldDirs(work.resolve("segs"))
     val segPost = if (segDirs.isEmpty) None
       else Some(s.read.parquet(segDirs: _*)
         .where(col("term").isin(terms: _*))
@@ -236,7 +261,6 @@ object LexStreams {
     // stats: base (n_docs, sum_dl) + the lens folds (token-less
     // arrivals included — they have a lens row, no posting row)
     val baseSt = s.read.parquet(s"$root/stats")
-    val lensDirs = foldDirs(work.resolve("lens"))
     val st = (if (lensDirs.isEmpty) baseSt
       else baseSt.unionByName(s.read.parquet(lensDirs: _*)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
@@ -268,5 +292,32 @@ object LexStreams {
     DocStreams.deleteTree(work)
     drain(s, dir, work)
     probe(s, dir, work)
+  }
+
+  /** The declared read-back snapshot for [[e35zLexSnapshot]]: batch 2
+    * of the 4-bucket drain — arrivals of buckets 0..2 (doc_id < 12)
+    * visible, batch 3's not, though the current layout has folded and
+    * compacted past them (the e2z declaration, on text). */
+  val DeclaredLexSnap = 2L
+
+  /** E35z: SCORE-AT-SNAPSHOT over the manifested postings segments —
+    * the snapshot symmetry completed: every incremental layout in the
+    * suite (event folds e72, vector folds e2z, and now the text
+    * index) answers "what did this index say as of batch k". BM25 is
+    * the sharp case: a snapshot is not just a row subset — df, n_docs
+    * and avgdl all roll back with it, which is why BOTH fold trees
+    * carry manifests (scoring statistics at version k are part of
+    * version k). The oracle replays the full recompute over base ∪
+    * the batch prefix, so a leaked post-snapshot arrival OR a
+    * current-stats score of a pinned posting set is a hash miss. */
+  def e35zLexSnapshot(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35z", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    drain(s, dir, work)
+    probeAtSnapshot(s, dir, work, DeclaredLexSnap)
+      .withColumn("snapshot_id", lit(DeclaredLexSnap))
   }
 }

@@ -75,6 +75,46 @@ class LexStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(oneShot)
   }
 
+  test("e35z snapshot: prefix equality, stats roll back, survival, loud expiry") {
+    val oneShot = freshWork()
+    try {
+      val declared = LexStreams.e35zLexSnapshot(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.nonEmpty)
+      assert(declared.forall(_.last == LexStreams.DeclaredLexSnap))
+      val work = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+        "stream-e35z", graft.util.PathKeys.keyedName(sf) + "-4")
+      // SURVIVAL: batch 3's step compacted batches 0..2 out of the
+      // current read set of BOTH trees; the pinned dirs must resolve
+      for (tree <- Seq("segs", "lens")) {
+        val root = work.resolve(tree)
+        assert(java.nio.file.Files.isDirectory(root.resolve("compact=2")),
+          s"$tree: batch 3 must have compacted the earlier batches")
+        val pinned = graft.streaming.SnapshotFolds.readManifest(root, 2L)
+        assert(pinned == Seq("batch=0", "batch=1", "batch=2"), s"$tree: $pinned")
+        pinned.foreach(n => assert(java.nio.file.Files.isDirectory(root.resolve(n)),
+          s"$tree: compaction must SPARE manifest-referenced dir $n"))
+      }
+      // PREFIX EQUALITY incl. the stats rollback: the pinned probe
+      // equals a one-shot fold of exactly the batch-prefix arrivals
+      LexStreams.foldBatch(arrivals().where(col("doc_id") < 12), 0L, oneShot)
+      val manual = LexStreams.probe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      assert(declared.map(_.dropRight(1)) == manual,
+        "snapshot probe must equal the one-shot batch-prefix fold")
+      // the CURRENT probe scores with batch-3 stats — it must differ
+      // (n_docs/avgdl moved even if the ranked docs did not)
+      val current = LexStreams.probe(spark, sf, work).collect().map(_.toSeq).toSeq
+      assert(current != manual,
+        "the current read set must score with post-snapshot statistics")
+      // LOUD EXPIRY: snap 0 expired when snap 3 was written (Retain=3)
+      val ex = intercept[IllegalArgumentException](
+        graft.streaming.SnapshotFolds.readManifest(work.resolve("segs"), 0L))
+      assert(ex.getMessage.contains("not resolvable"))
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+
   test("a token-less arrival shifts n_docs/avgdl — lens fold, no posting row") {
     LexStreams.ensureFoldBase(spark, sf)
     val work = freshWork()
