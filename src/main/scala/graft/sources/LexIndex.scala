@@ -94,7 +94,8 @@ object LexIndex {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "documents.parquet")
-    val sig = s"l1:nb=$NBuckets:q=$QDocBound:" +
+    val sig = // l2: dfreq bucketed like the postings
+      s"l2:nb=$NBuckets:q=$QDocBound:" +
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -122,8 +123,14 @@ object LexIndex {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        dfreq.coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/dfreq")
+        // the df dim is VOCAB-sized — bucket it like the postings (a
+        // coalesce(1) here would single-thread a ~100M-term relation at
+        // real scale and give query-term lookups nothing to prune on)
+        dfreq.select(bucketCol(col("term")).as("tb"), col("term"), col("df"))
+          .repartition(col("tb"))
+          .sortWithinPartitions("tb", "term")
+          .write.mode(SaveMode.Overwrite).partitionBy("tb")
+          .parquet(s"$root/dfreq")
         // postings with df and dl denormalized; ONE exchange on the
         // bucket key before the partitioned write (the IvfServe lists
         // discipline — one file per bucket per holding task), term-sorted

@@ -71,7 +71,8 @@ object LexStreams {
   private[graft] def ensureFoldBase(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "documents.parquet")
-    val sig = s"lf1:nb=${LexIndex.NBuckets}:b=$ArrivalDocBound:" +
+    val sig = // lf2: dfreq bucketed like the postings
+      s"lf2:nb=${LexIndex.NBuckets}:b=$ArrivalDocBound:" +
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = foldBaseDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -91,7 +92,13 @@ object LexStreams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        dfreq.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/dfreq")
+        // vocab-sized dim: bucketed like the postings (see LexIndex)
+        dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
+            col("term"), col("df"))
+          .repartition(col("tb"))
+          .sortWithinPartitions("tb", "term")
+          .write.mode(SaveMode.Overwrite).partitionBy("tb")
+          .parquet(s"$root/dfreq")
         tf.join(lens, "doc_id")
           .select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
             col("doc_id"), col("tf"), col("dl"))
@@ -254,7 +261,9 @@ object LexStreams {
     // an arrival lands) — that is the one denormalization an
     // incremental index must give up
     val baseDf = s.read.parquet(s"$root/dfreq")
+      .where(col("tb").isin(buckets.map(Int.box): _*))
       .where(col("term").isin(terms: _*))
+      .select("term", "df")
     val segDf = segPost.map(_.groupBy("term").agg(count(lit(1)).as("df")))
     val dfAll = segDf.fold(baseDf)(baseDf.select("term", "df").unionByName(_))
       .groupBy("term").agg(sum(col("df")).as("df"))
