@@ -109,8 +109,8 @@ object IvfServe {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "embeddings.parquet")
-    val sig = // s6: PQ codes quantize the RESIDUAL (v − cell centroid)
-      s"s6:k=$K:pq=m${PqM}k$PqK:" +
+    val sig = // s7: +staged recall curve; s6: residual PQ codes
+      s"s7:k=$K:pq=m${PqM}k$PqK:" +
         s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -118,8 +118,16 @@ object IvfServe {
       new String(Files.readAllBytes(marker), "UTF-8") != sig
     if (stale) {
       graft.streaming.DocStreams.deleteTree(Paths.get(root))
-      buildTrainedLayout(s, root, corpus(s, d))
+      val cents = buildTrainedLayout(s, root, corpus(s, d))
       stageQueries(s, root, d)
+      // the recall/cost CURVE is staged AT BUILD TIME (r14): its exact
+      // denominator is a full corpus scan, which is a build-time cost —
+      // a policy key paying it per call would re-measure an unchanged
+      // index on every probe. e2n declares the staged table (oracle
+      // still replays the whole sweep end-to-end, so staging drift is
+      // a hash miss); e2y reads it and serves.
+      sweepCurve(s, d, root, cents.map { case (c, v) => (c, v.toArray) })
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/curve")
       Files.write(marker, sig.getBytes("UTF-8"))
     }
   }
@@ -472,8 +480,18 @@ object IvfServe {
     * whole table including the per-nprobe candidate sets. */
   def e2nNprobeSweep(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
-    val root = serveDir(d)
-    val cents = centroidsCached(s, root)
+    // the declared table is the BUILD-TIME staged curve (see ensure);
+    // the oracle replays the entire sweep, so a stale or drifted
+    // staging is a hash miss — the e2v precedent applied to the
+    // measurement itself
+    s.read.parquet(s"${serveDir(d)}/curve").orderBy("nprobe")
+  }
+
+  /** The e2n sweep dataflow, run at BUILD time against a freshly
+    * written (pre-marker) layout — centroids passed explicitly because
+    * the staged-signature cache key does not exist yet. */
+  private def sweepCurve(s: SparkSession, d: String, root: String,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
     import s.implicits._
     val qRows = s.read.parquet(s"$root/queries").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
