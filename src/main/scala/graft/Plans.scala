@@ -40,7 +40,12 @@ object Plans {
     // after `[`. A blanket `@hex` match also canonicalized hex-ish
     // tokens inside string literals/names and could mask a real plan
     // diff (r13 advice).
-    c.replaceAll("([A-Za-z0-9_$;\\]])@[0-9a-f]{6,10}\\b", "$1@~")
+    // `~` joins the anchor class: the Lambda rewrite above leaves
+    // `Lambda$~@<identityHash>` and the hash must still canonicalize;
+    // RDD registration ids (`MapPartitionsRDD[2659]`) are a per-session
+    // counter printed by checkpointed-RDD scan arguments
+    c.replaceAll("([A-Za-z0-9_$;\\]~])@[0-9a-f]{6,10}\\b", "$1@~")
+      .replaceAll("RDD\\[\\d+\\]", "RDD[~]")
   }
 
   def main(args: Array[String]): Unit = {
