@@ -110,7 +110,7 @@ object IvfServe {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "embeddings.parquet")
     val sig = // s7: +staged recall curve; s6: residual PQ codes
-      s"s7:k=$K:pq=m${PqM}k$PqK:" +
+      s"s7:k=$K:pq=m${PqM}k$PqK:sw=$SweepMax:" +
         s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")

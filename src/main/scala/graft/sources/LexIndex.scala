@@ -90,6 +90,48 @@ object LexIndex {
   private[graft] def bucketCol(term: org.apache.spark.sql.Column) =
     pmod(crc32(term.cast("binary")), lit(NBuckets.toLong)).cast("int")
 
+  /** The one term-bucketed write discipline (postings and df dims,
+    * serve and fold-base layouts alike): one exchange on the bucket
+    * key, bucket-partitioned dirs, term-sorted within each so the
+    * pushed In(term) prunes row groups inside the buckets the
+    * partition filter keeps. `rows` must already carry `tb`. */
+  private[graft] def writeTermBucketed(rows: DataFrame, path: String,
+      sortCols: Seq[String]): Unit =
+    rows.repartition(col("tb"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("tb")
+      .parquet(path)
+
+  /** e35's declared query set from a df dim: terms ranked 20-31 by
+    * (df desc, term), 4 per query — TakeOrdered bounds the rank at 31
+    * rows before the window (the e35 discipline). ONE definition so
+    * the serve layout and the fold-base's frozen query set can never
+    * silently diverge. Returns (qid, term, df). */
+  private[graft] def declaredQuerySet(dfreq: DataFrame): DataFrame =
+    dfreq.orderBy(col("df").desc, col("term")).limit(31)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .where(col("r") >= 20 && col("r") <= 31)
+      .select((((col("r") - 20) / 4).cast("int")).as("qid"),
+        col("term"), col("df"))
+
+  /** The shared BM25 ranking tail: per-(qid, doc) match count and 6-dp
+    * rounded score over `contribRows` (qid, doc_id, contrib), then
+    * bounded-heap top-5 and the declared output shape. One definition
+    * for e35s and the e35f/e35z fold probes — the output contract
+    * (rounding, tie-break, k) cannot drift between them. */
+  private[graft] def rankTop5(contribRows: DataFrame): DataFrame = {
+    val scored = contribRows
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_match"), round(sum(col("contrib")), 6).as("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored, 5,
+        keys = Seq("qid"), orderBy = Seq(("score", false), ("doc_id", true)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** One-time BUILD under the suite-wide staleness contract. */
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
@@ -126,32 +168,16 @@ object LexIndex {
         // the df dim is VOCAB-sized — bucket it like the postings (a
         // coalesce(1) here would single-thread a ~100M-term relation at
         // real scale and give query-term lookups nothing to prune on)
-        dfreq.select(bucketCol(col("term")).as("tb"), col("term"), col("df"))
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "term")
-          .write.mode(SaveMode.Overwrite).partitionBy("tb")
-          .parquet(s"$root/dfreq")
-        // postings with df and dl denormalized; ONE exchange on the
-        // bucket key before the partitioned write (the IvfServe lists
-        // discipline — one file per bucket per holding task), term-sorted
-        // so the pushed In(term) prunes row groups within a bucket
-        tf.join(dfreq, "term").join(lens, "doc_id")
-          .select(bucketCol(col("term")).as("tb"), col("term"),
-            col("doc_id"), col("tf"), col("df"), col("dl"))
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "term", "doc_id")
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("tb")
-          .parquet(s"$root/postings")
-        // e35's declared query set: terms ranked 20-31 by (df desc, term),
-        // 4 per query — TakeOrdered bounds the rank at 31 rows before the
-        // window (the e35 discipline)
-        dfreq.orderBy(col("df").desc, col("term")).limit(31)
-          .withColumn("r", row_number().over(
-            Window.orderBy(col("df").desc, col("term"))))
-          .where(col("r") >= 20 && col("r") <= 31)
-          .select((((col("r") - 20) / 4).cast("int")).as("qid"),
-            col("term"), col("df"))
+        writeTermBucketed(dfreq.select(bucketCol(col("term")).as("tb"),
+          col("term"), col("df")), s"$root/dfreq", Seq("tb", "term"))
+        // postings with df and dl denormalized (the Lucene
+        // norm-in-posting shape — see scaladoc)
+        writeTermBucketed(
+          tf.join(dfreq, "term").join(lens, "doc_id")
+            .select(bucketCol(col("term")).as("tb"), col("term"),
+              col("doc_id"), col("tf"), col("df"), col("dl")),
+          s"$root/postings", Seq("tb", "term", "doc_id"))
+        declaredQuerySet(dfreq)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
       } finally dfreq.unpersist(blocking = false)
       // the query DOCS' term stats (e71's keyword source) — bounded by
@@ -198,18 +224,10 @@ object LexIndex {
     val qrows = s.read.parquet(s"${serveDir(d)}/queries")
       .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
     val q = qrows.toDF("qid", "term")
-    val scored = postingsPruned(s, d, qrows.map(_._2).distinct.sorted)
+    rankTop5(postingsPruned(s, d, qrows.map(_._2).distinct.sorted)
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats(s, d)))
-      .withColumn("contrib", bm25Contrib)
-      .groupBy("qid", "doc_id")
-      .agg(count(lit(1)).as("n_match"), round(sum(col("contrib")), 6).as("score"))
-    graft.plans.TopKPerKey.topKPerKey(scored, 5,
-        keys = Seq("qid"), orderBy = Seq(("score", false), ("doc_id", true)))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
-      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("score"))
-      .orderBy("qid", "rnk")
+      .withColumn("contrib", bm25Contrib))
   }
 
   /** e71's LEXICAL LEG through the staged index: the query docs'

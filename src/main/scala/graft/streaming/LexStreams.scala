@@ -92,26 +92,18 @@ object LexStreams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        // vocab-sized dim: bucketed like the postings (see LexIndex)
-        dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
-            col("term"), col("df"))
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "term")
-          .write.mode(SaveMode.Overwrite).partitionBy("tb")
-          .parquet(s"$root/dfreq")
-        tf.join(lens, "doc_id")
-          .select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
-            col("doc_id"), col("tf"), col("dl"))
-          .repartition(col("tb"))
-          .sortWithinPartitions("tb", "term", "doc_id")
-          .write.mode(SaveMode.Overwrite).partitionBy("tb")
-          .parquet(s"$root/postings")
-        import org.apache.spark.sql.expressions.Window
-        dfreq.orderBy(col("df").desc, col("term")).limit(31)
-          .withColumn("r", row_number().over(
-            Window.orderBy(col("df").desc, col("term"))))
-          .where(col("r") >= 20 && col("r") <= 31)
-          .select((((col("r") - 20) / 4).cast("int")).as("qid"), col("term"))
+        // vocab-sized dim: the shared term-bucketed write (LexIndex)
+        LexIndex.writeTermBucketed(
+          dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
+            col("term"), col("df")), s"$root/dfreq", Seq("tb", "term"))
+        LexIndex.writeTermBucketed(
+          tf.join(lens, "doc_id")
+            .select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
+              col("doc_id"), col("tf"), col("dl")),
+          s"$root/postings", Seq("tb", "term", "doc_id"))
+        // the FROZEN query set — the SAME derivation the serve layout
+        // stages (LexIndex.declaredQuerySet), over the base df only
+        LexIndex.declaredQuerySet(dfreq).select("qid", "term")
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
       } finally tf.unpersist(blocking = false)
       Files.write(marker, sig.getBytes("UTF-8"))
@@ -275,19 +267,11 @@ object LexStreams {
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
-    val scored = post
+    LexIndex.rankTop5(post
       .join(broadcast(q), Seq("term"))
       .join(broadcast(dfAll), Seq("term"))
       .crossJoin(broadcast(st))
-      .withColumn("contrib", LexIndex.bm25Contrib)
-      .groupBy("qid", "doc_id")
-      .agg(count(lit(1)).as("n_match"), round(sum(col("contrib")), 6).as("score"))
-    graft.plans.TopKPerKey.topKPerKey(scored, 5,
-        keys = Seq("qid"), orderBy = Seq(("score", false), ("doc_id", true)))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
-      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("score"))
-      .orderBy("qid", "rnk")
+      .withColumn("contrib", LexIndex.bm25Contrib))
   }
 
   /** E35f: the declared postings-fold key — fresh drain per invocation

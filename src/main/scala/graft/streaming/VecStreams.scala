@@ -183,6 +183,16 @@ object VecStreams {
     * re-stage spec probes the rebuilt index through this. */
   private[graft] def candidatesAt(s: SparkSession, root: String,
       foldRootOpt: Option[java.nio.file.Path], d: String): DataFrame = {
+    val (q, cells) = routedQueriesAt(s, root, d)
+    scoredAgainst(s, root, foldRootOpt, q, cells)
+  }
+
+  /** The nprobe-1 query routing under `root`'s centroids — ONE
+    * definition for the live probe and the snapshot probe (a routing
+    * change applied to one but not the other would silently diverge
+    * the pinned read from the current one). */
+  private def routedQueriesAt(s: SparkSession, root: String,
+      d: String): (DataFrame, Seq[Int]) = {
     val cents = IvfServe.centroidsAt(s, root)
     val q = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"),
@@ -191,7 +201,7 @@ object VecStreams {
         SimOps.bestCentroid(col("qv"), cents).getField("cid"))
     val cells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    scoredAgainst(s, root, foldRootOpt, q, cells)
+    (q, cells)
   }
 
   /** Multi-probe variant (the e2w knob against an arbitrary root) —
@@ -399,14 +409,7 @@ object VecStreams {
   private[graft] def candidatesAtSnapshot(s: SparkSession, d: String,
       work: java.nio.file.Path, snap: Long): DataFrame = {
     val root = foldBaseDir(d)
-    val cents = IvfServe.centroidsAt(s, root)
-    val q = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("qv"))
-      .withColumn("cell",
-        SimOps.bestCentroid(col("qv"), cents).getField("cid"))
-    val cells = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    val (q, cells) = routedQueriesAt(s, root, d)
     val foldRoot = work.resolve("folds")
     val dirs = SnapshotFolds.readManifest(foldRoot, snap)
       .map(n => foldRoot.resolve(n).toString)

@@ -136,17 +136,21 @@ class E2fStreamSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       assert(declared.map(_.dropRight(1)) == manual,
         "snapshot probe must equal the one-shot batch-prefix fold")
-      // batch 3's arrivals (vec_id 12..15) are candidates of the
-      // CURRENT read set but must NOT be candidates at the pinned
-      // version (asserted on the candidate relation — the declared
-      // top-3 may or may not happen to include them)
-      val curLate = VecStreams.e2fCandidates(spark, sf, work)
-        .where(col("cand_id") >= 12 && col("cand_id") < VecStreams.ArrivalBound)
+      // batch 3's arrivals (vec_id 12..15) are part of the CURRENT
+      // fold content but must NOT be candidates at the pinned version.
+      // The current side is asserted on the FOLD DIRS directly (the 8
+      // queries' probed cells need not contain any of the 4 late ids,
+      // so a cell-filtered count could be vacuously 0 on both sides)
       val snapLate = VecStreams.candidatesAtSnapshot(spark, sf, work, 2L)
         .where(col("cand_id") >= 12 && col("cand_id") < VecStreams.ArrivalBound)
       assert(snapLate.count() == 0,
         "a pinned read must not see arrivals that landed after its snapshot")
-      assert(curLate.count() >= snapLate.count())
+      val curIds = spark.read.parquet(
+          EventStreams.foldDirsToRead(foldRoot): _*)
+        .where(col("vec_id") >= 12 && col("vec_id") < VecStreams.ArrivalBound)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).sorted
+      assert(curIds.toSeq == (12L until VecStreams.ArrivalBound),
+        s"the current read set must carry batch 3's arrivals: ${curIds.toSeq}")
       // LOUD EXPIRY: snap 0 expired when snap 3 was written (Retain=3)
       val ex = intercept[IllegalArgumentException](
         graft.streaming.SnapshotFolds.readManifest(foldRoot, 0L))

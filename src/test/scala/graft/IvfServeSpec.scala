@@ -259,7 +259,15 @@ class IvfServeSpec extends AnyFunSuite {
     val (ranked, _, _) = IvfServe.adcLegAt(spark, root, 1 << 20, residual)
     ranked.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
       val order = rs.sortBy(r => (r.getDouble(2), r.getLong(1))).map(_.getLong(1))
-      q -> exact(q).map(c => order.indexOf(c) + 1).max
+      q -> exact(q).map { c =>
+        val at = order.indexOf(c)
+        // a missing exact-top-3 member must FAIL here, not map to rank
+        // 0 and shrink the max — that would pass containment in the
+        // exact scenario the assertion exists to catch
+        assert(at >= 0, s"exact top-3 candidate $c of query $q absent " +
+          s"from the ADC ranking entirely")
+        at + 1
+      }.max
     }
   }
 

@@ -118,9 +118,10 @@ class LexStreamSpec extends AnyFunSuite {
   test("a token-less arrival shifts n_docs/avgdl — lens fold, no posting row") {
     LexStreams.ensureFoldBase(spark, sf)
     val work = freshWork()
+    val baseWork = freshWork() // no folds — the base-only probe
     try {
       import spark.implicits._
-      val baseOnly = LexStreams.probe(spark, sf, freshWork())
+      val baseOnly = LexStreams.probe(spark, sf, baseWork)
         .collect().map(_.toSeq).toSeq
       val empty = Seq((999998L, "   ", "en", "t", 3L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -132,6 +133,9 @@ class LexStreamSpec extends AnyFunSuite {
         "an empty arrival must not change WHICH docs rank")
       assert(baseOnly.map(_(4)) != shifted.map(_(4)),
         "an empty arrival must shift the scores through n_docs/avgdl")
-    } finally graft.streaming.DocStreams.deleteTree(work)
+    } finally {
+      graft.streaming.DocStreams.deleteTree(work)
+      graft.streaming.DocStreams.deleteTree(baseWork)
+    }
   }
 }
