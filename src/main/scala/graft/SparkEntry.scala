@@ -93,6 +93,7 @@ object SparkEntry {
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2y_recall_policy" -> (graft.sources.IvfServe.e2yRecallPolicy _),
     "e2pw_ivfpq_multiprobe" -> (graft.sources.IvfServe.e2pwIvfPqMultiprobe _),
+    "e2px_filtered_pq"  -> (graft.sources.IvfServe.e2pxFilteredPqMultiprobe _),
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e2z_fold_snapshot" -> (graft.streaming.VecStreams.e2zFoldSnapshot _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
@@ -2481,6 +2482,10 @@ object SparkEntry {
     // verbatim (layout invariance at nprobe=4)
     "e2pw_ivfpq_multiprobe" ->
       ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = false),
+    // e2px: filtered multiprobe through the PQ format — e2x's oracle
+    // verbatim (layout invariance under the filtered candidate set)
+    "e2px_filtered_pq" ->
+      ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = true),
     // e2f: the quantizer trains on the PRE-ARRIVAL base only (the
     // frozen-quantizer maintenance contract) but the assignment — and
     // so the probe's candidate set — covers base AND folded arrivals:

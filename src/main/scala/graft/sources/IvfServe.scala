@@ -649,12 +649,31 @@ object IvfServe {
   def e2pwIvfPqMultiprobe(s: SparkSession, d: String): DataFrame =
     pqProbe(s, d, NProbe)
 
-  private def pqProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  /** E2px: FILTERED MULTI-PROBE through the PQ format (r14, unasked —
+    * the full serve matrix in one key: e2x's recall knob × attribute
+    * predicate, through e2pq's compressed layout). The `label < 5`
+    * predicate applies DURING the codes-only ADC scan (PartitionFilters
+    * on the 4 probed cells AND PushedFilters on label, embedding column
+    * still absent), the candidate's label rides the shortlist, and the
+    * refine fetch rescores the filtered ADC top-[[AdcR]] exactly.
+    * Declared rows are e2x's verbatim (layout invariance under the
+    * filtered candidate set), so the oracle is shared. */
+  def e2pxFilteredPqMultiprobe(s: SparkSession, d: String): DataFrame =
+    pqProbe(s, d, NProbe, labelFilter = true)
+
+  private def pqProbe(s: SparkSession, d: String, nprobe: Int,
+      labelFilter: Boolean = false): DataFrame = {
     ensure(s, d)
     val (topR, routed, _) = adcLegAt(s, serveDir(d), AdcR,
-      residualPq = true, nprobe = nprobe)
-    val surv = topR.select("q_id", "cand_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      residualPq = true, nprobe = nprobe, labelFilter = labelFilter)
+    // ≤ queries×AdcR survivor rows by declaration; the label (when the
+    // probe filters) rides from the ADC leg — the refine index stores
+    // only (vec_id, embedding)
+    val surv =
+      if (labelFilter) topR.select("q_id", "cand_id", "cand_label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      else topR.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), 0)).toSeq
     // the In-list must reach the parquet reader as an exact predicate:
     // past the default 10-value threshold Spark degrades In to a
     // (min, max) range, which over id-scattered survivors prunes
@@ -670,15 +689,18 @@ object IvfServe {
       .select(col("vec_id").as("cand_id"),
         col("embedding").cast("array<double>").as("v"))
     import s.implicits._
-    val pairs = broadcast(surv.toDF("q_id", "cand_id"))
+    val pairs = broadcast(
+      if (labelFilter) surv.toDF("q_id", "cand_id", "cand_label")
+      else surv.map(t => (t._1, t._2)).toDF("q_id", "cand_id"))
     // routed carries one row per (query, probed cell) — distinct before
     // the qv join, or a multi-probe rescore would multiply candidates
     val qv = broadcast(routed.map(t => (t._1, t._3)).distinct.toDF("q_id", "qv"))
+    val extra = if (labelFilter) Seq(col("cand_label")) else Nil
     val scored = fetch.join(pairs, Seq("cand_id")).join(qv, Seq("q_id"))
-      .select(col("q_id"), col("cand_id"),
+      .select((Seq(col("q_id"), col("cand_id")) ++ extra :+
         round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
-          .as("cos_sim"))
-    rankedTop3(scored)
+          .as("cos_sim")): _*)
+    rankedTop3(scored, extra = if (labelFilter) Seq("cand_label") else Nil)
   }
 
   /** e2pq's phase-1 ADC shortlist — exposed so IvfServeSpec can pin
@@ -702,7 +724,7 @@ object IvfServe {
     * built) and a wider `topWidth` to measure where the exact top-3
     * sits in each ranking. */
   private[graft] def adcLegAt(s: SparkSession, root: String, topWidth: Int,
-      residualPq: Boolean, nprobe: Int = 1)
+      residualPq: Boolean, nprobe: Int = 1, labelFilter: Boolean = false)
       : (DataFrame, Seq[(Long, Int, Seq[Double])], Seq[Int]) = {
     val cents = centroidsCached(s, root)
     val books = booksCached(s, root)
@@ -752,13 +774,23 @@ object IvfServe {
     val adc = (0 until PqM)
       .map(m => element_at(element_at(col("tabs"), m + 1), col(s"c$m") + 1))
       .reduceLeft(_ + _)
-    val adcLeg = s.read.parquet(s"$root/lists")
+    // the attribute predicate applies DURING the codes scan (e2a's
+    // filter-during-probe stance — pushed to the row groups of the
+    // probed cells, beside the partition filter); the candidate's
+    // label rides the shortlist so the filtered declared rows can
+    // prove the predicate held without a second lookup
+    val scan0 = s.read.parquet(s"$root/lists")
       .where(col("cell").isin(cells.map(Int.box): _*))
-      .select((col("vec_id").as("cand_id") +: col("cell") +:
-        (0 until PqM).map(m => col(s"c$m"))): _*)
+    val scan = if (labelFilter) scan0.where(col("label") < 5) else scan0
+    val labelCols = if (labelFilter) Seq(col("label").as("cand_label")) else Nil
+    val adcLeg = scan
+      .select((col("vec_id").as("cand_id") +: col("cell") +: labelCols) ++
+        (0 until PqM).map(m => col(s"c$m")): _*)
       .join(qTabs, Seq("cell"))
       .where(col("cand_id") =!= col("q_id"))
-      .select(col("q_id"), col("cand_id"), round(adc, 6).as("adc_d2"))
+      .select((Seq(col("q_id"), col("cand_id")) ++
+        (if (labelFilter) Seq(col("cand_label")) else Nil) :+
+        round(adc, 6).as("adc_d2")): _*)
     val topR = graft.plans.TopKPerKey.topKPerKey(adcLeg, topWidth,
       keys = Seq("q_id"), orderBy = Seq(("adc_d2", true), ("cand_id", true)))
     (topR, routed, cells)

@@ -217,6 +217,27 @@ class IvfServeSpec extends AnyFunSuite {
       s"the multiprobe ADC must stay codes-only: $readSchema")
   }
 
+  test("e2px filtered PQ: rows equal e2x's; label pushes into the codes-only scan") {
+    val px = IvfServe.e2pxFilteredPqMultiprobe(spark, sf).collect().map(_.toSeq)
+    val x = IvfServe.e2xFilteredMultiprobe(spark, sf).collect().map(_.toSeq)
+    assert(px.toSeq == x.toSeq,
+      "the PQ format under the filter must return e2x's exact rows")
+    val (topR, _, _) = IvfServe.adcLegAt(spark, IvfServe.serveDir(sf),
+      IvfServe.AdcR, residualPq = true, nprobe = IvfServe.NProbe,
+      labelFilter = true)
+    val p = topR.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"), s"partition layer missing: $scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("label"),
+      s"label predicate must push into the codes scan: $scanLine")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("").split("ReadSchema:").last
+    assert(!readSchema.contains("embedding"),
+      s"the filtered ADC must stay codes-only: $readSchema")
+    assert(topR.collect().forall(_.getInt(2) < 5),
+      "every shortlist survivor must honor the predicate")
+  }
+
   test("e2y policy: higher target never chooses smaller nprobe; achieved meets reachable targets") {
     val rows = IvfServe.e2yRecallPolicy(spark, sf).collect()
     val sel = rows.map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2))).distinct
