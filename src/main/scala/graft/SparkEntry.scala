@@ -167,6 +167,7 @@ object SparkEntry {
     "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
     "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
+    "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -1284,6 +1285,25 @@ object SparkEntry {
     "e35z_lex_snapshot" ->
       e35FoldOracleSql("doc_id >= 16 OR doc_id < 12",
         Some(graft.streaming.LexStreams.DeclaredLexSnap)),
+    // e35g: base/arrival mass comparison — both sides recomputed from
+    // the corpus split; the verdict reads the ROUNDED share exactly as
+    // the engine does
+    "e35g_merge_gate" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id >= 16) AS n_base_docs,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 16) AS n_arr_docs,
+        |  (SELECT count(*) FROM tf WHERE doc_id >= 16) AS n_base_postings,
+        |  (SELECT count(*) FROM tf WHERE doc_id < 16) AS n_arr_postings),
+        |r AS (SELECT *, round(n_arr_postings * 1.0 /
+        |    (n_base_postings + n_arr_postings), 6) AS arr_posting_share FROM m)
+        |SELECT n_base_docs, n_arr_docs, n_base_postings, n_arr_postings,
+        |  arr_posting_share, arr_posting_share > 0.25 AS gate_tripped
+        |FROM r""".stripMargin,
     "e36_epoch_order" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))

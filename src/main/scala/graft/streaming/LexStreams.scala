@@ -80,34 +80,42 @@ object LexStreams {
       new String(Files.readAllBytes(marker), "UTF-8") != sig
     if (stale) {
       DocStreams.deleteTree(Paths.get(root))
-      val toks = graft.ops.SimOps.tokensArr
-      val docs = graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d),
-          col("doc_id"))
-        .where(col("doc_id") >= ArrivalDocBound)
-      val lens = docs.select(col("doc_id"), size(toks).as("dl"))
-      lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
-      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        // vocab-sized dim: the shared term-bucketed write (LexIndex)
-        LexIndex.writeTermBucketed(
-          dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
-            col("term"), col("df")), s"$root/dfreq", Seq("tb", "term"))
-        LexIndex.writeTermBucketed(
-          tf.join(lens, "doc_id")
-            .select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
-              col("doc_id"), col("tf"), col("dl")),
-          s"$root/postings", Seq("tb", "term", "doc_id"))
-        // the FROZEN query set — the SAME derivation the serve layout
-        // stages (LexIndex.declaredQuerySet), over the base df only
-        LexIndex.declaredQuerySet(dfreq).select("qid", "term")
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
-      } finally tf.unpersist(blocking = false)
+      buildBaseLayout(s, root,
+        graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d),
+            col("doc_id"))
+          .where(col("doc_id") >= ArrivalDocBound))
       Files.write(marker, sig.getBytes("UTF-8"))
     }
+  }
+
+  /** The base-layout builder over an arbitrary corpus `docs` — shared
+    * by [[ensureFoldBase]] (base = doc_id ≥ bound) and the merge leg
+    * ([[mergeIntoBase]], base ∪ arrivals). */
+  private[graft] def buildBaseLayout(s: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    val toks = graft.ops.SimOps.tokensArr
+    val lens = docs.select(col("doc_id"), size(toks).as("dl"))
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // vocab-sized dim: the shared term-bucketed write (LexIndex)
+      LexIndex.writeTermBucketed(
+        dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
+          col("term"), col("df")), s"$root/dfreq", Seq("tb", "term"))
+      LexIndex.writeTermBucketed(
+        tf.join(lens, "doc_id")
+          .select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
+            col("doc_id"), col("tf"), col("dl")),
+        s"$root/postings", Seq("tb", "term", "doc_id"))
+      // the FROZEN query set — the SAME derivation the serve layout
+      // stages (LexIndex.declaredQuerySet), over THIS corpus's df only
+      LexIndex.declaredQuerySet(dfreq).select("qid", "term")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
+    } finally tf.unpersist(blocking = false)
   }
 
   /** Arrival stream: doc_id < [[ArrivalDocBound]] split into id-range
@@ -215,8 +223,13 @@ object LexStreams {
     * pre-drain so the visibility spec can probe between folds. */
   private[graft] def probe(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame =
-    probeWithDirs(s, d, foldDirs(work.resolve("segs")),
+    probeWithDirs(s, foldBaseDir(d), foldDirs(work.resolve("segs")),
       foldDirs(work.resolve("lens")))
+
+  /** Base-only probe against an ARBITRARY layout root — the merge spec
+    * probes the merged base (no segments) through this. */
+  private[graft] def probeBaseOnly(s: SparkSession, root: String): DataFrame =
+    probeWithDirs(s, root, Nil, Nil)
 
   /** The probe AT a pinned snapshot: both fold trees resolved through
     * their `snap` manifests instead of the current read set. */
@@ -224,16 +237,14 @@ object LexStreams {
       work: java.nio.file.Path, snap: Long): DataFrame = {
     val segs = work.resolve("segs")
     val lens = work.resolve("lens")
-    probeWithDirs(s, d,
+    probeWithDirs(s, foldBaseDir(d),
       SnapshotFolds.readManifest(segs, snap).map(n => segs.resolve(n).toString),
       SnapshotFolds.readManifest(lens, snap).map(n => lens.resolve(n).toString))
   }
 
-  private def probeWithDirs(s: SparkSession, d: String,
+  private def probeWithDirs(s: SparkSession, root: String,
       segDirs: Seq[String], lensDirs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val root = foldBaseDir(d)
     val qrows = s.read.parquet(s"$root/queries")
       .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
     val terms = qrows.map(_._2).distinct.sorted
@@ -285,6 +296,91 @@ object LexStreams {
     DocStreams.deleteTree(work)
     drain(s, dir, work)
     probe(s, dir, work)
+  }
+
+  /** Segment-mass bar for [[e35gMergeGate]]: re-stage (merge segments
+    * into the base) when the arrivals' share of all postings exceeds
+    * this. Lucene's tiered merge fires on exactly this ratio class —
+    * probe cost grows with segment count and every segment pays its
+    * own df/stats merge. The iid fixtures sit far under it (16 arrival
+    * docs against 500+ base docs ≈ 0.03 at sf0.01); LexStreamSpec
+    * plants a heavy arrival batch to trip it and measures the merge. */
+  val MergeBar = 0.25
+
+  /** E35g: the SEGMENT-MERGE LIFECYCLE GATE (r14, unasked — e2g's
+    * lifecycle discipline on the text index; the symmetry now covers
+    * build/serve, incremental folds, snapshots, AND lifecycle on both
+    * index families). Drains the arrival stream fresh, folds the
+    * segments, and emits the one-row mass comparison: base/arrival doc
+    * and posting counts, the arrivals' posting share, and the gate
+    * verdict. [[maybeMerge]] applies the contract: rebuild the base
+    * over base ∪ arrivals when the share exceeds [[MergeBar]] (a no-op
+    * on the fixtures — the spec plants the trip). The oracle recomputes
+    * both sides from the corpus split, so a dropped or double-folded
+    * arrival shifts a count and misses the hash.
+    *
+    * 100 TB path: both sides are metadata-sized aggregates (Lucene
+    * keeps them in segment headers; here two zero-column counts + the
+    * staged stats row); the merge, when it fires, costs what the base
+    * build cost — paid on MEASURED segment mass instead of a timer. */
+  def e35gMergeGate(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35g", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    drain(s, dir, work)
+    maybeMerge(s, dir, work) // lifecycle contract; no-op unless tripped
+    mergeReport(s, dir, work)
+  }
+
+  /** The declared one-row mass comparison (see [[e35gMergeGate]]). */
+  private[graft] def mergeReport(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    val root = foldBaseDir(d)
+    val baseSt = s.read.parquet(s"$root/stats").select("n_docs")
+    val basePost = s.read.parquet(s"$root/postings")
+      .agg(count(lit(1)).as("n_base_postings"))
+    val lensDirs = foldDirs(work.resolve("lens"))
+    val segDirs = foldDirs(work.resolve("segs"))
+    require(segDirs.nonEmpty, s"merge gate needs folded segments under $work")
+    val arrDocs = s.read.parquet(lensDirs: _*)
+      .agg(count(lit(1)).as("n_arr_docs"))
+    val arrPost = s.read.parquet(segDirs: _*)
+      .agg(count(lit(1)).as("n_arr_postings"))
+    baseSt.withColumnRenamed("n_docs", "n_base_docs")
+      .crossJoin(broadcast(arrDocs))
+      .crossJoin(broadcast(basePost))
+      .crossJoin(broadcast(arrPost))
+      .withColumn("arr_posting_share", round(
+        col("n_arr_postings") /
+          (col("n_base_postings") + col("n_arr_postings")).cast("double"), 6))
+      .withColumn("gate_tripped", col("arr_posting_share") > MergeBar)
+      .select("n_base_docs", "n_arr_docs", "n_base_postings",
+        "n_arr_postings", "arr_posting_share", "gate_tripped")
+  }
+
+  /** The merge decision: read the gate, rebuild when tripped. Returns
+    * the merged root when a rebuild happened. */
+  private[graft] def maybeMerge(s: SparkSession, d: String,
+      work: java.nio.file.Path): Option[java.nio.file.Path] = {
+    val share = mergeReport(s, d, work)
+      .select("arr_posting_share").head().getDouble(0)
+    if (share > MergeBar) Some(mergeIntoBase(s, d, work)) else None
+  }
+
+  /** The merge leg: rebuild the whole base layout over base ∪ the
+    * folded arrivals (the e2g restage discipline — segments fold into
+    * a fresh base, never edited in place; the frozen query set
+    * re-derives over the merged df, which is exactly what an offline
+    * Lucene merge + query re-rank does). */
+  private[graft] def mergeIntoBase(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    val dst = work.resolve("merged")
+    DocStreams.deleteTree(dst)
+    buildBaseLayout(s, dst.toString,
+      graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d), col("doc_id")))
+    dst
   }
 
   /** The declared read-back snapshot for [[e35zLexSnapshot]]: batch 2

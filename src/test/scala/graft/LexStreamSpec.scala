@@ -115,6 +115,44 @@ class LexStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(oneShot)
   }
 
+  test("e35g: fixture arrivals sit far under the merge bar — the gate must not trip") {
+    val row = LexStreams.e35gMergeGate(spark, sf).collect().head
+    val share = row.getDouble(4)
+    assert(!row.getBoolean(5), f"iid fixture share $share%.4f must not trip")
+    assert(share < LexStreams.MergeBar / 2,
+      f"fixture share $share%.4f should sit far under the ${LexStreams.MergeBar} bar")
+  }
+
+  test("e35g: planted heavy arrivals trip the gate; the merge rebuilds a full base") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      // a planted segment outweighing the base in POSTING mass (the
+      // gate's currency): 600 synthetic docs × 20 distinct terms each
+      // = 12k postings against the base corpus's ~11k
+      val planted = (0 until 600).map { i =>
+        val text = (0 until 20).map(j => s"mergeterm${i}x$j").mkString(" ")
+        (1000000L + i, text, "en", "t", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.foldBatch(planted, 0L, work)
+      val row = LexStreams.mergeReport(spark, sf, work).collect().head
+      assert(row.getBoolean(5),
+        s"planted segment mass must trip the gate: share ${row.getDouble(4)}")
+      // the merge leg rebuilds the base over the SOURCE corpus (base ∪
+      // its arrivals): the merged layout is exactly the serve layout's
+      // semantics — full-corpus statistics and the re-derived query
+      // set — so its base-only probe must equal e35's declared rows
+      val merged = LexStreams.mergeIntoBase(spark, sf, work)
+      val probed = LexStreams.probeBaseOnly(spark, merged.toString)
+        .collect().map(_.toSeq).toSeq
+      val e35 = graft.ops.CurationOps.e35Bm25Topk(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(probed == e35,
+        "the merged base must serve the full-corpus BM25 rows exactly")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
   test("a token-less arrival shifts n_docs/avgdl — lens fold, no posting row") {
     LexStreams.ensureFoldBase(spark, sf)
     val work = freshWork()
