@@ -76,13 +76,24 @@ object BenchStats {
     *    itself is unavailable (/proc/loadavg unreadable → -1 samples).
     */
   def loadRobust(xs: Seq[Double], loads: Seq[Double], bar: Double,
-      windowK: Int): Double = {
+      windowK: Int): Double =
+    loadRobustPath(xs, loads, bar, windowK)._1
+
+  /** [[loadRobust]] with the aggregation path it took stamped alongside
+    * (r14 advice #1: a min-fallback figure is an optimistically-biased
+    * FLOOR sample, not a median — the artifact must say which one each
+    * key reports): "clean-median" (median over under-bar repeats),
+    * "min" (every repeat ran load-contended), "window" (no load signal
+    * — tightest-window median), "none" (no valid repeat). */
+  def loadRobustPath(xs: Seq[Double], loads: Seq[Double], bar: Double,
+      windowK: Int): (Double, String) = {
     val paired = xs.zipAll(loads, -1.0, -1.0).filter(_._1 >= 0)
-    if (paired.isEmpty) -1.0
-    else if (paired.forall(_._2 < 0)) tightestWindow(xs, windowK)._1
+    if (paired.isEmpty) (-1.0, "none")
+    else if (paired.forall(_._2 < 0)) (tightestWindow(xs, windowK)._1, "window")
     else {
       val clean = paired.collect { case (v, l) if l >= 0 && l <= bar => v }
-      if (clean.nonEmpty) median(clean) else paired.map(_._1).min
+      if (clean.nonEmpty) (median(clean), "clean-median")
+      else (paired.map(_._1).min, "min")
     }
   }
 
@@ -237,10 +248,13 @@ object Bench {
         try src.mkString.split("\\s+")(0).toDouble finally src.close()
       }.getOrElse(-1.0)
     val loadStart = loadavg()
-    /** One timed repeat → (wall seconds, busy seconds). busy > 0 only
-      * when the query drained a StreamingQuery. */
+    /** One timed repeat → (wall seconds, busy seconds, triggers). busy
+      * and triggers are nonzero only when the query drained a
+      * StreamingQuery; triggers (micro-batch count) lets a reader
+      * separate a cadence shift from a per-batch cost shift (r14 ask
+      * #6 — the e4l attribution gap). */
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Double) = {
+        org.apache.spark.sql.DataFrame): (Double, Double, Long) = {
       // Queries that persist() shared sub-relations (e6/e8/e16) register
       // them in the session cache by canonicalized plan, so a later run
       // of the same query would silently reuse the earlier run's cache
@@ -293,10 +307,11 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, graft.streaming.StreamBusy.busySecs)
+        ((System.nanoTime() - t0) / 1e9, graft.streaming.StreamBusy.busySecs,
+          graft.streaming.StreamBusy.batchCount)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (-1.0, 0.0) // sentinel: a crashed query must not read as a fast one
+        (-1.0, 0.0, 0L) // sentinel: a crashed query must not read as a fast one
       }
     }
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
@@ -371,7 +386,7 @@ object Bench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
     // the value a repeat CONTRIBUTES: busy for streaming keys, wall else
-    def contributed(name: String, r: (Double, Double)): Double =
+    def contributed(name: String, r: (Double, Double, Long)): Double =
       if (r._1 < 0) -1.0
       else if (streamingKeys(name) && r._2 > 0) r._2
       else r._1
@@ -382,7 +397,7 @@ object Bench {
     // rising AMBIENT load (the r13 probe reproduced exactly that: its
     // slowest pass coincided with load climbing 1.65 → 5.57).
     val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
-    val passRepeats: Seq[Map[String, (Double, Double)]] =
+    val passRepeats: Seq[Map[String, (Double, Double, Long)]] =
       (1 to passes).map { k =>
         val m = ordered.map { case (n, f) => n -> run(n, f) }.toMap
         passLoads += loadavg()
@@ -400,6 +415,8 @@ object Bench {
       names.map(n => n -> passLoads.toVector)
     val wallRaws = scala.collection.mutable.Map[String, Vector[Double]]() ++
       names.map(n => n -> passRepeats.map(r => r(n)._1).toVector)
+    val trigRaws = scala.collection.mutable.Map[String, Vector[Long]]() ++
+      names.map(n => n -> passRepeats.map(r => r(n)._3).toVector)
     val reruns = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     names.foreach { n =>
       var extra = 0
@@ -408,6 +425,7 @@ object Bench {
         raws(n) :+= contributed(n, r)
         rawLoads(n) :+= loadavg()
         wallRaws(n) :+= r._1
+        trigRaws(n) :+= r._3
         extra += 1
       }
       reruns(n) = extra
@@ -428,9 +446,25 @@ object Bench {
     val loadBar = sys.env.get("SPARK_GRAFT_BENCH_LOADBAR")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
       .getOrElse(cpus.toDouble / 2)
-    val med = names.map(n => n ->
-      BenchStats.loadRobust(raws(n), rawLoads(n), loadBar, passes))
-    val contended = names.exists(n => windows(n)._2 > BenchStats.SpreadLimit)
+    // load-bar sanity (r14 advice #2): when the 1-min loadavg ALREADY
+    // exceeds the bar before the suite starts, every pass will classify
+    // dirty and every key silently reports its floor sample — warn, and
+    // stamp the condition so a reader can see the regime
+    val barExceededAtStart = loadStart >= 0 && loadStart > loadBar
+    if (barExceededAtStart)
+      println(f"[bench] WARNING load_start $loadStart%.2f exceeds load bar " +
+        f"$loadBar%.2f - all passes will classify contended and per-key " +
+        "figures fall back to min-of-repeats")
+    val medPath = names.map(n => n ->
+      BenchStats.loadRobustPath(raws(n), rawLoads(n), loadBar, passes)).toMap
+    val med = names.map(n => n -> medPath(n)._1)
+    // contended marks BOTH regimes a reader must discount: residual
+    // spread above the limit even in the tightest window, and any key
+    // whose reported figure is the min-of-repeats floor (r14 advice #1
+    // — uniformly-contended passes used to report a floor sample under
+    // contended:false)
+    val contended = names.exists(n => windows(n)._2 > BenchStats.SpreadLimit) ||
+      names.exists(n => medPath(n)._2 == "min")
     val loadEnd = loadavg()
     val total = med.map(_._2).filter(_ >= 0).sum
     // Locale.ROOT: a comma-decimal default locale must not break the JSON
@@ -447,6 +481,11 @@ object Bench {
     val proto = s""""attempt":"$attemptId","passes":$passes,"pass_totals":$passTotals,""" +
       s""""pass_loads":$passLoadsJson,""" +
       s""""agg":"load-robust","load_bar":${fmt(loadBar)},""" +
+      // per-repeat load is the single sample at that repeat's PASS
+      // BOUNDARY — a spike inside one key's run marks every key of the
+      // pass identically (r14 advice #2's attribution limit, declared)
+      s""""load_attribution":"pass-end-sample",""" +
+      s""""load_bar_exceeded_at_start":$barExceededAtStart,""" +
       s""""run_order":"alphabetical-interleaved","warmup":1,""" +
       s""""contended":$contended,"load_start":${fmt(loadStart)},""" +
       s""""load_end":${fmt(loadEnd)},"checkpoint_dir":"$ckptDir""""
@@ -481,12 +520,52 @@ object Bench {
     val rerunJson = jmap(names.filter(reruns(_) > 0).map(n => n -> reruns(n).toString))
     val streamWallJson = jmap(streamingKeys.toSeq.sorted.map(n =>
       n -> fmt(BenchStats.median(wallRaws(n)))))
-    val detail = line.dropRight(1) +
-      s""","queries_runs":$runsJson,"queries_loads":$loadsJson""" +
-      s""","queries_spread":$spreadJson""" +
-      s""","queries_rerun":$rerunJson,"streaming_wall":$streamWallJson}"""
+    // per-key aggregation path (r14 advice #1): which loadRobust branch
+    // produced each reported number — a "min" entry is a floor sample
+    val aggJson = jmap(names.map(n => n -> ("\"" + medPath(n)._2 + "\"")))
+    // per-repeat trigger counts for streaming keys (r14 ask #6): a
+    // cadence-bound regression shows as seconds moving while triggers
+    // hold (scheduling), vs both moving together (more micro-batches)
+    val trigJson = jmap(streamingKeys.toSeq.sorted.map(n =>
+      n -> trigRaws(n).map(_.toString).mkString("[", ",", "]")))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get("BENCH_LAST.json").toAbsolutePath.toString)
+    // round-over-round hygiene (r14 ask #7): compare per-key against the
+    // PREVIOUS artifact at the same path (read before overwrite) and
+    // stamp the shared-key ratio distribution, so a uniform ambient-load
+    // shift reads as a tight ratio band instead of a phantom total move
+    val deltaJson: String = scala.util.Try {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out)), "UTF-8")
+      import org.json4s._
+      val pq = org.json4s.jackson.JsonMethods.parse(prev) \ "queries"
+      val prevMap = pq match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      val shared = med.collect {
+        case (n, v) if v > 0 && prevMap.get(n).exists(_ > 0) =>
+          (n, v, prevMap(n))
+      }
+      if (shared.isEmpty) "null"
+      else {
+        val ratios = shared.map { case (_, now, was) => now / was }.sorted
+        val p = (q: Double) => ratios(((ratios.size - 1) * q).round.toInt)
+        s"""{"n_shared":${shared.size},""" +
+          s""""shared_total_now":${fmt(shared.map(_._2).sum)},""" +
+          s""""shared_total_prev":${fmt(shared.map(_._3).sum)},""" +
+          s""""ratio_median":${fmt(p(0.5))},"ratio_p10":${fmt(p(0.1))},""" +
+          s""""ratio_p90":${fmt(p(0.9))}}"""
+      }
+    }.getOrElse("null")
+    val detail = line.dropRight(1) +
+      s""","queries_runs":$runsJson,"queries_loads":$loadsJson""" +
+      s""","queries_spread":$spreadJson,"queries_agg":$aggJson""" +
+      s""","queries_rerun":$rerunJson,"streaming_wall":$streamWallJson""" +
+      s""","streaming_triggers":$trigJson,"delta_vs_prev":$deltaJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>

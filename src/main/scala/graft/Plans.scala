@@ -43,8 +43,11 @@ object Plans {
     // `~` joins the anchor class: the Lambda rewrite above leaves
     // `Lambda$~@<identityHash>` and the hash must still canonicalize;
     // RDD registration ids (`MapPartitionsRDD[2659]`) are a per-session
-    // counter printed by checkpointed-RDD scan arguments
-    c.replaceAll("([A-Za-z0-9_$;\\]~])@[0-9a-f]{6,10}\\b", "$1@~")
+    // counter printed by checkpointed-RDD scan arguments.
+    // {4,12}: an identity hash is Integer.toHexString with no zero pad,
+    // so short values print 4-5 chars (a real `@bf47f` slipped the old
+    // {6,10} floor and churned e40's dump in r15)
+    c.replaceAll("([A-Za-z0-9_$;\\]~])@[0-9a-f]{4,12}\\b", "$1@~")
       .replaceAll("RDD\\[\\d+\\]", "RDD[~]")
   }
 

@@ -12,8 +12,9 @@ package graft.streaming
   * kept alongside in the artifact). */
 object StreamBusy {
   private val accMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val accBatches = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def reset(): Unit = accMs.set(0L)
+  def reset(): Unit = { accMs.set(0L); accBatches.set(0L) }
 
   /** Add one drained query's total micro-batch duration (ms). */
   def add(ms: Long): Unit = accMs.addAndGet(ms)
@@ -21,8 +22,16 @@ object StreamBusy {
   /** Add everything `q` reported. `recentProgress` retains the last
     * spark.sql.streaming.numRecentProgressUpdates (default 100)
     * entries — far above any drain here (≤ ~10 micro-batches). */
-  def addQuery(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  def addQuery(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     add(q.recentProgress.map(_.batchDuration).sum)
+    accBatches.addAndGet(q.recentProgress.length.toLong)
+  }
 
   def busySecs: Double = accMs.get() / 1e3
+
+  /** Micro-batches (triggers) drained since the last reset — the bench
+    * records this per repeat for streaming keys (r14 verdict ask #6):
+    * a cadence-bound key whose seconds move while its trigger count
+    * does not is ambient scheduling, not a code regression. */
+  def batchCount: Long = accBatches.get()
 }

@@ -35,14 +35,28 @@ def main(sf_dir, out_dir, json_out=None):
     import os as _os
     if _os.environ.get("GRAFT_DUCKDB_PIO", "").lower() == "false":
         con.execute("SET preserve_insertion_order=false")
+        # PIO=false is only safe at low thread counts (the dropped-
+        # outermost-ORDER-BY plans stay ordered at threads<=2); the
+        # pairing used to live only in this comment — force it when the
+        # caller did not pin threads themselves (r14 advice #3)
+        if not _os.environ.get("GRAFT_DUCKDB_THREADS"):
+            print("[compare] GRAFT_DUCKDB_PIO=false without "
+                  "GRAFT_DUCKDB_THREADS: forcing threads=2 (DuckDB 1.0.0 "
+                  "drops some outermost ORDER BYs under pio=false at "
+                  "higher thread counts)")
+            con.execute("SET threads=2")
     import re as _re
     if _os.environ.get("GRAFT_DUCKDB_MEMORY"):
         mem = _os.environ["GRAFT_DUCKDB_MEMORY"]
         # validate before interpolating into SET (r13 advice: a malformed
-        # value fails obscurely inside DuckDB or alters the statement)
-        if not _re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", mem, _re.IGNORECASE):
+        # value fails obscurely inside DuckDB or alters the statement).
+        # Accepts DuckDB's memory_limit grammar (r14 advice #4): '24GB',
+        # '1.5GiB', suffix-less '24G', plain-byte '123456', and '80%'.
+        if not _re.fullmatch(r"\d+(\.\d+)?\s*(%|[KMGT]i?B?|B)?", mem,
+                             _re.IGNORECASE):
             raise SystemExit(
-                f"GRAFT_DUCKDB_MEMORY must look like '24GB', got: {mem!r}")
+                f"GRAFT_DUCKDB_MEMORY must look like '24GB'/'24G'/'80%', "
+                f"got: {mem!r}")
         con.execute(f"SET memory_limit='{mem}'")
     if _os.environ.get("GRAFT_DUCKDB_TEMP"):
         # DuckDB SET does not accept prepared parameters — escape the
