@@ -165,6 +165,8 @@ object SparkEntry {
     "e34_centroid_keeper"   -> (SimOps.e34CentroidKeeper _),
     "e35_bm25_topk"         -> (CurationOps.e35Bm25Topk _),
     "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
+    "e35a_filtered_bm25"    -> (graft.sources.LexIndex.e35aFilteredBm25 _),
+    "e35q_adhoc_terms"      -> (graft.sources.LexIndex.e35qAdhocTerms _),
     "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
@@ -830,6 +832,72 @@ object SparkEntry {
       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  /** e35a's oracle: the e35 chain with CANDIDATES restricted to
+    * source = FilterSource while every scoring statistic (df, dl,
+    * n_docs, avgdl) stays full-corpus — the filter restricts
+    * candidates, never the model (the e2a stance, replayed). */
+  private val e35aOracleSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term, df FROM (
+       |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r
+       |    FROM dfreq)
+       |  WHERE r BETWEEN 20 AND 31),
+       |src AS (SELECT doc_id, source FROM documents
+       |  WHERE source = '${graft.sources.LexIndex.FilterSource}'),
+       |sc AS (SELECT q.qid, tf.doc_id, src.source, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id)
+       |    JOIN src ON src.doc_id = tf.doc_id, st
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, source, n_match, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** e35q's oracle: the e35 scoring chain with the query relation
+    * replaced by the DECLARED AD-HOC LITERALS — generated from
+    * LexIndex.AdhocQueries so the two sides cannot drift. The df each
+    * term scores with joins from the corpus df dim (the engine reads
+    * it denormalized off the posting rows — same numbers); an
+    * out-of-vocabulary literal matches no tf row and contributes
+    * nothing, on both sides. */
+  private val e35qOracleSql: String = {
+    val values = graft.sources.LexIndex.AdhocQueries
+      .map { case (qid, t) => s"(CAST($qid AS INTEGER), '$t')" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q(qid, term) AS (VALUES $values),
+       |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |    JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The segment-fold BM25 replay shared by e35f (whole corpus) and
     * e35z (base + the pinned batch prefix): query selection from the
     * BASE corpus (doc_id >= 16 — the frozen query set), every scoring
@@ -1272,6 +1340,12 @@ object SparkEntry {
     // postings, wrong bucket routing, lost df/dl denormalization) is
     // a hash miss
     "e35s_bm25_serve" -> e35OracleSql,
+    // e35a: filtered BM25 — candidates restricted by the pushed source
+    // predicate, statistics full-corpus (the e2a stance on text)
+    "e35a_filtered_bm25" -> e35aOracleSql,
+    // e35q: ad-hoc literal terms through the staged index — the oracle
+    // splices the SAME declared literals (incl. the OOV terms)
+    "e35q_adhoc_terms" -> e35qOracleSql,
     // e35f: the segment-fold index — query selection FROZEN at the
     // base corpus (doc_id >= 16, the frozen-quantizer analogue), every
     // scoring statistic (df, n_docs, avgdl, dl) from the WHOLE corpus;

@@ -120,15 +120,20 @@ object LexIndex {
     * bounded-heap top-5 and the declared output shape. One definition
     * for e35s and the e35f/e35z fold probes — the output contract
     * (rounding, tie-break, k) cannot drift between them. */
-  private[graft] def rankTop5(contribRows: DataFrame): DataFrame = {
+  private[graft] def rankTop5(contribRows: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    // `extra` columns are functionally dependent on doc_id (e35a's
+    // source rides the filtered probe's output so the declared rows
+    // prove the predicate held — the e2a cand_label precedent)
     val scored = contribRows
-      .groupBy("qid", "doc_id")
+      .groupBy(("qid" +: "doc_id" +: extra).map(col): _*)
       .agg(count(lit(1)).as("n_match"), round(sum(col("contrib")), 6).as("score"))
     graft.plans.TopKPerKey.topKPerKey(scored, 5,
         keys = Seq("qid"), orderBy = Seq(("score", false), ("doc_id", true)))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
-      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("score"))
+      .select((Seq("qid", "rnk", "doc_id") ++ extra ++
+        Seq("n_match", "score")).map(col): _*)
       .orderBy("qid", "rnk")
   }
 
@@ -136,8 +141,8 @@ object LexIndex {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "documents.parquet")
-    val sig = // l2: dfreq bucketed like the postings
-      s"l2:nb=$NBuckets:q=$QDocBound:" +
+    val sig = // l3: doc source denormalized onto posting rows (e35a)
+      s"l3:nb=$NBuckets:q=$QDocBound:" +
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -154,8 +159,12 @@ object LexIndex {
     val docs = Tables.spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
     val toks = graft.ops.SimOps.tokensArr
     // dl over ALL docs (size(toks), zero for empty text) — n_docs and
-    // avgdl must count token-less documents (see scaladoc)
-    val lens = docs.select(col("doc_id"), size(toks).as("dl"))
+    // avgdl must count token-less documents (see scaladoc). The doc's
+    // `source` rides along: like dl it is immutable per document, so it
+    // can denormalize onto every posting row — the storage that buys
+    // e35a's filter-during-probe (an attribute predicate pushed into
+    // the pruned postings scan, the lexical e2a).
+    val lens = docs.select(col("doc_id"), size(toks).as("dl"), col("source"))
     lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
@@ -170,12 +179,12 @@ object LexIndex {
         // real scale and give query-term lookups nothing to prune on)
         writeTermBucketed(dfreq.select(bucketCol(col("term")).as("tb"),
           col("term"), col("df")), s"$root/dfreq", Seq("tb", "term"))
-        // postings with df and dl denormalized (the Lucene
+        // postings with df, dl and source denormalized (the Lucene
         // norm-in-posting shape — see scaladoc)
         writeTermBucketed(
           tf.join(dfreq, "term").join(lens, "doc_id")
             .select(bucketCol(col("term")).as("tb"), col("term"),
-              col("doc_id"), col("tf"), col("df"), col("dl")),
+              col("doc_id"), col("tf"), col("df"), col("dl"), col("source")),
           s"$root/postings", Seq("tb", "term", "doc_id"))
         declaredQuerySet(dfreq)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
@@ -225,6 +234,70 @@ object LexIndex {
       .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
     val q = qrows.toDF("qid", "term")
     rankTop5(postingsPruned(s, d, qrows.map(_._2).distinct.sorted)
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats(s, d)))
+      .withColumn("contrib", bm25Contrib))
+  }
+
+  /** Declared attribute predicate for [[e35aFilteredBm25]]. */
+  val FilterSource = "src1"
+
+  /** E35a: FILTERED BM25 — the lexical serve matrix closed (r14
+    * verdict ask #4: the vector side had {filtered × multiprobe × PQ},
+    * BM25 had no predicate path). The doc's `source` rides DENORMALIZED
+    * on every posting row (the dl precedent — immutable per document),
+    * so `source = X` pushes INTO the pruned postings scan: one scan
+    * carries PartitionFilters on the query terms' buckets AND
+    * PushedFilters on BOTH term and source (plan-pinned in
+    * LexIndexSpec beside e2a's two layers). Scoring statistics stay
+    * FULL-corpus (df/dl stored, stats broadcast) — a filter restricts
+    * CANDIDATES, never the model, exactly the e2a/Lucene stance — and
+    * the survivor ranking re-runs top-5 within the filtered set. The
+    * candidate's source ships in the output so the declared rows prove
+    * the predicate held.
+    *
+    * 100 TB path: identical probe cost to e35s on the same terms — the
+    * predicate is row-group stats pruning inside the already-pruned
+    * buckets, not a join against a doc dim. */
+  def e35aFilteredBm25(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    val qrows = s.read.parquet(s"${serveDir(d)}/queries")
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    val q = qrows.toDF("qid", "term")
+    rankTop5(postingsPruned(s, d, qrows.map(_._2).distinct.sorted)
+      .where(col("source") === FilterSource)
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats(s, d)))
+      .withColumn("contrib", bm25Contrib), extra = Seq("source"))
+  }
+
+  /** Declared ad-hoc query literals for [[e35qAdhocTerms]] — terms that
+    * arrive WITH the request, not from any staged set: a multi-bucket
+    * in-vocabulary mix plus one OUT-OF-VOCABULARY term per query
+    * (vocabulary: TESTDATA's 31-term document generator; 'zzqoov*'
+    * matches nothing at any SF). The oracle SQL is GENERATED from this
+    * constant, so the two sides cannot drift. */
+  val AdhocQueries: Seq[(Int, String)] = Seq(
+    (0, "merge"), (0, "vector"), (0, "zzqoov0"),
+    (1, "stream"), (1, "batch"), (1, "window"), (1, "zzqoov1"))
+
+  /** E35q: the AD-HOC QUERY PATH through the staged index (r14 verdict
+    * ask #3) — every other probe reads a query set staged at build; a
+    * serving system takes arbitrary terms AT PROBE TIME. The literal
+    * [[AdhocQueries]] route to their buckets driver-side (the same
+    * crc32 fold — routing needs no corpus access at all), the pruned
+    * scan reads only those terms' postings, and scoring runs on the
+    * stored statistics. An out-of-vocabulary term simply matches no
+    * posting row — it contributes nothing and costs one empty bucket
+    * probe, which is exactly what Lucene does with an unknown term.
+    * Oracle: the full BM25 replay with the SAME literals spliced in as
+    * a VALUES relation (generated from [[AdhocQueries]] — no drift). */
+  def e35qAdhocTerms(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    val q = AdhocQueries.toDF("qid", "term")
+    rankTop5(postingsPruned(s, d, AdhocQueries.map(_._2).distinct.sorted)
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats(s, d)))
       .withColumn("contrib", bm25Contrib))

@@ -86,6 +86,52 @@ class LexIndexSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(tmp)
   }
 
+  test("e35a plan: source predicate pushes INTO the pruned postings scan") {
+    val df = LexIndex.e35aFilteredBm25(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("tb"), s"bucket pruning must survive the filter: $scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("term") &&
+      scanLine.contains("source"),
+      s"BOTH term In-list and source predicate must push into the ONE scan: $scanLine")
+    // no join against a doc dim anywhere — the predicate rides the
+    // denormalized column (the whole point of the layout)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(3) == LexIndex.FilterSource),
+      "every served candidate must satisfy the predicate")
+  }
+
+  test("e35a: filtered rows are the per-source restriction of full scoring") {
+    // statistics must stay full-corpus: each (qid, doc) score in the
+    // filtered probe equals that doc's score in the UNFILTERED probe's
+    // scored relation (checked through the served top-5 overlap)
+    val unfiltered = LexIndex.e35sBm25Serve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    val filtered = LexIndex.e35aFilteredBm25(spark, sf).collect()
+    filtered.foreach { r =>
+      val key = (r.getInt(0), r.getLong(2))
+      unfiltered.get(key).foreach { s =>
+        assert(r.getDouble(5) == s,
+          s"filtering must not change a surviving doc's score: $key")
+      }
+    }
+  }
+
+  test("e35q: ad-hoc literals route to multiple buckets; OOV terms score nothing") {
+    val buckets = LexIndex.AdhocQueries.map(t => LexIndex.bucketOf(t._2)).distinct
+    assert(buckets.length >= 2, s"the declared mix must span buckets: $buckets")
+    val rows = LexIndex.e35qAdhocTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_match can never exceed the query's IN-VOCABULARY term count —
+    // the OOV literal must contribute zero matches
+    val inVocab = Map(0 -> 2L, 1 -> 3L) // (merge, vector | stream, batch, window)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= inVocab(r.getInt(0)),
+        s"OOV term must not match: qid ${r.getInt(0)} n_match ${r.getLong(3)}")
+    }
+  }
+
   test("staleness: touching the source re-stages the index") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("lex-stale")
