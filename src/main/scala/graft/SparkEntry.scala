@@ -90,6 +90,7 @@ object SparkEntry {
     "e2a_filtered_ann"  -> (graft.sources.IvfServe.e2aFilteredAnn _),
     "e2x_filtered_multiprobe" -> (graft.sources.IvfServe.e2xFilteredMultiprobe _),
     "e2n_nprobe_sweep"  -> (graft.sources.IvfServe.e2nNprobeSweep _),
+    "e2q_adhoc_vectors" -> (graft.sources.IvfServe.e2qAdhocVectors _),
     "e2pq_ivfpq_probe"  -> (graft.sources.IvfServe.e2pqIvfPqProbe _),
     "e2y_recall_policy" -> (graft.sources.IvfServe.e2yRecallPolicy _),
     "e2pw_ivfpq_multiprobe" -> (graft.sources.IvfServe.e2pwIvfPqMultiprobe _),
@@ -450,6 +451,36 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
        |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim$snapOut FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
+
+  /** e2q's oracle: the trained chain with the query relation replaced
+    * by the DECLARED AD-HOC VECTOR LITERALS (generated from
+    * IvfServe.AdhocVecQueries — single-decimal-digit components, so the
+    * SQL literal and the Scala double parse to the same IEEE value),
+    * routed to their 4 nearest trained cells, exact in-cell rescore,
+    * top-3. No self-exclusion: an ad-hoc query is not a corpus row. */
+  private val e2qOracleSql: String = {
+    val values = graft.sources.IvfServe.AdhocVecQueries
+      .map { case (qid, qv) =>
+        s"(CAST($qid AS BIGINT), [${qv.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n       |  ")
+    s"""${ivfChainPrefix("TRUE", "vec_id < 64")},
+       |q0(q_id, qv) AS (VALUES $values),
+       |qq AS (SELECT q_id, qv, list_dot_product(qv, qv) AS qn FROM q0),
+       |qp AS (SELECT q_id, qv, qn, cid AS cell FROM (
+       |  SELECT qq.q_id, qq.qv, qq.qn, c1.cid,
+       |    row_number() OVER (PARTITION BY qq.q_id ORDER BY
+       |      round(list_dot_product(
+       |        list_transform(qq.qv, (x, i) -> x - c1.c[i]),
+       |        list_transform(qq.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+       |  FROM qq CROSS JOIN c1) WHERE rn <= ${graft.sources.IvfServe.NProbe}),
+       |j AS (SELECT q_id, c.vec_id AS cand_id,
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM qp JOIN asg c ON qp.cell = c.cell),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+       |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
        |ORDER BY q_id, "rank"""".stripMargin
   }
 
@@ -2560,6 +2591,9 @@ object SparkEntry {
       ivfServeOracleSql("TRUE", "vec_id < 64", 4, candLabelFilter = true),
     // e2n: the declared recall/cost curve — see e2nOracleSql
     "e2n_nprobe_sweep" -> e2nOracleSql,
+    // e2q: ad-hoc literal query vectors through the trained layout —
+    // the oracle splices the SAME declared literals (see e2qOracleSql)
+    "e2q_adhoc_vectors" -> e2qOracleSql,
     // e2y: curve + argmin + serve replay at the chosen widths — see
     // e2yOracleSql
     "e2y_recall_policy" -> e2yOracleSql,

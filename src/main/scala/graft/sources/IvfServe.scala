@@ -451,6 +451,45 @@ object IvfServe {
     rankedTop3(scored, extra = Seq("cand_label"))
   }
 
+  /** Declared ad-hoc query vectors for [[e2qAdhocVectors]] — vectors
+    * that arrive WITH the request and are NOT drawn from the corpus
+    * (every other probe reads the staged vec_id < 8 query set):
+    * qv[q][j] = ((7q + 3j) mod 11 − 5) / 10 — deterministic, exactly
+    * one decimal digit, so the Scala double and the SQL literal the
+    * oracle splices parse to the SAME IEEE value. */
+  val AdhocVecQueries: Seq[(Long, Seq[Double])] =
+    (0L to 1L).map { q =>
+      (q, (0 until Dim).map(j => (((q * 7 + j * 3) % 11) - 5) / 10.0).toSeq)
+    }
+
+  /** E2q: the AD-HOC QUERY PATH through the trained layout (r14
+    * verdict ask #3, vector half) — the literal [[AdhocVecQueries]]
+    * route through the trained coarse quantizer DRIVER-SIDE (the k×dim
+    * model is resident — [[centroidsCached]]; an unseen vector routes
+    * exactly like a corpus one), sweep their [[NProbe]] nearest cells,
+    * and rescore exactly. No self-exclusion applies: an ad-hoc query
+    * is not a corpus member, so every probed vector is a candidate.
+    * Oracle: the trained chain with the SAME literals spliced in as a
+    * VALUES relation (generated from the constant — no drift). */
+  def e2qAdhocVectors(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    val cents = centroidsCached(s, serveDir(d))
+    val routed = AdhocVecQueries.flatMap { case (qid, qv) =>
+      nearestCells(qv.toArray, cents, NProbe).map(cell => (qid, qv, cell))
+    }
+    val q = routed.toDF("q_id", "qv", "cell")
+    val cells = routed.map(_._3).distinct.sorted
+    val scored = probedLists(s, d, cells)
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(q), Seq("cell"))
+      .select(col("q_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
+          .as("cos_sim"))
+    rankedTop3(scored)
+  }
+
   /** Sweep width for [[e2nNprobeSweep]]. */
   val SweepMax = 8
 

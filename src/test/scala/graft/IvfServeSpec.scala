@@ -145,6 +145,27 @@ class IvfServeSpec extends AnyFunSuite {
       f"e2x's candidates strictly contain e2a's — filtered recall must not drop: $rX%.3f < $rA%.3f")
   }
 
+  test("e2q ad-hoc vectors: literal queries route and prune like staged ones; no self-exclusion") {
+    val df = IvfServe.e2qAdhocVectors(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell"),
+      s"ad-hoc routing must still prune cell directories: $scanLine")
+    val present = listCellDirs(IvfServe.serveDir(sf))
+    assert(present.nonEmpty)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L),
+      "both declared ad-hoc queries must be served")
+    // an ad-hoc query is not a corpus member: NOTHING is self-excluded,
+    // so every probed corpus vector (incl. vec_id 0/1, which the staged
+    // probes would exclude for their own q_ids) is a legal candidate
+    assert(rows.forall(_.getInt(1) <= 3))
+    // the declared literals are deterministic — the same call twice
+    // serves identical rows (no staged state involved in routing)
+    assert(rows.map(_.toSeq).toSeq ==
+      IvfServe.e2qAdhocVectors(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("e2n sweep: recall@3 monotone non-decreasing in nprobe; cells/candidates grow") {
     val rows = IvfServe.e2nNprobeSweep(spark, sf).collect()
     assert(rows.length == IvfServe.SweepMax, s"one row per nprobe 1..8: ${rows.length}")
