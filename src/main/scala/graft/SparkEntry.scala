@@ -98,6 +98,7 @@ object SparkEntry {
     "e2f_ivf_fold"      -> (graft.streaming.VecStreams.e2fIvfFoldStream _),
     "e2z_fold_snapshot" -> (graft.streaming.VecStreams.e2zFoldSnapshot _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
+    "e2d_vec_tombstone" -> (graft.streaming.VecStreams.e2dVecTombstone _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
+    "e35d_lex_tombstone"    -> (graft.streaming.LexStreams.e35dLexTombstone _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -961,6 +963,43 @@ object SparkEntry {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** e35d's oracle: BM25 over (corpus − tombstones) with the query set
+    * still frozen on the FULL pre-delete base — candidates, per-term
+    * df, n_docs and avgdl all shrink with the deleted docs, exactly
+    * what the live-docs probe must reproduce. */
+  private val e35dOracleSql: String = {
+    import graft.streaming.LexStreams.{TombMod, TombRes, TombBound, ArrivalDocBound}
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |live AS (SELECT doc_id FROM documents
+       |  WHERE NOT (doc_id % $TombMod = $TombRes AND doc_id < $TombBound)),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+       |  FROM lens JOIN live USING (doc_id)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |bdf AS (SELECT term, count(*) AS df FROM tf
+       |  WHERE doc_id >= $ArrivalDocBound GROUP BY term),
+       |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM bdf)
+       |  WHERE r BETWEEN 20 AND 31),
+       |dfl AS (SELECT term, count(*) AS df FROM tf JOIN live USING (doc_id)
+       |  GROUP BY term),
+       |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - dfl.df + 0.5) / (dfl.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN live USING (doc_id) JOIN q USING (term)
+       |    JOIN dfl USING (term) JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
@@ -1390,6 +1429,10 @@ object SparkEntry {
     "e35z_lex_snapshot" ->
       e35FoldOracleSql("doc_id >= 16 OR doc_id < 12",
         Some(graft.streaming.LexStreams.DeclaredLexSnap)),
+    // e35d: live-docs tombstones — candidates, df, n_docs, avgdl all
+    // shrink with the deleted docs; the query set stays frozen on the
+    // full pre-delete base (see e35dOracleSql)
+    "e35d_lex_tombstone" -> e35dOracleSql,
     // e35g: base/arrival mass comparison — both sides recomputed from
     // the corpus split; the verdict reads the ROUNDED share exactly as
     // the engine does
@@ -2629,6 +2672,13 @@ object SparkEntry {
       ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false,
         extraCandPred = "c.vec_id >= 16 OR c.vec_id < 12",
         snapshotIdOut = Some(graft.streaming.VecStreams.DeclaredVecSnap)),
+    // e2d: live-docs tombstones on the vector index — the e2f chain
+    // with candidates restricted to corpus − the declared delete set
+    // (the quantizer stays frozen: deletes change candidacy, never the
+    // trained model); a served deleted vector is a hash miss
+    "e2d_vec_tombstone" ->
+      ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false,
+        extraCandPred = "NOT (c.vec_id % 7 = 3 AND c.vec_id < 48)"),
     // e2g: per-cell occupancy of base vs folded arrivals under e2f's
     // frozen quantizer — the drift gate's declared metric; the oracle
     // recomputes both occupancy sides from the same assignment chain,

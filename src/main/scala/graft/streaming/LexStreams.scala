@@ -71,8 +71,8 @@ object LexStreams {
   private[graft] def ensureFoldBase(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "documents.parquet")
-    val sig = // lf2: dfreq bucketed like the postings
-      s"lf2:nb=${LexIndex.NBuckets}:b=$ArrivalDocBound:" +
+    val sig = // lf3: +per-doc lens dim (tombstone dl resolution, e35d)
+      s"lf3:nb=${LexIndex.NBuckets}:b=$ArrivalDocBound:" +
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = foldBaseDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -97,6 +97,14 @@ object LexStreams {
     val lens = docs.select(col("doc_id"), size(toks).as("dl"))
     lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
+    // the per-doc LENS DIM (Lucene's norms file): a tombstone fold must
+    // resolve the deleted doc's dl so the pinned statistics can roll
+    // back with the delete (e35d) — doc_id-range-sharded and sorted so
+    // the delete-time lookup is a pushed In over sorted row groups,
+    // O(batch deletes) at any corpus size, never a doc-dim scan
+    lens.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/lens")
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -408,5 +416,257 @@ object LexStreams {
     drain(s, dir, work)
     probeAtSnapshot(s, dir, work, DeclaredLexSnap)
       .withColumn("snapshot_id", lit(DeclaredLexSnap))
+  }
+
+  // ───────────────────────── tombstone deletes (e35d) ─────────────────
+
+  /** Declared tombstone set for [[e35dLexTombstone]]:
+    * doc_id % [[TombMod]] == [[TombRes]] AND doc_id < [[TombBound]] —
+    * deliberately straddling the arrival bound so the probe must honor
+    * deletes against BOTH the base postings scan (docs 17, 24, 31, 38,
+    * 45) and the arrival segments (docs 3, 10). */
+  val TombMod = 7L
+  val TombRes = 3L
+  val TombBound = 48L
+
+  private[graft] def tombPred(id: org.apache.spark.sql.Column) =
+    id % TombMod === TombRes && id < TombBound
+
+  /** CDC staging for the delete lifecycle: the 4 arrival buckets of
+    * [[docsArrivalStream]] plus 2 DELETE buckets — CDC-style delete
+    * records (key present, payload NULL), split by doc_id < 24 /
+    * ≥ 24 so deletes land as two separate micro-batches (4 and 5) and
+    * a snapshot can pin BETWEEN them. */
+  private[graft] def cdcDocsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val nArr = 4
+    val src = Paths.get(dir, "documents.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-docs-cdc", graft.util.PathKeys.keyedName(dir) + s"-$nArr")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"c1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val nFiles = nArr + 2
+      val filesPresent = (0 until nFiles)
+        .forall(i => Files.exists(landing.resolve(f"cdc-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !filesPresent ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing)) DocStreams.deleteTree(landing)
+        Files.createDirectories(landing)
+        val raw = s.read.schema(docsSchema).parquet(src.toString)
+        val tmp = landing.resolve("_tmp")
+        def stage(i: Int, rows: DataFrame): Unit = {
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"cdc bucket $i produced no parquet part"))
+          }
+          val dst = landing.resolve(f"cdc-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        (0 until nArr).foreach { i =>
+          val lo = ArrivalDocBound * i / nArr
+          val hi = ArrivalDocBound * (i + 1) / nArr
+          stage(i, raw.where(col("doc_id") >= lo && col("doc_id") < hi))
+        }
+        // delete records: key present, payload NULL (the CDC shape)
+        val dels = raw.where(tombPred(col("doc_id")))
+          .select(col("doc_id"),
+            lit(null).cast("string").as("text"),
+            lit(null).cast("string").as("lang"),
+            lit(null).cast("string").as("source"),
+            lit(null).cast("long").as("n_chars"))
+        stage(nArr, dels.where(col("doc_id") < 24))
+        stage(nArr + 1, dels.where(col("doc_id") >= 24))
+        DocStreams.deleteTree(tmp)
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** One CDC micro-batch fold: upserts (payload present) take the
+    * ordinary [[foldBatch]] path; delete records resolve their doc's
+    * dl against the lens dim ∪ lens folds (a pushed bounded In — the
+    * write-time cost that keeps the PROBE free of any doc-dim access)
+    * and land as a tombstone fold `(doc_id, dl)`. Empty sides write
+    * nothing — deterministic under replay, and an all-delete batch
+    * cannot leave schema-less seg dirs. */
+  private[graft] def cdcFoldBatch(s: SparkSession, df: DataFrame, id: Long,
+      work: java.nio.file.Path, baseRoot: String): Unit = {
+    val ups = df.where(col("text").isNotNull)
+    if (!ups.isEmpty) foldBatch(ups, id, work)
+    val delIds = df.where(col("text").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    if (delIds.nonEmpty) {
+      val lensDirs = foldDirs(work.resolve("lens"))
+      val baseLens = s.read.parquet(s"$baseRoot/lens")
+      val allLens = if (lensDirs.isEmpty) baseLens
+        else baseLens.unionByName(s.read.parquet(lensDirs: _*))
+      allLens.where(col("doc_id").isin(delIds.map(Long.box): _*))
+        .select("doc_id", "dl")
+        .write.mode("overwrite")
+        .parquet(work.resolve(s"tombs/batch=$id").toString)
+    }
+  }
+
+  private[graft] def cdcDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit = {
+    val trees = Seq("segs", "lens", "tombs").map(work.resolve)
+    trees.foreach(java.nio.file.Files.createDirectories(_))
+    val root = foldBaseDir(d)
+    val q = cdcDocsStream(s, d)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        trees.foreach { t =>
+          EventStreams.maybeCompactFolds(s, t, id, df => df,
+            spare = SnapshotFolds.retainedRefs(t))
+        }
+        cdcFoldBatch(s, df, id, work, root)
+        trees.foreach(SnapshotFolds.writeManifest(_, id))
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** The TOMBSTONE-AWARE probe: live postings = (base ∪ segments)
+    * ANTI-JOINED against the broadcast tombstone set; df for the query
+    * terms COUNTS THE LIVE POSTING ROWS the scan already reads (the
+    * one statistic the stale base df dim can no longer supply once a
+    * delete lands); n_docs/sum_dl merge ADDITIVELY with the tombstone
+    * rows entering NEGATED — base + arrivals − deletes in one bounded
+    * aggregate. Tombstones dedup by doc_id at read (a doc deleted in
+    * two batches subtracts once). */
+  private[graft] def probeWithTombs(s: SparkSession, root: String,
+      segDirs: Seq[String], lensDirs: Seq[String],
+      tombDirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qrows = s.read.parquet(s"$root/queries")
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    val terms = qrows.map(_._2).distinct.sorted
+    val buckets = terms.map(LexIndex.bucketOf).distinct.sorted
+    val q = qrows.toDF("qid", "term")
+    val basePost = s.read.parquet(s"$root/postings")
+      .where(col("tb").isin(buckets.map(Int.box): _*))
+      .where(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val post = (if (segDirs.isEmpty) basePost
+      else basePost.unionByName(s.read.parquet(segDirs: _*)
+        .where(col("term").isin(terms: _*))
+        .select("term", "doc_id", "tf", "dl")))
+    // bounded by declaration (the delete set) — recomputing the tiny
+    // read per consumer beats a persist the lazy result can't release
+    val tombs = (if (tombDirs.isEmpty)
+        Seq.empty[(Long, Int)].toDF("doc_id", "dl")
+      else s.read.parquet(tombDirs: _*)).distinct()
+    val postLive = post.join(broadcast(tombs.select("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // df over live postings — for the ≤12 query terms the pruned scan
+    // reads every posting row anyway, so the live count is the same
+    // pass that scores (no extra I/O; the Lucene merge-time df, taken
+    // at probe time because tombstones haven't merged yet)
+    val dfLive = postLive.groupBy("term").agg(count(lit(1)).as("df"))
+    val baseSt = s.read.parquet(s"$root/stats")
+    val lensSide = if (lensDirs.isEmpty) baseSt
+      else baseSt.unionByName(s.read.parquet(lensDirs: _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    val st = lensSide
+      .unionByName(tombs.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
+    LexIndex.rankTop5(postLive
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfLive), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", LexIndex.bm25Contrib))
+  }
+
+  private[graft] def tombProbe(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame =
+    probeWithTombs(s, foldBaseDir(d), foldDirs(work.resolve("segs")),
+      foldDirs(work.resolve("lens")), foldDirs(work.resolve("tombs")))
+
+  /** The tombstone probe AT a pinned snapshot: all THREE fold trees
+    * resolve through their `snap` manifests — a doc deleted at batch k
+    * stays visible (and keeps its statistics weight) at snapshots < k,
+    * because the pinned tombstone set simply does not contain it yet. */
+  private[graft] def tombProbeAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    def pinned(tree: String) = {
+      val t = work.resolve(tree)
+      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
+    }
+    probeWithTombs(s, foldBaseDir(d), pinned("segs"), pinned("lens"),
+      pinned("tombs"))
+  }
+
+  /** Merge RECONCILIATION: rebuild the base over (base ∪ arrivals) −
+    * tombstones — the Lucene merge that physically drops deleted rows
+    * and re-derives every statistic (and the query set) over the live
+    * corpus. The tombstone folds this reconciled base absorbs would be
+    * deleted with the covered segments in a real lifecycle step. */
+  private[graft] def mergeIntoBaseLive(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    val tombDirs = foldDirs(work.resolve("tombs"))
+    val tombIds =
+      if (tombDirs.isEmpty) Array.empty[Long]
+      else s.read.parquet(tombDirs: _*).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+    val dst = work.resolve("merged")
+    DocStreams.deleteTree(dst)
+    val docs = graft.Tables.spreadIfNarrow(graft.Tables.documents(s, d),
+      col("doc_id"))
+    buildBaseLayout(s, dst.toString,
+      if (tombIds.isEmpty) docs
+      else docs.where(!col("doc_id").isin(tombIds.map(Long.box): _*)))
+    dst
+  }
+
+  /** E35d: TOMBSTONE DELETES in the text-index lifecycle (r15 verdict
+    * ask #1 — the one production verb the append-only segments lacked:
+    * dedup keepers, PII scrubs, and takedowns REMOVE documents). The
+    * CDC drain replays 4 arrival batches then 2 DELETE batches
+    * ([[tombPred]]: docs 3, 10 among the arrivals; 17, 24, 31, 38, 45
+    * in the base); each delete lands as a live-docs tombstone fold
+    * `(doc_id, dl)` beside the segments — Lucene's deletions file —
+    * honored at probe ([[probeWithTombs]]: anti-join, live df, negated
+    * stats), RECONCILED at merge ([[mergeIntoBaseLive]], spec-pinned
+    * physical absence), and PINNED by the snapshot manifests (a doc
+    * deleted at batch k stays visible at snapshots < k — spec-pinned
+    * through [[tombProbeAtSnapshot]]).
+    *
+    * The DuckDB oracle recomputes BM25 over (corpus − tombstones) with
+    * the query set still frozen on the FULL pre-delete base — so a
+    * probe that kept a deleted doc as a candidate, scored with the
+    * stale base df, or failed to shrink n_docs/avgdl is a hash miss.
+    *
+    * 100 TB path: a tombstone fold is O(batch deletes) rows whose dl
+    * resolves via one pushed-In lookup at WRITE time; the probe adds
+    * one broadcast anti-join against the bounded live-docs set and
+    * re-counts df from posting rows it already reads; nothing rescans
+    * the corpus until the merge the lifecycle was already paying. */
+  def e35dLexTombstone(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35d", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    cdcDrain(s, dir, work)
+    tombProbe(s, dir, work)
   }
 }

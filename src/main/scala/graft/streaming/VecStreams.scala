@@ -428,4 +428,200 @@ object VecStreams {
     IvfServe.buildTrainedLayout(s, dst.toString, IvfServe.corpusView(s, d))
     dst
   }
+
+  // ───────────────────────── tombstone deletes (e2d) ──────────────────
+
+  /** Declared tombstone set for [[e2dVecTombstone]] — the text side's
+    * [[LexStreams.TombMod]] declaration on vec_id, straddling the
+    * arrival bound: vectors 3 and 10 arrive then delete, 17/24/31/38/45
+    * delete out of the trained base lists. Vector 3 is ALSO a declared
+    * query (vec_id < 8): a deleted vector can still QUERY — the request
+    * side owns the query vector — it just can never be a candidate. */
+  private[graft] def vecTombPred(id: org.apache.spark.sql.Column) =
+    id % LexStreams.TombMod === LexStreams.TombRes && id < LexStreams.TombBound
+
+  /** CDC staging: the 4 arrival buckets plus 2 DELETE buckets (key
+    * present, embedding NULL — the CDC delete record), split by
+    * vec_id < 24 / ≥ 24 so deletes land as batches 4 and 5 and a
+    * snapshot can pin between them. */
+  private[graft] def cdcVecStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val nArr = 4
+    val src = Paths.get(dir, "embeddings.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-vecs-cdc", graft.util.PathKeys.keyedName(dir) + s"-$nArr")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"c1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val nFiles = nArr + 2
+      val filesPresent = (0 until nFiles)
+        .forall(i => Files.exists(landing.resolve(f"cdc-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !filesPresent ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing)) DocStreams.deleteTree(landing)
+        Files.createDirectories(landing)
+        val raw = s.read.schema(embSchema).parquet(src.toString)
+        val tmp = landing.resolve("_tmp")
+        def stage(i: Int, rows: DataFrame): Unit = {
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"vec cdc bucket $i produced no parquet part"))
+          }
+          val dst = landing.resolve(f"cdc-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        (0 until nArr).foreach { i =>
+          val lo = ArrivalBound * i / nArr
+          val hi = ArrivalBound * (i + 1) / nArr
+          stage(i, raw.where(col("vec_id") >= lo && col("vec_id") < hi))
+        }
+        val dels = raw.where(vecTombPred(col("vec_id")))
+          .select(col("vec_id"),
+            lit(null).cast("array<float>").as("embedding"),
+            lit(null).cast("int").as("label"))
+        stage(nArr, dels.where(col("vec_id") < 24))
+        stage(nArr + 1, dels.where(col("vec_id") >= 24))
+        DocStreams.deleteTree(tmp)
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** One CDC micro-batch fold: upserts assign under the frozen
+    * quantizer ([[e2fFoldBatch]]); delete records land as a tombstone
+    * fold `(vec_id)` — no payload to resolve (an ANN index has no
+    * per-doc statistics to roll back, unlike BM25's dl). Empty sides
+    * write nothing — deterministic under replay. */
+  private[graft] def cdcVecFoldBatch(df: DataFrame, id: Long,
+      cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit = {
+    val ups = df.where(col("embedding").isNotNull)
+    if (!ups.isEmpty) e2fFoldBatch(ups, id, cents, work)
+    val dels = df.where(col("embedding").isNull).select("vec_id")
+    if (!dels.isEmpty)
+      dels.write.mode("overwrite")
+        .parquet(work.resolve(s"tombs/batch=$id").toString)
+  }
+
+  private[graft] def cdcVecDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit = {
+    val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
+    val trees = Seq("folds", "tombs").map(work.resolve)
+    trees.foreach(java.nio.file.Files.createDirectories(_))
+    val q = cdcVecStream(s, d)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        trees.foreach { t =>
+          EventStreams.maybeCompactFolds(s, t, id, df => df,
+            spare = SnapshotFolds.retainedRefs(t))
+        }
+        cdcVecFoldBatch(df, id, cents, work)
+        trees.foreach(SnapshotFolds.writeManifest(_, id))
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** The live-docs candidate relation: the e2f probe's scored rows
+    * anti-joined against the broadcast tombstone set (deduped by
+    * vec_id at read — a vector deleted in two batches drops once).
+    * Exposed with explicit dir lists so the pinned-snapshot probe and
+    * the spec share one definition. */
+  private[graft] def tombCandidatesWithDirs(s: SparkSession, d: String,
+      foldDirsIn: Seq[String], tombDirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    val root = foldBaseDir(d)
+    val (q, cells) = routedQueriesAt(s, root, d)
+    val scored = scoredWithDirs(s, root, foldDirsIn, q, cells)
+    if (tombDirs.isEmpty) scored
+    else scored.join(
+      broadcast(s.read.parquet(tombDirs: _*).select("vec_id").distinct()
+        .withColumnRenamed("vec_id", "cand_id")),
+      Seq("cand_id"), "left_anti")
+      // the join lifts its key to column 0 — restore the probe shape
+      .select("q_id", "cand_id", "cos_sim")
+  }
+
+  private def treeDirs(work: java.nio.file.Path, tree: String): Seq[String] = {
+    val t = work.resolve(tree)
+    if (java.nio.file.Files.isDirectory(t)) EventStreams.foldDirsToRead(t)
+    else Seq.empty[String]
+  }
+
+  /** The tombstone probe AT a pinned snapshot: BOTH trees resolve
+    * through their manifests — a vector deleted at batch k stays a
+    * candidate at snapshots < k. */
+  private[graft] def tombCandidatesAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    def pinned(tree: String) = {
+      val t = work.resolve(tree)
+      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
+    }
+    tombCandidatesWithDirs(s, d, pinned("folds"), pinned("tombs"))
+  }
+
+  /** Restage RECONCILIATION: retrain the full layout over (base ∪
+    * arrivals) − tombstones — deleted vectors physically absent from
+    * the rebuilt lists, the e2g restage discipline carrying the
+    * live-docs set. */
+  private[graft] def restageLive(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    val tombDirs = treeDirs(work, "tombs")
+    val tombIds =
+      if (tombDirs.isEmpty) Array.empty[Long]
+      else s.read.parquet(tombDirs: _*).select("vec_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+    val dst = work.resolve("restaged")
+    DocStreams.deleteTree(dst)
+    val corpus = IvfServe.corpusView(s, d)
+    IvfServe.buildTrainedLayout(s, dst.toString,
+      if (tombIds.isEmpty) corpus
+      else corpus.where(!col("vec_id").isin(tombIds.map(Long.box): _*)))
+    dst
+  }
+
+  /** E2d: TOMBSTONE DELETES in the vector-index lifecycle (r15 verdict
+    * ask #1, vector half). The CDC drain replays the 4 arrival batches
+    * then 2 DELETE batches; each delete lands as a live-docs tombstone
+    * fold `(vec_id)` beside the vector folds, honored at probe (one
+    * broadcast anti-join against the bounded set — the Lucene live-docs
+    * bitmap as a relation), RECONCILED at restage ([[restageLive]],
+    * spec-pinned physical absence), and PINNED by the snapshot
+    * manifests (deleted at batch k ⇒ still a candidate at snapshots
+    * < k — spec-pinned). The quantizer stays frozen: deletes change
+    * CANDIDACY, never the trained model, exactly as production IVF
+    * (FAISS remove_ids leaves the coarse centroids untouched).
+    *
+    * Oracle: the trained-serve replay with candidates restricted to
+    * corpus − tombstones — a probe that served a deleted vector (or
+    * dropped a live one) is a hash miss.
+    *
+    * 100 TB path: a tombstone fold is O(batch deletes) rows; the probe
+    * adds one broadcast anti-join; the base lists rewrite only at the
+    * restage the lifecycle was already paying. */
+  def e2dVecTombstone(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2d", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    cdcVecDrain(s, dir, work)
+    SimOps.topK(tombCandidatesWithDirs(s, dir,
+      treeDirs(work, "folds"), treeDirs(work, "tombs")), 3)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimOps
 import graft.sources.IvfServe
 import graft.streaming.{EventStreams, VecStreams}
 
@@ -156,5 +157,85 @@ class E2fStreamSpec extends AnyFunSuite {
         graft.streaming.SnapshotFolds.readManifest(foldRoot, 0L))
       assert(ex.getMessage.contains("not resolvable"))
     } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+
+  test("e2d: a tombstoned rank-1 near-dup vanishes from the probe") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      val q0 = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+        .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
+      VecStreams.e2fFoldBatch(q0, 0L, cs, work)
+      def dirs(t: String) = EventStreams.foldDirsToRead(work.resolve(t))
+      val before = SimOps.topK(VecStreams.tombCandidatesWithDirs(
+          spark, sf, dirs("folds"), Nil), 3)
+        .where(col("q_id") === 0).orderBy("rank").collect()
+      assert(before.head.getLong(2) == 999999L && before.head.getDouble(3) == 1.0)
+      Seq(999999L).toDF("vec_id")
+        .write.parquet(work.resolve("tombs/batch=1").toString)
+      val after = SimOps.topK(VecStreams.tombCandidatesWithDirs(
+          spark, sf, dirs("folds"), dirs("tombs")), 3)
+        .where(col("q_id") === 0).orderBy("rank").collect()
+      assert(!after.exists(_.getLong(2) == 999999L),
+        "a tombstoned vector must never be served")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("e2d declared: snapshots pin delete order exactly; restage reconciles") {
+    val tombIds = Set(3L, 10L, 17L, 24L, 31L, 38L, 45L)
+    val batch4 = Set(3L, 10L, 17L) // tombstones with vec_id < 24
+    val declared = VecStreams.e2dVecTombstone(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(declared.nonEmpty)
+    assert(!declared.exists(r => tombIds(r(2).asInstanceOf[Long])),
+      "no tombstoned vector may be served")
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2d", graft.util.PathKeys.keyedName(sf) + "-4")
+    def cands(snap: Long) =
+      VecStreams.tombCandidatesAtSnapshot(spark, sf, work, snap)
+        .collect().map(_.toSeq).toSet
+    // snapshot 3 = pre-delete; snapshot 4 = batch-4 deletes only;
+    // snapshot 5 = all. The fold content is identical across the three
+    // (delete batches fold no vectors), so the candidate sets must be
+    // EXACT set-differences by tombstone batch — delete order pinned
+    // without assuming any tombstone shares a query's cell.
+    val pre = cands(3L)
+    val mid = cands(4L)
+    val cur = cands(5L)
+    assert(mid == pre.filterNot(r => batch4(r(1).asInstanceOf[Long])),
+      "snapshot 4 must drop exactly batch 4's tombstones")
+    assert(cur == pre.filterNot(r => tombIds(r(1).asInstanceOf[Long])),
+      "the current read must drop the full tombstone set")
+    // a deleted vector can still QUERY (vec 3 is tombstoned AND a
+    // declared query): its q_id must keep serving at every version
+    assert(cur.exists(_(0) == 3L), "deleted vec 3 must still query")
+    // RESTAGE RECONCILIATION: the rebuilt lists physically drop the
+    // tombstoned vectors
+    val restaged = VecStreams.restageLive(spark, sf, work)
+    val lists = spark.read.parquet(restaged.resolve("lists").toString)
+    assert(lists.where(col("vec_id").isin(tombIds.toSeq.map(Long.box): _*))
+      .count() == 0, "restage must physically drop tombstoned vectors")
+    assert(lists.count() == Tables.embeddings(spark, sf).count() - tombIds.size)
+  }
+
+  test("e2d: replaying a delete batch overwrites its tombstone fold") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      VecStreams.e2fFoldBatch(arrivals(), 0L, cs, work)
+      val del = Seq((3L, null.asInstanceOf[Array[Float]], null.asInstanceOf[java.lang.Integer]))
+        .toDF("vec_id", "embedding", "label")
+      VecStreams.cdcVecFoldBatch(del, 1L, cs, work)
+      def dirs(t: String) = EventStreams.foldDirsToRead(work.resolve(t))
+      def probed() = SimOps.topK(VecStreams.tombCandidatesWithDirs(
+          spark, sf, dirs("folds"), dirs("tombs")), 3)
+        .collect().map(_.toSeq).toSeq
+      val once = probed()
+      VecStreams.cdcVecFoldBatch(del, 1L, cs, work)
+      assert(probed() == once, "a replayed delete batch must overwrite, never stack")
+    } finally graft.streaming.DocStreams.deleteTree(work)
   }
 }

@@ -153,6 +153,106 @@ class LexStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(work)
   }
 
+  test("e35d: a tombstoned rank-1 arrival vanishes and its stats weight lifts") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      // the e35f visibility plant: an arrival saturated with qid 0's
+      // terms takes the declared rank 1 ...
+      val text = q0Terms().map(t => (t + " ") * 50).mkString(" ")
+      val doc = Seq((999999L, text, "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.foldBatch(doc, 0L, work)
+      def segs() = graft.streaming.EventStreams.foldDirsToRead(work.resolve("segs"))
+      def lens() = graft.streaming.EventStreams.foldDirsToRead(work.resolve("lens"))
+      val before = LexStreams.probeWithTombs(spark, LexStreams.foldBaseDir(sf),
+        segs(), lens(), Nil).where(col("qid") === 0).orderBy("rnk").collect()
+      assert(before.head.getLong(2) == 999999L, s"plant must rank 1: ${before.toSeq}")
+      // ... then a tombstone fold deletes it: it must vanish from the
+      // top-5 entirely AND every remaining score must move (n_docs,
+      // avgdl and the query terms' df all shrink with it)
+      val dl = spark.read.parquet(work.resolve("lens/batch=0").toString)
+        .where(col("doc_id") === 999999L).collect().head.getInt(1)
+      Seq((999999L, dl)).toDF("doc_id", "dl")
+        .write.parquet(work.resolve("tombs/batch=1").toString)
+      val after = LexStreams.probeWithTombs(spark, LexStreams.foldBaseDir(sf),
+        segs(), lens(),
+        graft.streaming.EventStreams.foldDirsToRead(work.resolve("tombs")))
+        .where(col("qid") === 0).orderBy("rnk").collect()
+      assert(!after.exists(_.getLong(2) == 999999L),
+        "a tombstoned doc must never be served")
+      val base = LexStreams.probeWithTombs(spark, LexStreams.foldBaseDir(sf),
+        Nil, Nil, Nil).where(col("qid") === 0).orderBy("rnk").collect()
+      assert(after.map(_.getLong(2)).toSeq == base.map(_.getLong(2)).toSeq,
+        "with the only arrival tombstoned, the ranked docs are the base's")
+      assert(after.map(_.getDouble(4)).toSeq == base.map(_.getDouble(4)).toSeq,
+        "tombstoning the sole arrival must restore the base statistics exactly")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("e35d declared: tombstones honored, pinned pre-delete, merge reconciles") {
+    val tombIds = Set(3L, 10L, 17L, 24L, 31L, 38L, 45L)
+    val declared = LexStreams.e35dLexTombstone(spark, sf).collect()
+    assert(declared.nonEmpty)
+    assert(!declared.exists(r => tombIds(r.getLong(2))),
+      "no tombstoned doc may be served")
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35d", graft.util.PathKeys.keyedName(sf) + "-4")
+    // PINNED PRE-DELETE VISIBILITY: snapshot 3 (before any delete
+    // batch) must equal the one-shot fold of ALL arrivals with NO
+    // tombstones — deleted docs still candidates, still counted
+    val oneShot = freshWork()
+    try {
+      LexStreams.foldBatch(arrivals(), 0L, oneShot)
+      val pre = LexStreams.tombProbeAtSnapshot(spark, sf, work, 3L)
+        .collect().map(_.toSeq).toSeq
+      val manual = LexStreams.probeWithTombs(spark, LexStreams.foldBaseDir(sf),
+        graft.streaming.EventStreams.foldDirsToRead(oneShot.resolve("segs")),
+        graft.streaming.EventStreams.foldDirsToRead(oneShot.resolve("lens")), Nil)
+        .collect().map(_.toSeq).toSeq
+      assert(pre == manual,
+        "snapshot 3 must reproduce the pre-delete truth exactly")
+      // MID-DELETE SNAPSHOT: at snapshot 4 only batch 4's deletes
+      // (ids < 24) apply — batch 5's are visible and weighted
+      val mid = LexStreams.tombProbeAtSnapshot(spark, sf, work, 4L)
+        .collect().map(_.toSeq).toSeq
+      val cur = LexStreams.tombProbe(spark, sf, work)
+        .collect().map(_.toSeq).toSeq
+      assert(mid != pre, "batch-4 deletes must already bite at snapshot 4")
+      assert(mid != cur, "batch-5 deletes must NOT bite yet at snapshot 4")
+      assert(cur == declared.map(_.toSeq).toSeq)
+      // MERGE RECONCILIATION: the rebuilt base physically drops the
+      // tombstoned rows and re-derives the statistics over live docs
+      val merged = LexStreams.mergeIntoBaseLive(spark, sf, work)
+      val mergedPost = spark.read.parquet(merged.resolve("postings").toString)
+      assert(mergedPost.where(col("doc_id").isin(tombIds.toSeq.map(Long.box): _*))
+        .count() == 0, "merge must physically drop tombstoned postings")
+      val nAll = Tables.documents(spark, sf).count()
+      val st = spark.read.parquet(merged.resolve("stats").toString).collect().head
+      assert(st.getLong(0) == nAll - tombIds.size,
+        s"merged n_docs must be live-only: ${st.getLong(0)} vs ${nAll - tombIds.size}")
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+
+  test("e35d: replaying a delete batch overwrites its tombstone fold — nothing double-subtracts") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      LexStreams.foldBatch(arrivals(), 0L, work)
+      val del = Seq((3L, null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.cdcFoldBatch(spark, del, 1L, work, LexStreams.foldBaseDir(sf))
+      def probed() = LexStreams.tombProbe(spark, sf, work).collect().map(_.toSeq).toSeq
+      val once = probed()
+      LexStreams.cdcFoldBatch(spark, del, 1L, work, LexStreams.foldBaseDir(sf))
+      assert(probed() == once, "a replayed delete batch must overwrite, never stack")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
   test("a token-less arrival shifts n_docs/avgdl — lens fold, no posting row") {
     LexStreams.ensureFoldBase(spark, sf)
     val work = freshWork()
