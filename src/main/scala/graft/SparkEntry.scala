@@ -113,6 +113,7 @@ object SparkEntry {
     "e70_curation_pipeline" -> (CurationOps.e70CurationPipeline _),
     "e70b_curation_split"   -> (CurationOps.e70bCurationSplit _),
     "e71_hybrid_rrf"        -> (RetrievalOps.e71HybridRrf _),
+    "e71v_hybrid_snapshot"  -> (RetrievalOps.e71vHybridAtSnapshot _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -626,6 +627,76 @@ object SparkEntry {
        |    (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS INTEGER)
        |    AS "rank" FROM fused)
        |SELECT q_id, "rank", doc_id, rrf_score, lex_rank, vec_rank
+       |FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+
+  /** e71v's oracle: e71's two-leg + RRF replay pinned to ONE corpus
+    * version — the vector chain trains on the pre-arrival base (the
+    * fold-base contract) with candidates restricted to base ∪ the
+    * batch prefix ≤ 2 (ids ≥ 16 or < 12); the lexical chain restricts
+    * candidates, df, n_docs and avgdl to the SAME version while the
+    * query keywords derive from the query docs' own text (corpus-
+    * independent). A leg pinned at the wrong batch — or one leg
+    * current while the other is pinned — is a hash miss. */
+  private val e71vOracleSql: String =
+    s"""${ivfChainPrefix("vec_id >= 16", "vec_id < 80")},
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 3),
+       |qp AS (SELECT q_id, qv, qn, cid AS cell FROM (
+       |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
+       |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
+       |      round(list_dot_product(
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+       |  FROM q0 CROSS JOIN c1) WHERE rn <= 4),
+       |vj AS (SELECT q_id, c.vec_id AS doc_id,
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM qp JOIN asg c ON qp.cell = c.cell AND c.vec_id <> qp.q_id
+       |  WHERE c.vec_id >= 16 OR c.vec_id < 12),
+       |vec AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS vec_rank FROM (
+       |  SELECT vj.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rk FROM vj)
+       |  WHERE rk <= 10),
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |ver AS (SELECT doc_id FROM documents WHERE doc_id >= 16 OR doc_id < 12),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+       |  FROM lens JOIN ver USING (doc_id)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf JOIN ver USING (doc_id)
+       |  GROUP BY term),
+       |qsel AS (SELECT doc_id AS q_id, term FROM (
+       |    SELECT doc_id, term, row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+       |    FROM tf WHERE doc_id < 3) WHERE r <= 8),
+       |qterms AS (SELECT qsel.q_id, qsel.term, dfreq.df
+       |  FROM qsel JOIN dfreq USING (term)),
+       |lexsc AS (SELECT q.q_id, tf.doc_id,
+       |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS lex_score
+       |  FROM tf JOIN ver USING (doc_id) JOIN qterms q USING (term)
+       |    JOIN lens USING (doc_id), st
+       |  WHERE tf.doc_id <> q.q_id
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS lex_rank FROM (
+       |  SELECT lexsc.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY lex_score DESC, doc_id) AS rk FROM lexsc)
+       |  WHERE rk <= 10),
+       |fused AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rank, vec.vec_rank,
+       |    round(coalesce(1.0 / (60 + lex.lex_rank), 0) +
+       |      coalesce(1.0 / (60 + vec.vec_rank), 0), 6) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+       |    AS "rank" FROM fused)
+       |SELECT q_id, "rank", doc_id, rrf_score, lex_rank, vec_rank,
+       |  CAST(${graft.ops.RetrievalOps.DeclaredHybridSnap} AS BIGINT) AS snapshot_id
        |FROM r WHERE "rank" <= 5
        |ORDER BY q_id, "rank"""".stripMargin
 
@@ -2643,6 +2714,9 @@ object SparkEntry {
     // e71: hybrid retrieval — BM25 leg + IVF-multiprobe leg + RRF
     // fusion, all three replayed end-to-end (see e71OracleSql)
     "e71_hybrid_rrf" -> e71OracleSql,
+    // e71v: the same fusion with BOTH legs pinned at one corpus
+    // version (see e71vOracleSql)
+    "e71v_hybrid_snapshot" -> e71vOracleSql,
     // e2pq reads the SAME probed cells through the stored-codes ADC
     // shortlist + exact rescore — the LAYOUT changes the plan (codes
     // scan + point fetch), never the answer: exact top-3 ⊆ ADC top-64

@@ -85,4 +85,109 @@ object RetrievalOps {
         col("lex_rank"), col("vec_rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** The RRF fusion tail shared by [[e71HybridRrf]]'s shape and the
+    * snapshot-consistent variant: two ranked legs → fused top-5. */
+  private def rrfFuse(lexTop: DataFrame, vecTop: DataFrame): DataFrame = {
+    val fused = lexTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_score").desc, col("doc_id"))))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The declared pinned version for [[e71vHybridAtSnapshot]]: batch 2
+    * of both 4-batch drains — arrivals of ids < 12 visible on BOTH
+    * legs, batch 3's (12..15) on neither. */
+  val DeclaredHybridSnap = 2L
+
+  /** E71v: HYBRID RETRIEVAL AT A CONSISTENT CROSS-INDEX SNAPSHOT (r15
+    * verdict ask #2). e35z and e2z pin each leg ALONE; e71 fuses two
+    * indexes — and the reproducibility contract a training run needs
+    * is over the FUSED result it actually retrieved, which requires
+    * both legs probed AT THE SAME VERSION. Both incremental layouts
+    * drain fresh (their own work dirs, manifests per batch), then:
+    *
+    *  - the LEXICAL leg scores the query docs' top-[[QTerms]] keywords
+    *    (derived from the ≤ [[NQueries]] docs' own text — bounded,
+    *    corpus-independent per doc) against base + the segment/lens
+    *    dirs the text manifests pinned at batch [[DeclaredHybridSnap]];
+    *  - the VECTOR leg multiprobes ([[graft.sources.IvfServe.NProbe]]
+    *    cells) base lists + the fold dirs the vector manifests pinned
+    *    at the SAME batch;
+    *  - RRF fuses the two pinned top-10s — e71's exact tail.
+    *
+    * Because both streams bucket arrivals by the same id ranges, "both
+    * legs AS OF batch 2" is a consistent corpus version (ids < 12
+    * visible, 12..15 not) — the DuckDB oracle replays BOTH prefix
+    * chains plus the fusion over that one version, so a leg pinned at
+    * the wrong batch (or one leg current, one pinned — the silent
+    * failure mode this key exists to forbid) is a hash miss.
+    *
+    * 100 TB path: two manifest reads + the two pinned-leg probes e35f/
+    * e2f already price; fusion joins two ≤ NQueries×LegK relations. */
+  def e71vHybridAtSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{LexStreams, SnapshotFolds, VecStreams}
+    LexStreams.ensureFoldBase(s, d)
+    VecStreams.ensureFoldBase(s, d)
+    val fixRoot = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures")
+    val key = graft.util.PathKeys.keyedName(d)
+    val lexWork = java.nio.file.Paths.get(fixRoot, "stream-e71v-lex", key + "-4")
+    val vecWork = java.nio.file.Paths.get(fixRoot, "stream-e71v-vec", key + "-4")
+    graft.streaming.DocStreams.deleteTree(lexWork)
+    graft.streaming.DocStreams.deleteTree(vecWork)
+    LexStreams.drain(s, d, lexWork)
+    VecStreams.e2fDrain(s, d, vecWork)
+    def pinned(work: java.nio.file.Path, tree: String): Seq[String] = {
+      val t = work.resolve(tree)
+      SnapshotFolds.readManifest(t, DeclaredHybridSnap)
+        .map(n => t.resolve(n).toString)
+    }
+    fuseAtDirs(s, d, pinned(lexWork, "segs"), pinned(lexWork, "lens"),
+      pinned(vecWork, "folds"))
+      .withColumn("snapshot_id", lit(DeclaredHybridSnap))
+  }
+
+  /** The two pinned legs + fusion over EXPLICIT dir lists — one
+    * definition for the declared key (manifest-pinned dirs) and the
+    * spec's one-shot prefix replay (the equality that makes the
+    * snapshot a reproducibility contract). */
+  private[graft] def fuseAtDirs(s: SparkSession, d: String,
+      segDirs: Seq[String], lensDirs: Seq[String],
+      vecFoldDirs: Seq[String]): DataFrame = {
+    import graft.streaming.{LexStreams, VecStreams}
+    // query keywords from the query docs' OWN text — tf(doc, term) is
+    // corpus-independent, so this bounded derivation (pushed
+    // doc_id < 3 scan) equals the serve layout's staged qtf selection
+    val qsel = graft.Tables.documents(s, d)
+      .where(col("doc_id") < NQueries)
+      .select(col("doc_id"), explode(graft.ops.SimOps.tokensArr).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))))
+      .where(col("r") <= QTerms)
+      .select(col("doc_id").as("q_id"), col("term"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val lexTop = graft.plans.TopKPerKey.topKPerKey(
+        LexStreams.lexLegScoredAtDirs(s, d, segDirs, lensDirs, qsel), LegK,
+        keys = Seq("q_id"), orderBy = Seq(("lex_score", false), ("doc_id", true)))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("lex_score").desc, col("doc_id"))))
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val vecScored = VecStreams.multiprobeCandidatesWithDirs(s,
+      VecStreams.foldBaseDir(d), vecFoldDirs, d,
+      graft.sources.IvfServe.NProbe, NQueries)
+    val vecTop = graft.plans.TopKPerKey.topKPerKey(vecScored, LegK,
+        keys = Seq("q_id"), orderBy = Seq(("cos_sim", false), ("cand_id", true)))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("vec_rank"))
+    rrfFuse(lexTop, vecTop)
+  }
 }

@@ -250,14 +250,22 @@ object LexStreams {
       SnapshotFolds.readManifest(lens, snap).map(n => lens.resolve(n).toString))
   }
 
-  private def probeWithDirs(s: SparkSession, root: String,
-      segDirs: Seq[String], lensDirs: Seq[String]): DataFrame = {
-    import s.implicits._
-    val qrows = s.read.parquet(s"$root/queries")
-      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
-    val terms = qrows.map(_._2).distinct.sorted
+  /** The merged (postings, df, stats) relations of base + the given
+    * segment/lens dirs, pruned to `terms` — ONE definition for the
+    * frozen-query probe, e71v's keyword leg, and anything else reading
+    * the fold layout at an explicit version:
+    *
+    *  - postings: pruned base scan ∪ term-filtered segments;
+    *  - df = base df + Σ segment dfs, for the bounded query terms only
+    *    (the base-postings scan CANNOT carry df — it would be stale the
+    *    moment an arrival lands: the one denormalization an incremental
+    *    index must give up);
+    *  - stats: base (n_docs, sum_dl) + the lens folds (token-less
+    *    arrivals included — they have a lens row, no posting row). */
+  private def mergedRelations(s: SparkSession, root: String,
+      segDirs: Seq[String], lensDirs: Seq[String], terms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
     val buckets = terms.map(LexIndex.bucketOf).distinct.sorted
-    val q = qrows.toDF("qid", "term")
     val basePost = s.read.parquet(s"$root/postings")
       .where(col("tb").isin(buckets.map(Int.box): _*))
       .where(col("term").isin(terms: _*))
@@ -267,10 +275,6 @@ object LexStreams {
         .where(col("term").isin(terms: _*))
         .select("term", "doc_id", "tf", "dl"))
     val post = segPost.fold(basePost)(basePost.unionByName(_))
-    // df = base df + Σ segment dfs, for the ≤12 query terms only; the
-    // base-postings scan CANNOT carry df (it would be stale the moment
-    // an arrival lands) — that is the one denormalization an
-    // incremental index must give up
     val baseDf = s.read.parquet(s"$root/dfreq")
       .where(col("tb").isin(buckets.map(Int.box): _*))
       .where(col("term").isin(terms: _*))
@@ -278,19 +282,49 @@ object LexStreams {
     val segDf = segPost.map(_.groupBy("term").agg(count(lit(1)).as("df")))
     val dfAll = segDf.fold(baseDf)(baseDf.select("term", "df").unionByName(_))
       .groupBy("term").agg(sum(col("df")).as("df"))
-    // stats: base (n_docs, sum_dl) + the lens folds (token-less
-    // arrivals included — they have a lens row, no posting row)
     val baseSt = s.read.parquet(s"$root/stats")
     val st = (if (lensDirs.isEmpty) baseSt
       else baseSt.unionByName(s.read.parquet(lensDirs: _*)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
+    (post, dfAll, st)
+  }
+
+  private def probeWithDirs(s: SparkSession, root: String,
+      segDirs: Seq[String], lensDirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qrows = s.read.parquet(s"$root/queries")
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    val q = qrows.toDF("qid", "term")
+    val (post, dfAll, st) = mergedRelations(s, root, segDirs, lensDirs,
+      qrows.map(_._2).distinct.sorted)
     LexIndex.rankTop5(post
       .join(broadcast(q), Seq("term"))
       .join(broadcast(dfAll), Seq("term"))
       .crossJoin(broadcast(st))
       .withColumn("contrib", LexIndex.bm25Contrib))
+  }
+
+  /** e71v's LEXICAL LEG at an explicit fold version: BM25-scored
+    * (q_id, doc_id, lex_score) of the given query-keyword pairs
+    * against base + the given segment/lens dirs, self-matches
+    * excluded — [[graft.sources.LexIndex.lexLegScored]]'s contract
+    * served through the INCREMENTAL layout at a pinned read set. */
+  private[graft] def lexLegScoredAtDirs(s: SparkSession, d: String,
+      segDirs: Seq[String], lensDirs: Seq[String],
+      qpairs: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    val q = qpairs.toDF("q_id", "term")
+    val (post, dfAll, st) = mergedRelations(s, foldBaseDir(d), segDirs,
+      lensDirs, qpairs.map(_._2).distinct.sorted)
+    post.join(broadcast(q), Seq("term"))
+      .where(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfAll), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", LexIndex.bm25Contrib)
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("lex_score"))
   }
 
   /** E35f: the declared postings-fold key — fresh drain per invocation

@@ -211,15 +211,29 @@ object VecStreams {
     * than one drift-fattened frozen cell. */
   private[graft] def multiprobeCandidatesAt(s: SparkSession, root: String,
       foldRootOpt: Option[java.nio.file.Path], d: String, nprobe: Int): DataFrame = {
+    val foldDirsIn = foldRootOpt.toSeq.flatMap { foldRoot =>
+      if (java.nio.file.Files.isDirectory(foldRoot))
+        EventStreams.foldDirsToRead(foldRoot)
+      else Seq.empty[String]
+    }
+    multiprobeCandidatesWithDirs(s, root, foldDirsIn, d, nprobe)
+  }
+
+  /** The multiprobe scored relation against an EXPLICIT fold-dir list
+    * and a declared query-id bound — e71v probes the pinned manifest
+    * set through this with queries vec_id < NQueries. */
+  private[graft] def multiprobeCandidatesWithDirs(s: SparkSession, root: String,
+      foldDirsIn: Seq[String], d: String, nprobe: Int,
+      qMax: Long = 8L): DataFrame = {
     import s.implicits._
     val cents = IvfServe.centroidsAt(s, root).map { case (c, v) => (c, v.toArray) }
-    val qRows = graft.Tables.embeddings(s, d).where(col("vec_id") < 8)
+    val qRows = graft.Tables.embeddings(s, d).where(col("vec_id") < qMax)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val routed = qRows.toSeq.flatMap { case (qid, qv) =>
       IvfServe.nearestCells(qv, cents, nprobe).map(c => (qid, qv.toSeq, c)) }
     val q = routed.toDF("q_id", "qv", "cell")
-    scoredAgainst(s, root, foldRootOpt, q, routed.map(_._3).distinct.sorted)
+    scoredWithDirs(s, root, foldDirsIn, q, routed.map(_._3).distinct.sorted)
   }
 
   private def scoredAgainst(s: SparkSession, root: String,

@@ -65,4 +65,60 @@ class E71RetrievalSpec extends AnyFunSuite {
     assert(e2w.subsetOf(vecLeg),
       s"missing: ${e2w.diff(vecLeg)} — the deeper leg must contain the top-3")
   }
+
+  test("e71v: both legs pinned at ONE version; post-snapshot arrivals on neither") {
+    import graft.streaming.{EventStreams, LexStreams, SnapshotFolds, VecStreams}
+    val declared = RetrievalOps.e71vHybridAtSnapshot(spark, sf).collect()
+    assert(declared.nonEmpty)
+    assert(declared.forall(_.getLong(6) == RetrievalOps.DeclaredHybridSnap))
+    // shape contract carries over: dense top-5, self excluded
+    declared.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_.getLong(2) != q))
+    }
+    val fixRoot = sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures")
+    val key = graft.util.PathKeys.keyedName(sf)
+    val lexWork = java.nio.file.Paths.get(fixRoot, "stream-e71v-lex", key + "-4")
+    val vecWork = java.nio.file.Paths.get(fixRoot, "stream-e71v-vec", key + "-4")
+    // CONSISTENCY: the two manifests pin the SAME batch prefix —
+    // batch-3 content (ids 12..15) is in the CURRENT read set of both
+    // trees but in NEITHER pinned set
+    for ((work, tree, idCol) <- Seq((lexWork, "segs", "doc_id"),
+        (vecWork, "folds", "vec_id"))) {
+      val t = work.resolve(tree)
+      val pinnedDirs = SnapshotFolds.readManifest(t, RetrievalOps.DeclaredHybridSnap)
+        .map(n => t.resolve(n).toString)
+      val pinnedLate = spark.read.parquet(pinnedDirs: _*)
+        .where(org.apache.spark.sql.functions.col(idCol) >= 12 &&
+          org.apache.spark.sql.functions.col(idCol) < 16).count()
+      assert(pinnedLate == 0, s"$tree: pinned set must exclude batch 3")
+      val curLate = spark.read.parquet(EventStreams.foldDirsToRead(t): _*)
+        .where(org.apache.spark.sql.functions.col(idCol) >= 12 &&
+          org.apache.spark.sql.functions.col(idCol) < 16).count()
+      assert(curLate > 0, s"$tree: current set must carry batch 3")
+    }
+    // PREFIX EQUALITY: the pinned fused read equals the fused read
+    // over one-shot folds of exactly the prefix arrivals (ids < 12)
+    // on BOTH legs — the reproducibility contract over the FUSED rows
+    val lexOne = java.nio.file.Files.createTempDirectory("e71v-lex")
+    val vecOne = java.nio.file.Files.createTempDirectory("e71v-vec")
+    try {
+      import org.apache.spark.sql.functions.col
+      LexStreams.foldBatch(Tables.documents(spark, sf)
+        .where(col("doc_id") < 12), 0L, lexOne)
+      VecStreams.e2fFoldBatch(Tables.embeddings(spark, sf)
+          .where(col("vec_id") < 12), 0L,
+        IvfServe.centroidsAt(spark, VecStreams.foldBaseDir(sf)), vecOne)
+      val manual = RetrievalOps.fuseAtDirs(spark, sf,
+          EventStreams.foldDirsToRead(lexOne.resolve("segs")),
+          EventStreams.foldDirsToRead(lexOne.resolve("lens")),
+          EventStreams.foldDirsToRead(vecOne.resolve("folds")))
+        .collect().map(_.toSeq).toSeq
+      assert(declared.map(_.toSeq.dropRight(1)).toSeq == manual,
+        "the pinned fused read must equal the one-shot prefix replay")
+    } finally {
+      graft.streaming.DocStreams.deleteTree(lexOne)
+      graft.streaming.DocStreams.deleteTree(vecOne)
+    }
+  }
 }
