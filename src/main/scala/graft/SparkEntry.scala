@@ -174,6 +174,7 @@ object SparkEntry {
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
     "e35d_lex_tombstone"    -> (graft.streaming.LexStreams.e35dLexTombstone _),
+    "e35t_tier_merge"       -> (graft.streaming.LexStreams.e35tTierMerge _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
     "e38_lm_quality"        -> (CurationOps.e38LmQuality _),
@@ -1492,6 +1493,11 @@ object SparkEntry {
     // scoring statistic (df, n_docs, avgdl, dl) from the WHOLE corpus;
     // a dropped/doubled arrival or a stale base-df score is a hash miss
     "e35f_postings_fold" -> e35FoldOracleSql("TRUE", None),
+    // e35t: the tier merge relocates segment rows, never changes them —
+    // the declared rows are e35f's verbatim (the e2i layout-invariance
+    // precedent); the spec pins untouched base mtimes + the collapsed
+    // read set, which no row oracle can see
+    "e35t_tier_merge" -> e35FoldOracleSql("TRUE", None),
     // e35z: the same chain over base + the batch prefix <= 2 (arrival
     // buckets are contiguous doc_id ranges of 16/4 = 4, so prefix <= 2
     // is doc_id < 12) — df/n_docs/avgdl all roll back with the pinned

@@ -452,6 +452,87 @@ object LexStreams {
       .withColumn("snapshot_id", lit(DeclaredLexSnap))
   }
 
+  // ───────────────────────── tiered segment merge (e35t) ──────────────
+
+  /** Read-set size above which [[maybeTierMerge]] collapses the
+    * segments — Lucene's tiered-policy fanout: probe cost grows with
+    * segment count (every segment pays its own listing, term filter,
+    * and df merge), so segments merge into ONE larger segment long
+    * before anything touches the base. */
+  val TierFanout = 1
+
+  /** SIZE-TIERED SEGMENT MERGE (r15 verdict ask #5): collapse the
+    * tree's CURRENT read set into one `compact=<maxId>` dir — segments
+    * merge into a larger segment; the BASE IS NEVER TOUCHED (the full
+    * base rebuild stays [[mergeIntoBase]]'s job, gated on posting MASS
+    * by [[e35gMergeGate]] — together the two form Lucene's tiered
+    * lifecycle: cheap intra-tier merges on COUNT, the expensive base
+    * merge on MASS). Same crash-safe protocol as the cadence
+    * compaction (tmp + atomic rename; covered dirs deleted only after,
+    * manifest-referenced dirs spared so pinned snapshots keep
+    * resolving), but unconditional on cadence: it merges EVERYTHING
+    * live, including the newest batch, which the `< id` cadence rule
+    * never covers. Rows are (doc, term)-keyed sets — concatenation is
+    * the re-merge, so a tier merge can never change the answer
+    * (spec-pinned row equality). */
+  private[graft] def tierMerge(s: SparkSession,
+      root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (!Files.isDirectory(root)) return
+    val dirs = EventStreams.foldDirsToRead(root)
+    if (dirs.size <= 1) return
+    val maxId = dirs.flatMap { p =>
+      val n = java.nio.file.Paths.get(p).getFileName.toString
+      scala.util.Try(n.dropWhile(!_.isDigit).toLong).toOption
+    }.max
+    val spare = SnapshotFolds.retainedRefs(root)
+    val tmp = root.resolve("_tmp-tier")
+    DocStreams.deleteTree(tmp)
+    s.read.parquet(dirs: _*).write.mode("overwrite").parquet(tmp.toString)
+    val dst = root.resolve(s"compact=$maxId")
+    DocStreams.deleteTree(dst)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    dirs.map(java.nio.file.Paths.get(_))
+      .filterNot(p => p.getFileName.toString == s"compact=$maxId" ||
+        spare.contains(p.getFileName.toString))
+      .foreach(DocStreams.deleteTree)
+  }
+
+  /** The tier policy: merge when the read set exceeds [[TierFanout]]
+    * dirs. Returns whether a merge ran. */
+  private[graft] def maybeTierMerge(s: SparkSession,
+      root: java.nio.file.Path): Boolean = {
+    val trip = java.nio.file.Files.isDirectory(root) &&
+      EventStreams.foldDirsToRead(root).size > TierFanout
+    if (trip) tierMerge(s, root)
+    trip
+  }
+
+  /** E35t: the TIERED-MERGE key — drain the arrival stream fresh, trip
+    * the count-gated tier merge on both fold trees (the post-drain
+    * read set is compact=2 + batch=3 — 2 dirs > [[TierFanout]]), then
+    * probe. The declared rows are e35f's VERBATIM (oracle shared): a
+    * tier merge relocates segment rows, never changes them — while the
+    * spec pins what the oracle cannot see: the base dirs' mtimes are
+    * untouched and the read set collapsed to ONE dir per tree.
+    *
+    * 100 TB path: a tier merge costs O(live segment bytes) — orders of
+    * magnitude under the base rebuild — and caps the probe's
+    * per-segment overhead (listing + term filter + df merge per dir)
+    * at O(TierFanout); LexTierBench measures the probe cost at 16
+    * segments vs 1 for SCALE.md. */
+  def e35tTierMerge(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35t", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    drain(s, dir, work)
+    maybeTierMerge(s, work.resolve("segs"))
+    maybeTierMerge(s, work.resolve("lens"))
+    probe(s, dir, work)
+  }
+
   // ───────────────────────── tombstone deletes (e35d) ─────────────────
 
   /** Declared tombstone set for [[e35dLexTombstone]]:

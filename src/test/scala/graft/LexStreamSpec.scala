@@ -153,6 +153,49 @@ class LexStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(work)
   }
 
+  test("e35t: tier merge collapses the read set, never touches base, never changes rows") {
+    import java.nio.file.{Files, Paths}
+    // the one-shot reference BEFORE the tiered drain (same content)
+    val oneShot = freshWork()
+    try {
+      LexStreams.foldBatch(arrivals(), 0L, oneShot)
+      val reference = LexStreams.probe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      // base mtimes BEFORE the declared key runs
+      val baseRoot = Paths.get(LexStreams.foldBaseDir(sf))
+      def baseMtimes(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(baseRoot)) { st =>
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+            .toMap
+        }
+      }
+      val before = baseMtimes()
+      val declared = LexStreams.e35tTierMerge(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(declared == reference,
+        "a tier merge must relocate rows, never change the probe's answer")
+      assert(baseMtimes() == before,
+        "a tier merge must NOT rewrite any base file (only the full " +
+          "mass-gated merge touches the base)")
+      // the read set collapsed to ONE dir per tree; pinned snapshots
+      // keep resolving (manifest-referenced dirs were spared)
+      val work = Paths.get(
+        sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+        "stream-e35t", graft.util.PathKeys.keyedName(sf) + "-4")
+      for (tree <- Seq("segs", "lens")) {
+        val t = work.resolve(tree)
+        val dirs = graft.streaming.EventStreams.foldDirsToRead(t)
+        assert(dirs.size == 1, s"$tree read set must collapse to one dir: $dirs")
+        assert(Paths.get(dirs.head).getFileName.toString == "compact=3")
+        val pinned = graft.streaming.SnapshotFolds.readManifest(t, 2L)
+        pinned.foreach(n => assert(Files.isDirectory(t.resolve(n)),
+          s"$tree: tier merge must spare manifest-referenced dir $n"))
+      }
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
+
   test("e35d: a tombstoned rank-1 arrival vanishes and its stats weight lifts") {
     LexStreams.ensureFoldBase(spark, sf)
     val work = freshWork()
