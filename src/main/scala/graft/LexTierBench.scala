@@ -47,8 +47,8 @@ object LexTierBench {
       val manyCold = timed(probeOnce())
       val many = timed(probeOnce())
       val mergeSecs = timed {
-        LexStreams.tierMerge(spark, work.resolve("segs"))
-        LexStreams.tierMerge(spark, work.resolve("lens"))
+        graft.streaming.EventStreams.tierMerge(spark, work.resolve("segs"))
+        graft.streaming.EventStreams.tierMerge(spark, work.resolve("lens"))
       }
       probeOnce() // warm post-merge
       val one = timed(probeOnce())

@@ -99,6 +99,8 @@ object SparkEntry {
     "e2z_fold_snapshot" -> (graft.streaming.VecStreams.e2zFoldSnapshot _),
     "e2g_drift_gate"    -> (graft.streaming.VecStreams.e2gDriftGate _),
     "e2d_vec_tombstone" -> (graft.streaming.VecStreams.e2dVecTombstone _),
+    "e2tm_vec_tier_merge" -> (graft.streaming.VecStreams.e2tmVecTierMerge _),
+    "e2u_vec_upsert"    -> (graft.streaming.VecStreams.e2uVecUpsert _),
     "e65b_pq_trained"   -> (SimOps.e65bPqTrainedAnn _),
     "e2b_cosine_lsh"    -> (SimOps.e2bCosineLsh _),
     "e2c_topk_native"   -> (SimOps.e2cTopkNative _),
@@ -174,6 +176,7 @@ object SparkEntry {
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
     "e35d_lex_tombstone"    -> (graft.streaming.LexStreams.e35dLexTombstone _),
+    "e35u_lex_upsert"       -> (graft.streaming.LexStreams.e35uLexUpsert _),
     "e35t_tier_merge"       -> (graft.streaming.LexStreams.e35tTierMerge _),
     "e36_epoch_order"       -> (CurationOps.e36EpochOrder _),
     "e37_pmi_cooc"          -> (CurationOps.e37PmiCooc _),
@@ -455,6 +458,39 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
        |SELECT q_id, "rank", cand_id, ${labelOut}cos_sim$snapOut FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
+
+  /** e2u's oracle: the trained chain (centroids from the ORIGINAL
+    * pre-update base — training happened before the updates arrived)
+    * with the CANDIDATE corpus re-assigned from the LATEST-VERSION
+    * embeddings (the declared negation applied in SQL); queries keep
+    * their original vectors and original probe cells (the request owns
+    * its vector — the e2d stance). A stale served version, a dropped
+    * update, or an update routed by anything but the frozen quantizer
+    * is a hash miss. */
+  private val e2uOracleSql: String = {
+    import graft.streaming.LexStreams.{UpdMod, UpdRes, UpdLo, UpdHi}
+    s"""${ivfChainPrefix("vec_id >= 16", "vec_id < 80")},
+       |e2 AS (SELECT vec_id, label,
+       |    CASE WHEN vec_id % $UpdMod = $UpdRes AND vec_id > $UpdLo AND vec_id < $UpdHi
+       |      THEN list_transform(v, x -> -x) ELSE v END AS v
+       |  FROM e),
+       |sf2 AS (SELECT e2.vec_id, e2.label, e2.v, c1.cid,
+       |    round(list_dot_product(
+       |      list_transform(e2.v, (x, i) -> x - c1.c[i]),
+       |      list_transform(e2.v, (x, i) -> x - c1.c[i])), 6) AS d2
+       |  FROM e2 CROSS JOIN c1),
+       |asg2 AS (SELECT vec_id, label, v, cid AS cell, list_dot_product(v, v) AS nrm
+       |  FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf2) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell, nrm AS qn FROM asg WHERE vec_id < 8),
+       |j AS (SELECT q_id, c.vec_id AS cand_id,
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM q JOIN asg2 c ON q.cell = c.cell AND c.vec_id <> q.q_id),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS "rank" FROM j)
+       |SELECT q_id, "rank", cand_id, cos_sim FROM r WHERE "rank" <= 3
        |ORDER BY q_id, "rank"""".stripMargin
   }
 
@@ -1072,6 +1108,50 @@ object SparkEntry {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** e35u's oracle: BM25 over the LATEST-VERSION corpus — the declared
+    * update transform (text doubled for the update set) applied in
+    * SQL — with the query set still frozen on the pre-update base
+    * (original text, doc_id ≥ bound). A served stale version, a
+    * double-counted doc (n_docs must not move), or an un-shifted
+    * avgdl is a hash miss. */
+  private val e35uOracleSql: String = {
+    import graft.streaming.LexStreams.{UpdMod, UpdRes, UpdLo, UpdHi, ArrivalDocBound}
+    s"""WITH d2 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $UpdMod = $UpdRes AND doc_id > $UpdLo AND doc_id < $UpdHi
+       |      THEN text || ' ' || text ELSE text END AS text
+       |  FROM documents),
+       |w0 AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM d2),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w0) GROUP BY 1, 2),
+       |bdf AS (SELECT term, count(*) AS df FROM tf0
+       |  WHERE doc_id >= $ArrivalDocBound GROUP BY term),
+       |q AS (SELECT CAST((r - 20) // 4 AS INTEGER) AS qid, term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r FROM bdf)
+       |  WHERE r BETWEEN 20 AND 31),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfl AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - dfl.df + 0.5) / (dfl.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN q USING (term)
+       |    JOIN dfl USING (term) JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_catalog_scan" ->
       "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id LIMIT 100",
@@ -1506,6 +1586,10 @@ object SparkEntry {
     "e35z_lex_snapshot" ->
       e35FoldOracleSql("doc_id >= 16 OR doc_id < 12",
         Some(graft.streaming.LexStreams.DeclaredLexSnap)),
+    // e35u: upserts — BM25 over the latest-version corpus, query set
+    // frozen on the pre-update base; a stale version or a
+    // double-counted doc is a hash miss (see e35uOracleSql)
+    "e35u_lex_upsert" -> e35uOracleSql,
     // e35d: live-docs tombstones — candidates, df, n_docs, avgdl all
     // shrink with the deleted docs; the query set stays frozen on the
     // full pre-delete base (see e35dOracleSql)
@@ -2759,6 +2843,17 @@ object SparkEntry {
     "e2d_vec_tombstone" ->
       ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false,
         extraCandPred = "NOT (c.vec_id % 7 = 3 AND c.vec_id < 48)"),
+    // e2tm: the tier merge relocates fold rows, never changes them —
+    // the declared rows are e2f's verbatim (the e35t discipline on the
+    // vector folds); the spec pins the collapsed read set and the
+    // untouched base lists
+    "e2tm_vec_tier_merge" ->
+      ivfServeOracleSql("vec_id >= 16", "vec_id < 80", 1, candLabelFilter = false),
+    // e2u: upserts — candidates assigned from the LATEST-VERSION
+    // corpus (the declared negation in SQL) under centroids trained on
+    // the ORIGINAL base; queries stay the original embeddings (the
+    // request owns its vector); a served stale version is a hash miss
+    "e2u_vec_upsert" -> e2uOracleSql,
     // e2g: per-cell occupancy of base vs folded arrivals under e2f's
     // frozen quantizer — the drift gate's declared metric; the oracle
     // recomputes both occupancy sides from the same assignment chain,

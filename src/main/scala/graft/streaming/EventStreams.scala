@@ -662,6 +662,60 @@ object EventStreams {
     } else latestFoldCompact(root).foreach(cleanupCovered)
   }
 
+  /** Read-set size above which [[maybeTierMerge]] collapses a fold
+    * tree — Lucene's tiered-policy fanout: probe cost grows with
+    * segment count (every segment pays its own listing, filter, and
+    * stats-merge term), so segments merge into ONE larger segment long
+    * before anything touches the base layout. */
+  val TierFanout = 1
+
+  /** SIZE-TIERED SEGMENT MERGE (r15 verdict ask #5, generalized to any
+    * fold tree — the text index's postings/lens trees via e35t, the
+    * vector index's cell folds via e2tm): collapse the tree's CURRENT
+    * read set into one `compact=<maxId>` dir — segments merge into a
+    * larger segment; the BASE LAYOUT IS NEVER TOUCHED (full base
+    * rebuilds stay with the mass/drift-gated merges). Same crash-safe
+    * protocol as the cadence compaction (tmp + atomic rename; covered
+    * dirs deleted only after, manifest-referenced dirs spared so
+    * pinned snapshots keep resolving), but unconditional on cadence:
+    * it merges EVERYTHING live, including the newest batch, which the
+    * `< id` cadence rule never covers. Valid only for trees whose rows
+    * are a keyed SET — concatenation is the re-merge, so a tier merge
+    * can never change the answer (spec-pinned row equality on both
+    * index families). */
+  private[graft] def tierMerge(s: SparkSession,
+      root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (!Files.isDirectory(root)) return
+    val dirs = foldDirsToRead(root)
+    if (dirs.size <= 1) return
+    val maxId = dirs.flatMap { p =>
+      val n = java.nio.file.Paths.get(p).getFileName.toString
+      scala.util.Try(n.dropWhile(!_.isDigit).toLong).toOption
+    }.max
+    val spare = SnapshotFolds.retainedRefs(root)
+    val tmp = root.resolve("_tmp-tier")
+    DocStreams.deleteTree(tmp)
+    s.read.parquet(dirs: _*).write.mode("overwrite").parquet(tmp.toString)
+    val dst = root.resolve(s"compact=$maxId")
+    DocStreams.deleteTree(dst)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    dirs.map(java.nio.file.Paths.get(_))
+      .filterNot(p => p.getFileName.toString == s"compact=$maxId" ||
+        spare.contains(p.getFileName.toString))
+      .foreach(DocStreams.deleteTree)
+  }
+
+  /** The tier policy: merge when the read set exceeds [[TierFanout]]
+    * dirs. Returns whether a merge ran. */
+  private[graft] def maybeTierMerge(s: SparkSession,
+      root: java.nio.file.Path): Boolean = {
+    val trip = java.nio.file.Files.isDirectory(root) &&
+      foldDirsToRead(root).size > TierFanout
+    if (trip) tierMerge(s, root)
+    trip
+  }
+
   /** e63s's re-merge: batch partials back to day grain — algebraic, so
     * compacting is the same operation the result fold runs. */
   private[graft] def e63sMerge(df: DataFrame): DataFrame =

@@ -454,67 +454,20 @@ object LexStreams {
 
   // ───────────────────────── tiered segment merge (e35t) ──────────────
 
-  /** Read-set size above which [[maybeTierMerge]] collapses the
-    * segments — Lucene's tiered-policy fanout: probe cost grows with
-    * segment count (every segment pays its own listing, term filter,
-    * and df merge), so segments merge into ONE larger segment long
-    * before anything touches the base. */
-  val TierFanout = 1
-
-  /** SIZE-TIERED SEGMENT MERGE (r15 verdict ask #5): collapse the
-    * tree's CURRENT read set into one `compact=<maxId>` dir — segments
-    * merge into a larger segment; the BASE IS NEVER TOUCHED (the full
-    * base rebuild stays [[mergeIntoBase]]'s job, gated on posting MASS
-    * by [[e35gMergeGate]] — together the two form Lucene's tiered
-    * lifecycle: cheap intra-tier merges on COUNT, the expensive base
-    * merge on MASS). Same crash-safe protocol as the cadence
-    * compaction (tmp + atomic rename; covered dirs deleted only after,
-    * manifest-referenced dirs spared so pinned snapshots keep
-    * resolving), but unconditional on cadence: it merges EVERYTHING
-    * live, including the newest batch, which the `< id` cadence rule
-    * never covers. Rows are (doc, term)-keyed sets — concatenation is
-    * the re-merge, so a tier merge can never change the answer
-    * (spec-pinned row equality). */
-  private[graft] def tierMerge(s: SparkSession,
-      root: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    if (!Files.isDirectory(root)) return
-    val dirs = EventStreams.foldDirsToRead(root)
-    if (dirs.size <= 1) return
-    val maxId = dirs.flatMap { p =>
-      val n = java.nio.file.Paths.get(p).getFileName.toString
-      scala.util.Try(n.dropWhile(!_.isDigit).toLong).toOption
-    }.max
-    val spare = SnapshotFolds.retainedRefs(root)
-    val tmp = root.resolve("_tmp-tier")
-    DocStreams.deleteTree(tmp)
-    s.read.parquet(dirs: _*).write.mode("overwrite").parquet(tmp.toString)
-    val dst = root.resolve(s"compact=$maxId")
-    DocStreams.deleteTree(dst)
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    dirs.map(java.nio.file.Paths.get(_))
-      .filterNot(p => p.getFileName.toString == s"compact=$maxId" ||
-        spare.contains(p.getFileName.toString))
-      .foreach(DocStreams.deleteTree)
-  }
-
-  /** The tier policy: merge when the read set exceeds [[TierFanout]]
-    * dirs. Returns whether a merge ran. */
-  private[graft] def maybeTierMerge(s: SparkSession,
-      root: java.nio.file.Path): Boolean = {
-    val trip = java.nio.file.Files.isDirectory(root) &&
-      EventStreams.foldDirsToRead(root).size > TierFanout
-    if (trip) tierMerge(s, root)
-    trip
-  }
-
   /** E35t: the TIERED-MERGE key — drain the arrival stream fresh, trip
     * the count-gated tier merge on both fold trees (the post-drain
-    * read set is compact=2 + batch=3 — 2 dirs > [[TierFanout]]), then
-    * probe. The declared rows are e35f's VERBATIM (oracle shared): a
-    * tier merge relocates segment rows, never changes them — while the
-    * spec pins what the oracle cannot see: the base dirs' mtimes are
-    * untouched and the read set collapsed to ONE dir per tree.
+    * read set is compact=2 + batch=3 — 2 dirs >
+    * [[EventStreams.TierFanout]]), then probe. The declared rows are
+    * e35f's VERBATIM (oracle shared): a tier merge relocates segment
+    * rows, never changes them — while the spec pins what the oracle
+    * cannot see: the base dirs' mtimes are untouched and the read set
+    * collapsed to ONE dir per tree. The merge itself is the generic
+    * fold-tree lifecycle op [[EventStreams.tierMerge]] (also applied to
+    * the vector folds by e2tm); the BASE IS NEVER TOUCHED — the full
+    * base rebuild stays [[mergeIntoBase]]'s job, gated on posting MASS
+    * by [[e35gMergeGate]], so the two gates form Lucene's tiered
+    * lifecycle: cheap intra-tier merges on COUNT, the expensive base
+    * merge on MASS.
     *
     * 100 TB path: a tier merge costs O(live segment bytes) — orders of
     * magnitude under the base rebuild — and caps the probe's
@@ -528,8 +481,8 @@ object LexStreams {
       "stream-e35t", graft.util.PathKeys.keyedName(dir) + "-4")
     DocStreams.deleteTree(work)
     drain(s, dir, work)
-    maybeTierMerge(s, work.resolve("segs"))
-    maybeTierMerge(s, work.resolve("lens"))
+    EventStreams.maybeTierMerge(s, work.resolve("segs"))
+    EventStreams.maybeTierMerge(s, work.resolve("lens"))
     probe(s, dir, work)
   }
 
@@ -783,5 +736,338 @@ object LexStreams {
     DocStreams.deleteTree(work)
     cdcDrain(s, dir, work)
     tombProbe(s, dir, work)
+  }
+
+  // ───────────────────────── upserts (e35u) ───────────────────────────
+
+  /** Declared UPDATE set for [[e35uLexUpsert]]: doc_id % [[UpdMod]] ==
+    * [[UpdRes]] AND [[UpdLo]] < doc_id < [[UpdHi]] — docs 9 and 13
+    * re-arrive among the arrivals, 17/21/25/29/33 re-arrive over the
+    * trained base, so the upsert path must supersede prior versions in
+    * BOTH the fold segments and the base postings. */
+  val UpdMod = 4L
+  val UpdRes = 1L
+  val UpdLo = 8L
+  val UpdHi = 34L
+
+  private[graft] def updPred(id: org.apache.spark.sql.Column) =
+    id % UpdMod === UpdRes && id > UpdLo && id < UpdHi
+
+  /** The updated payload: the document's text DOUBLED (`text ⧺ ' ' ⧺
+    * text`) — per-term tf doubles and dl doubles while the distinct
+    * term set (so df) holds, which makes the oracle maximally sharp on
+    * exactly the statistics an upsert must move (tf, dl, avgdl) and
+    * must NOT move (n_docs, df). SQL-expressible, so the DuckDB oracle
+    * recomputes from the same declared transform. */
+  private[graft] def updatedText(text: org.apache.spark.sql.Column) =
+    concat(text, lit(" "), text)
+
+  /** CDC-U staging: the 4 arrival buckets (original text) plus 2
+    * UPDATE buckets — re-arrivals of the declared update set carrying
+    * the NEW payload, split by doc_id < 24 / ≥ 24 so updates land as
+    * two separate micro-batches (4 and 5) and a snapshot can pin
+    * BETWEEN them (batch-4 updates applied, batch-5 docs still at
+    * their original version). */
+  private[graft] def cdcUpsertDocsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val nArr = 4
+    val src = Paths.get(dir, "documents.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-docs-upsert", graft.util.PathKeys.keyedName(dir) + s"-$nArr")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"u1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val nFiles = nArr + 2
+      val filesPresent = (0 until nFiles)
+        .forall(i => Files.exists(landing.resolve(f"upd-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !filesPresent ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing)) DocStreams.deleteTree(landing)
+        Files.createDirectories(landing)
+        val raw = s.read.schema(docsSchema).parquet(src.toString)
+        val tmp = landing.resolve("_tmp")
+        def stage(i: Int, rows: DataFrame): Unit = {
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"upsert bucket $i produced no parquet part"))
+          }
+          val dst = landing.resolve(f"upd-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        (0 until nArr).foreach { i =>
+          val lo = ArrivalDocBound * i / nArr
+          val hi = ArrivalDocBound * (i + 1) / nArr
+          stage(i, raw.where(col("doc_id") >= lo && col("doc_id") < hi))
+        }
+        // re-arrivals with the NEW payload (n_chars rides unchanged —
+        // the fold never reads it; text is the indexed payload)
+        val upds = raw.where(updPred(col("doc_id")))
+          .withColumn("text", updatedText(col("text")))
+        stage(nArr, upds.where(col("doc_id") < 24))
+        stage(nArr + 1, upds.where(col("doc_id") >= 24))
+        DocStreams.deleteTree(tmp)
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** One UPSERT micro-batch fold — Lucene's updateDocument = DELETE
+    * any prior version of the key, then ADD the new one, atomically
+    * within the batch:
+    *
+    *  1. resolve each incoming doc's LATEST PRIOR version (base lens
+    *     dim at ver −1 ∪ the lens folds, max-ver row per doc — a
+    *     pushed bounded In over the batch's ids) and tombstone it as
+    *     `(doc_id, dl, upto=batchId)`: the tombstone kills exactly the
+    *     versions OLDER than this batch (`ver < upto`), never the row
+    *     set it ships with. A first-time arrival resolves no prior and
+    *     writes no tombstone — adds and updates are ONE verb, exactly
+    *     updateDocument;
+    *  2. fold the new version's postings segment and lens rows, each
+    *     stamped `ver = batchId` (base rows read as ver −1).
+    *
+    * Order matters: priors resolve against the PRE-batch read set —
+    * resolving after step 2 would tombstone the new version itself. */
+  private[graft] def upsertFoldBatch(s: SparkSession, df: DataFrame, id: Long,
+      work: java.nio.file.Path, baseRoot: String): Unit = {
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted
+    if (ids.isEmpty) return
+    val lensDirs = foldDirs(work.resolve("lens"))
+    val baseLens = s.read.parquet(s"$baseRoot/lens")
+      .withColumn("ver", lit(-1L))
+    val allLens = if (lensDirs.isEmpty) baseLens
+      else baseLens.unionByName(s.read.parquet(lensDirs: _*))
+    // `ver < id`: a crashed earlier attempt of THIS batch may have
+    // left its own lens fold behind — the prior lookup must see the
+    // pre-batch state only, or a replay would tombstone the replayed
+    // version's own dl (replay idempotence, spec-pinned)
+    val latestPrior = allLens
+      .where(col("doc_id").isin(ids.map(Long.box): _*) && col("ver") < id)
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("doc_id").orderBy(col("ver").desc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("dl"), lit(id).as("upto"))
+    if (!latestPrior.isEmpty)
+      latestPrior.write.mode("overwrite")
+        .parquet(work.resolve(s"tombs/batch=$id").toString)
+    val toks = graft.ops.SimOps.tokensArr
+    val withLen = df.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    withLen.select(col("doc_id"), col("dl"), lit(id).as("ver"))
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"lens/batch=$id").toString)
+    withLen.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(id).as("ver"))
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"segs/batch=$id").toString)
+  }
+
+  private[graft] def upsertDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit = {
+    val trees = Seq("segs", "lens", "tombs").map(work.resolve)
+    trees.foreach(java.nio.file.Files.createDirectories(_))
+    val root = foldBaseDir(d)
+    val q = cdcUpsertDocsStream(s, d)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        trees.foreach { t =>
+          EventStreams.maybeCompactFolds(s, t, id, df => df,
+            spare = SnapshotFolds.retainedRefs(t))
+        }
+        upsertFoldBatch(s, df, id, work, root)
+        trees.foreach(SnapshotFolds.writeManifest(_, id))
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** The VERSION-AWARE probe: live postings = (base at ver −1 ∪
+    * segments) anti-joined against the broadcast tombstone set on
+    * `doc_id match AND ver < upto` — a superseded version dies, the
+    * version that shipped WITH the tombstone's batch (and anything
+    * later) survives; df re-counts from the live posting rows the
+    * pruned scan already reads (the e35d discipline); n_docs/sum_dl
+    * merge additively with each tombstone entering NEGATED — every new
+    * version adds (1, dl_new), every tombstone retires exactly one
+    * prior (1, dl_old), so a doc updated k times nets to one live
+    * version at the latest dl. */
+  private[graft] def probeWithVersions(s: SparkSession, root: String,
+      segDirs: Seq[String], lensDirs: Seq[String],
+      tombDirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qrows = s.read.parquet(s"$root/queries")
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+    val terms = qrows.map(_._2).distinct.sorted
+    val buckets = terms.map(LexIndex.bucketOf).distinct.sorted
+    val q = qrows.toDF("qid", "term")
+    val basePost = s.read.parquet(s"$root/postings")
+      .where(col("tb").isin(buckets.map(Int.box): _*))
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(-1L).as("ver"))
+    val post = (if (segDirs.isEmpty) basePost
+      else basePost.unionByName(s.read.parquet(segDirs: _*)
+        .where(col("term").isin(terms: _*))
+        .select("term", "doc_id", "tf", "dl", "ver")))
+    val tombs = (if (tombDirs.isEmpty)
+        Seq.empty[(Long, Int, Long)].toDF("doc_id", "dl", "upto")
+      else s.read.parquet(tombDirs: _*)).distinct()
+    val t = tombs.select(col("doc_id").as("t_doc"), col("upto"))
+    val postLive = post.join(broadcast(t),
+        post("doc_id") === t("t_doc") && post("ver") < t("upto"),
+        "left_anti")
+      .select("term", "doc_id", "tf", "dl")
+    val dfLive = postLive.groupBy("term").agg(count(lit(1)).as("df"))
+    val baseSt = s.read.parquet(s"$root/stats")
+    val lensSide = if (lensDirs.isEmpty) baseSt
+      else baseSt.unionByName(s.read.parquet(lensDirs: _*)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    val st = lensSide
+      .unionByName(tombs.agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
+    LexIndex.rankTop5(postLive
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfLive), Seq("term"))
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", LexIndex.bm25Contrib))
+  }
+
+  private[graft] def upsertProbe(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame =
+    probeWithVersions(s, foldBaseDir(d), foldDirs(work.resolve("segs")),
+      foldDirs(work.resolve("lens")), foldDirs(work.resolve("tombs")))
+
+  /** The version-aware probe AT a pinned snapshot: all three fold
+    * trees resolve through their `snap` manifests — a doc updated at
+    * batch k still serves its OLD version (and its old statistics
+    * weight) at snapshots < k. */
+  private[graft] def upsertProbeAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    def pinned(tree: String) = {
+      val t = work.resolve(tree)
+      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
+    }
+    probeWithVersions(s, foldBaseDir(d), pinned("segs"), pinned("lens"),
+      pinned("tombs"))
+  }
+
+  /** Merge reconciliation FROM THE INDEX ITSELF: the updated text
+    * exists only in the stream (the source table still carries the
+    * original), so — unlike [[mergeIntoBaseLive]], which re-reads the
+    * corpus — the upsert merge assembles the new base layout from the
+    * LIVE INDEX ROWS directly: live postings (all terms; the
+    * version-aware anti-join at full width), df re-counted from them,
+    * stats/lens from the live lens rows, the frozen query set copied
+    * forward. Exactly Lucene's segment merge: postings concatenate and
+    * deletes reconcile WITHOUT re-analyzing any document. */
+  private[graft] def mergeIndexLive(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    import s.implicits._
+    val root = foldBaseDir(d)
+    val dst = work.resolve("merged")
+    DocStreams.deleteTree(dst)
+    val segDirs = foldDirs(work.resolve("segs"))
+    val lensDirs = foldDirs(work.resolve("lens"))
+    val tombDirs = foldDirs(work.resolve("tombs"))
+    val tombs = (if (tombDirs.isEmpty)
+        Seq.empty[(Long, Int, Long)].toDF("doc_id", "dl", "upto")
+      else s.read.parquet(tombDirs: _*)).distinct()
+    val t = tombs.select(col("doc_id").as("t_doc"), col("upto"))
+    def liveOf(rows: DataFrame): DataFrame =
+      rows.join(broadcast(t),
+        rows("doc_id") === t("t_doc") && rows("ver") < t("upto"),
+        "left_anti")
+    val basePost = s.read.parquet(s"$root/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(-1L).as("ver"))
+    val post = liveOf(if (segDirs.isEmpty) basePost
+      else basePost.unionByName(s.read.parquet(segDirs: _*)
+        .select("term", "doc_id", "tf", "dl", "ver")))
+      .select("term", "doc_id", "tf", "dl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val baseLens = s.read.parquet(s"$root/lens").withColumn("ver", lit(-1L))
+      val lens = liveOf(if (lensDirs.isEmpty) baseLens
+        else baseLens.unionByName(s.read.parquet(lensDirs: _*)))
+        .select("doc_id", "dl")
+      lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(dst.resolve("stats").toString)
+      lens.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(dst.resolve("lens").toString)
+      val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+      LexIndex.writeTermBucketed(
+        dfreq.select(LexIndex.bucketCol(col("term")).as("tb"),
+          col("term"), col("df")), dst.resolve("dfreq").toString,
+        Seq("tb", "term"))
+      LexIndex.writeTermBucketed(
+        post.select(LexIndex.bucketCol(col("term")).as("tb"), col("term"),
+          col("doc_id"), col("tf"), col("dl")),
+        dst.resolve("postings").toString, Seq("tb", "term", "doc_id"))
+      // the frozen query set carries forward — a merge relocates
+      // postings, it never re-ranks the queries (the e35f freeze)
+      s.read.parquet(s"$root/queries")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(dst.resolve("queries").toString)
+    } finally post.unpersist(blocking = false)
+    dst
+  }
+
+  /** E35u: UPSERTS in the text-index lifecycle — the production verb
+    * between append (e35f) and delete (e35d): a changed document
+    * RE-ARRIVES (re-crawl, in-place redaction) and the index must
+    * serve exactly one, latest version. Lucene's updateDocument =
+    * delete-any-prior + add, modeled as version-stamped folds: every
+    * posting/lens row carries `ver` (base −1, folds their batch id);
+    * an upsert batch tombstones each incoming doc's latest prior as
+    * `(doc_id, dl_old, upto=batch)` and folds the new version — the
+    * anti-join `ver < upto` retires old versions while the new one
+    * (same batch) survives. The CDC-U drain replays 4 arrival batches
+    * then 2 UPDATE batches re-arriving docs 9/13 (over their own fold
+    * segments) and 17/21/25/29/33 (over the trained base postings)
+    * with text DOUBLED.
+    *
+    * The DuckDB oracle recomputes BM25 over the LATEST-VERSION corpus
+    * (the declared transform applied in SQL) with the query set still
+    * frozen on the pre-update base — a served stale version, a double-
+    * counted doc (n_docs must NOT move: updates replace, never add),
+    * or an un-shifted avgdl (sum_dl gains dl per updated doc) is a
+    * hash miss.
+    *
+    * 100 TB path: an upsert batch costs one bounded-In prior lookup
+    * (doc_id-range-sharded lens dim) + two bounded appends; the probe
+    * adds one broadcast anti-join over the bounded tombstone set;
+    * storage for superseded versions is reclaimed at the merge —
+    * which [[mergeIndexLive]] performs WITHOUT re-analyzing a single
+    * document (spec-pinned: merged-base probe ≡ the live probe). */
+  def e35uLexUpsert(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35u", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    upsertDrain(s, dir, work)
+    upsertProbe(s, dir, work)
   }
 }

@@ -638,4 +638,273 @@ object VecStreams {
     SimOps.topK(tombCandidatesWithDirs(s, dir,
       treeDirs(work, "folds"), treeDirs(work, "tombs")), 3)
   }
+
+  // ───────────────────────── upserts (e2u) ────────────────────────────
+
+  /** Declared UPDATE set for [[e2uVecUpsert]] — the text side's
+    * [[LexStreams.updPred]] on vec_id: vectors 9 and 13 re-arrive over
+    * their own folds, 17/21/25/29/33 over the trained base lists. No
+    * update id is a query id (queries are vec_id < 8): the request
+    * side owns its query vector, so the declared queries stay the
+    * original embeddings — an update changes CANDIDACY, never the
+    * probe's requests. */
+  private[graft] def vecUpdPred(id: org.apache.spark.sql.Column) =
+    LexStreams.updPred(id)
+
+  /** The updated payload: the embedding NEGATED — exactly expressible
+    * in SQL (`list_transform(v, x -> -x)`, IEEE-exact in float and
+    * double alike) and guaranteed to MOVE the vector in space, so a
+    * probe serving a stale version ranks visibly wrong. */
+  private[graft] def updatedVec(v: org.apache.spark.sql.Column) =
+    transform(v, x => -x)
+
+  /** CDC-U staging: the 4 arrival buckets (original embeddings) plus
+    * 2 UPDATE buckets re-arriving the declared set with the NEW
+    * payload, split by vec_id < 24 / ≥ 24 (batches 4 and 5) so a
+    * snapshot can pin between them. */
+  private[graft] def cdcUpsertVecStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val nArr = 4
+    val src = Paths.get(dir, "embeddings.parquet")
+    val landing = Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-vecs-upsert", graft.util.PathKeys.keyedName(dir) + s"-$nArr")
+    synchronized {
+      val marker = landing.resolve("_STAGED")
+      val sig = s"u1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val nFiles = nArr + 2
+      val filesPresent = (0 until nFiles)
+        .forall(i => Files.exists(landing.resolve(f"upd-$i%03d.parquet")))
+      val stale = !Files.exists(marker) || !filesPresent ||
+        new String(Files.readAllBytes(marker), "UTF-8") != sig
+      if (stale) {
+        if (Files.exists(landing)) DocStreams.deleteTree(landing)
+        Files.createDirectories(landing)
+        val raw = s.read.schema(embSchema).parquet(src.toString)
+        val tmp = landing.resolve("_tmp")
+        def stage(i: Int, rows: DataFrame): Unit = {
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"vec upsert bucket $i produced no parquet part"))
+          }
+          val dst = landing.resolve(f"upd-$i%03d.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+        (0 until nArr).foreach { i =>
+          val lo = ArrivalBound * i / nArr
+          val hi = ArrivalBound * (i + 1) / nArr
+          stage(i, raw.where(col("vec_id") >= lo && col("vec_id") < hi))
+        }
+        val upds = raw.where(vecUpdPred(col("vec_id")))
+          .withColumn("embedding", updatedVec(col("embedding")))
+        stage(nArr, upds.where(col("vec_id") < 24))
+        stage(nArr + 1, upds.where(col("vec_id") >= 24))
+        DocStreams.deleteTree(tmp)
+        Files.write(marker, sig.getBytes("UTF-8"))
+      }
+    }
+    s.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** One UPSERT micro-batch fold — updateDocument on the ANN index:
+    * every incoming key tombstones UNCONDITIONALLY as `(vec_id,
+    * upto=batch)` (Lucene buffers delete terms without checking
+    * existence; a first-time arrival's tombstone kills nothing — the
+    * anti-join `ver < upto` only ever retires rows that exist), and
+    * the new version assigns under the FROZEN quantizer, stamped
+    * `ver = batch` (base lists read as ver −1). Unlike the text side,
+    * no prior lookup is needed at all: an ANN tombstone carries no
+    * per-doc statistics to roll back (BM25's dl has no analogue). */
+  private[graft] def upsertVecFoldBatch(df: DataFrame, id: Long,
+      cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit = {
+    df.select(col("vec_id"), lit(id).as("upto"))
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"tombs/batch=$id").toString)
+    df.select(col("vec_id"), col("label"), col("embedding"),
+        SimOps.bestCentroid(col("embedding").cast("array<double>"), cents)
+          .getField("cid").as("cell"), lit(id).as("ver"))
+      .write.mode("overwrite")
+      .parquet(work.resolve(s"folds/batch=$id").toString)
+  }
+
+  private[graft] def upsertVecDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit = {
+    val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
+    val trees = Seq("folds", "tombs").map(work.resolve)
+    trees.foreach(java.nio.file.Files.createDirectories(_))
+    val q = cdcUpsertVecStream(s, d)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        trees.foreach { t =>
+          EventStreams.maybeCompactFolds(s, t, id, df => df,
+            spare = SnapshotFolds.retainedRefs(t))
+        }
+        upsertVecFoldBatch(df, id, cents, work)
+        trees.foreach(SnapshotFolds.writeManifest(_, id))
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      StreamBusy.addQuery(q)
+    } finally q.stop()
+  }
+
+  /** The VERSION-AWARE scored relation: candidates = (base lists at
+    * ver −1 ∪ folds) anti-joined against the broadcast tombstones on
+    * `vec_id match AND ver < upto` — a superseded version dies, the
+    * version shipped with the tombstone's own batch survives. Queries
+    * route under the frozen centroids from the ORIGINAL embeddings
+    * (the request owns its vector — the e2d stance). */
+  private[graft] def upsertCandidatesWithDirs(s: SparkSession, d: String,
+      foldDirsIn: Seq[String], tombDirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    val root = foldBaseDir(d)
+    val (q, cells) = routedQueriesAt(s, root, d)
+    val cols = Seq("vec_id", "label", "embedding", "cell", "ver").map(col)
+    val base = s.read.parquet(s"$root/lists")
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .withColumn("ver", lit(-1L)).select(cols: _*)
+    val all =
+      if (foldDirsIn.isEmpty) base
+      else base.unionByName(
+        s.read.parquet(foldDirsIn: _*)
+          .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*))
+    val tombs = (if (tombDirs.isEmpty)
+        Seq.empty[(Long, Long)].toDF("vec_id", "upto")
+      else s.read.parquet(tombDirs: _*)).distinct()
+    val t = tombs.select(col("vec_id").as("t_vec"), col("upto"))
+    val live = all.join(broadcast(t),
+      all("vec_id") === t("t_vec") && all("ver") < t("upto"), "left_anti")
+    live
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(q), Seq("cell"))
+      .where(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
+          .as("cos_sim"))
+  }
+
+  /** The version-aware probe AT a pinned snapshot: both trees resolve
+    * through their `snap` manifests — a vector updated at batch k
+    * still serves its OLD version at snapshots < k. */
+  private[graft] def upsertCandidatesAtSnapshot(s: SparkSession, d: String,
+      work: java.nio.file.Path, snap: Long): DataFrame = {
+    def pinned(tree: String) = {
+      val t = work.resolve(tree)
+      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
+    }
+    upsertCandidatesWithDirs(s, d, pinned("folds"), pinned("tombs"))
+  }
+
+  /** Restage reconciliation FROM THE INDEX ITSELF: the updated
+    * embeddings exist only in the stream (the source table still
+    * carries the originals), so the upsert restage retrains the full
+    * layout over the LIVE INDEX ROWS — (base lists ∪ folds) with
+    * superseded versions anti-joined out — rather than re-reading any
+    * corpus. Superseded storage is reclaimed here, exactly the Lucene
+    * merge. */
+  private[graft] def restageFromIndex(s: SparkSession, d: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
+    import s.implicits._
+    val root = foldBaseDir(d)
+    val foldDirsIn = treeDirs(work, "folds")
+    val tombDirs = treeDirs(work, "tombs")
+    val base = s.read.parquet(s"$root/lists")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("ver", lit(-1L))
+    val all = if (foldDirsIn.isEmpty) base
+      else base.unionByName(s.read.parquet(foldDirsIn: _*)
+        .select("vec_id", "label", "embedding", "ver"))
+    val tombs = (if (tombDirs.isEmpty)
+        Seq.empty[(Long, Long)].toDF("vec_id", "upto")
+      else s.read.parquet(tombDirs: _*)).distinct()
+    val t = tombs.select(col("vec_id").as("t_vec"), col("upto"))
+    val live = all.join(broadcast(t),
+      all("vec_id") === t("t_vec") && all("ver") < t("upto"), "left_anti")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("embedding").cast("array<double>").as("v"))
+    val dst = work.resolve("restaged")
+    DocStreams.deleteTree(dst)
+    IvfServe.buildTrainedLayout(s, dst.toString, live)
+    dst
+  }
+
+  /** E2u: UPSERTS in the vector-index lifecycle — the text side's
+    * e35u verb on the ANN index: a changed vector RE-ARRIVES
+    * (re-embedded document, model refresh backfill) and the index
+    * must serve exactly one, latest version. Version-stamped folds
+    * (base −1, folds their batch id), unconditional per-key
+    * tombstones `(vec_id, upto=batch)`, the anti-join `ver < upto`
+    * retiring old versions while the co-shipped new one survives; the
+    * quantizer stays FROZEN — an update re-ROUTES the new version
+    * under the trained centroids (possibly to a different cell), it
+    * never retrains the model. The CDC-U drain replays 4 arrival
+    * batches then 2 UPDATE batches re-arriving vectors 9/13 (over
+    * their own folds) and 17/21/25/29/33 (over the trained base
+    * lists) with embeddings NEGATED.
+    *
+    * Oracle: the trained-serve replay with candidates assigned from
+    * the LATEST-VERSION corpus (the declared negation applied in SQL)
+    * under centroids trained on the ORIGINAL base — a served stale
+    * version, a dropped update, or an update routed by anything but
+    * the frozen quantizer is a hash miss.
+    *
+    * 100 TB path: an upsert batch is one map-side assignment + two
+    * bounded appends (no prior lookup at all — see
+    * [[upsertVecFoldBatch]]); the probe adds one broadcast anti-join;
+    * superseded storage is reclaimed at the restage the lifecycle was
+    * already paying ([[restageFromIndex]], spec-pinned). */
+  def e2uVecUpsert(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2u", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    upsertVecDrain(s, dir, work)
+    SimOps.topK(upsertCandidatesWithDirs(s, dir,
+      treeDirs(work, "folds"), treeDirs(work, "tombs")), 3)
+  }
+
+  // ───────────────────────── tiered fold merge (e2tm) ─────────────────
+
+  /** E2tm: the SIZE-TIERED FOLD MERGE on the vector index — e35t's
+    * count-gated tier policy applied to the cell folds (the generic
+    * [[EventStreams.tierMerge]]; fold rows are a vec_id-keyed set, so
+    * concatenation is the re-merge and the probe's answer cannot
+    * change — the declared rows are e2f's VERBATIM, oracle shared).
+    * The tier merge collapses the post-drain read set (compact=2 +
+    * batch=3) into ONE `compact=3` dir; the TRAINED BASE LISTS ARE
+    * NEVER TOUCHED — the full retrain stays [[restageWithArrivals]]'s
+    * job, gated on occupancy DRIFT by [[e2gDriftGate]]. Together the
+    * two gates give the vector index the same two-tier lifecycle the
+    * text index got in e35t/e35g: cheap intra-tier merges on COUNT,
+    * the expensive retrain on measured DRIFT. The spec pins what the
+    * row oracle cannot see: every base-list file's mtime untouched,
+    * the read set collapsed to one dir, manifest-referenced dirs
+    * spared so pinned snapshots keep resolving.
+    *
+    * 100 TB path: a tier merge costs O(live fold bytes) — orders of
+    * magnitude under the retrain — and caps the probe's per-fold
+    * overhead (listing + cell filter per dir) at O(TierFanout). */
+  def e2tmVecTierMerge(s: SparkSession, dir: String): DataFrame = {
+    ensureFoldBase(s, dir)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2tm", graft.util.PathKeys.keyedName(dir) + "-4")
+    DocStreams.deleteTree(work)
+    e2fDrain(s, dir, work)
+    EventStreams.maybeTierMerge(s, work.resolve("folds"))
+    e2fProbe(s, dir, work)
+  }
 }

@@ -238,4 +238,118 @@ class E2fStreamSpec extends AnyFunSuite {
       assert(probed() == once, "a replayed delete batch must overwrite, never stack")
     } finally graft.streaming.DocStreams.deleteTree(work)
   }
+
+  test("e2u: an upsert supersedes the prior version — the new vector serves, the old never does") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      // version 1: an exact near-duplicate of query 0 — rank 1 at cos 1.0
+      val q0 = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+        .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
+      VecStreams.upsertVecFoldBatch(q0, 0L, cs, work)
+      def dirs(t: String) = EventStreams.foldDirsToRead(work.resolve(t))
+      def cands() = VecStreams.upsertCandidatesWithDirs(
+        spark, sf, dirs("folds"), dirs("tombs"))
+        .where(col("cand_id") === 999999L).collect()
+      val before = cands()
+      assert(before.exists(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0),
+        s"the v1 near-dup must be q0's exact match: ${before.toSeq}")
+      // version 2: the SAME key re-arrives NEGATED — the stale cos-1.0
+      // row must be gone; at most the new version may appear (in
+      // whatever cell the frozen quantizer routes it to)
+      val v2 = q0.withColumn("embedding", VecStreams.updatedVec(col("embedding")))
+      VecStreams.upsertVecFoldBatch(v2, 1L, cs, work)
+      val after = cands()
+      assert(!after.exists(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0),
+        s"the superseded version must never be served: ${after.toSeq}")
+      // replay idempotence: re-folding the update batch changes nothing
+      val probedOnce = VecStreams.upsertCandidatesWithDirs(
+        spark, sf, dirs("folds"), dirs("tombs")).collect().map(_.toSeq).toSeq
+      VecStreams.upsertVecFoldBatch(v2, 1L, cs, work)
+      val probedTwice = VecStreams.upsertCandidatesWithDirs(
+        spark, sf, dirs("folds"), dirs("tombs")).collect().map(_.toSeq).toSeq
+      assert(probedOnce == probedTwice,
+        "a replayed upsert batch must overwrite, never stack")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("e2u declared: pre-update snapshot is the append lifecycle; restage " +
+      "reconciles from the index") {
+    val declared = VecStreams.e2uVecUpsert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(declared.nonEmpty)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e2u", graft.util.PathKeys.keyedName(sf) + "-4")
+    // snapshot 3 — before any update batch — equals the e2f
+    // append-lifecycle rows exactly
+    val pre = graft.ops.SimOps.topK(
+        VecStreams.upsertCandidatesAtSnapshot(spark, sf, work, 3L), 3)
+      .collect().map(_.toSeq).toSeq
+    val e2f = VecStreams.e2fIvfFoldStream(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(pre == e2f,
+      "snapshot 3 must reproduce the pre-update (append-only) truth exactly")
+    // RESTAGE FROM THE INDEX: the retrained layout carries the NEW
+    // version physically (vec 17's list row is the negated original),
+    // never the old one, and counts every vector exactly once
+    val restaged = VecStreams.restageFromIndex(spark, sf, work)
+    val lists = spark.read.parquet(restaged.resolve("lists").toString)
+    val got = lists.where(col("vec_id") === 17L).collect()
+    assert(got.length == 1, "exactly one live version per key")
+    val orig = Tables.embeddings(spark, sf).where(col("vec_id") === 17L)
+      .collect().head.getSeq[Float](1)
+    // primitive == (not Seq equality): boxed Float.equals(-0.0f, 0.0f)
+    // is false, and a zero component would false-fail the assertion
+    val restagedVec = got.head.getSeq[Float](2)
+    assert(restagedVec.length == orig.length &&
+        restagedVec.zip(orig).forall { case (a, b) => a == -b },
+      "the restaged list must carry the NEW (negated) version")
+    assert(lists.count() == Tables.embeddings(spark, sf).count(),
+      "upserts replace, never add")
+  }
+
+  test("e2tm: tier merge collapses the read set, never touches base lists, never changes rows") {
+    import java.nio.file.{Files, Paths}
+    val cs = cents()
+    // the one-shot reference BEFORE the tiered drain (same content)
+    val oneShot = freshWork()
+    try {
+      VecStreams.e2fFoldBatch(arrivals(), 0L, cs, oneShot)
+      val reference = VecStreams.e2fProbe(spark, sf, oneShot)
+        .collect().map(_.toSeq).toSeq
+      // base-list mtimes BEFORE the declared key runs
+      val baseRoot = Paths.get(VecStreams.foldBaseDir(sf))
+      def baseMtimes(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.walk(baseRoot)) { st =>
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+            .toMap
+        }
+      }
+      val before = baseMtimes()
+      val declared = VecStreams.e2tmVecTierMerge(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(declared == reference,
+        "a tier merge must relocate fold rows, never change the probe's answer")
+      assert(baseMtimes() == before,
+        "a tier merge must NOT rewrite any base-list file (only the " +
+          "drift-gated restage retrains the base)")
+      // the read set collapsed to ONE dir; pinned snapshots keep
+      // resolving (manifest-referenced dirs were spared)
+      val work = Paths.get(
+        sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+        "stream-e2tm", graft.util.PathKeys.keyedName(sf) + "-4")
+      val t = work.resolve("folds")
+      val dirs = EventStreams.foldDirsToRead(t)
+      assert(dirs.size == 1, s"fold read set must collapse to one dir: $dirs")
+      assert(Paths.get(dirs.head).getFileName.toString == "compact=3")
+      val pinned = graft.streaming.SnapshotFolds.readManifest(t, 2L)
+      assert(pinned.nonEmpty, "the batch-2 manifest must be retained")
+      pinned.foreach(n => assert(Files.isDirectory(t.resolve(n)),
+        s"tier merge must spare manifest-referenced dir $n"))
+    } finally graft.streaming.DocStreams.deleteTree(oneShot)
+  }
 }

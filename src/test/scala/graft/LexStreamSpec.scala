@@ -319,4 +319,129 @@ class LexStreamSpec extends AnyFunSuite {
       graft.streaming.DocStreams.deleteTree(baseWork)
     }
   }
+
+  test("e35u: an upsert supersedes the prior version but keeps the doc counted — " +
+      "UPDATE is not DELETE") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val root = LexStreams.foldBaseDir(sf)
+    val work = freshWork()
+    val delWork = freshWork()
+    try {
+      import spark.implicits._
+      // version 1: a rank-1 plant saturated with qid 0's terms
+      val text = q0Terms().map(t => (t + " ") * 50).mkString(" ")
+      val v1 = Seq((999999L, text, "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.upsertFoldBatch(spark, v1, 0L, work, root)
+      // no prior resolved at batch 0 → no tombs dir exists yet
+      def dirs(w: java.nio.file.Path, t: String) = {
+        val p = w.resolve(t)
+        if (java.nio.file.Files.isDirectory(p))
+          graft.streaming.EventStreams.foldDirsToRead(p)
+        else Seq.empty[String]
+      }
+      def probed(w: java.nio.file.Path) =
+        LexStreams.probeWithVersions(spark, root, dirs(w, "segs"),
+          dirs(w, "lens"), dirs(w, "tombs"))
+          .where(col("qid") === 0).orderBy("rnk").collect()
+      val before = probed(work)
+      assert(before.head.getLong(2) == 999999L, s"plant must rank 1: ${before.toSeq}")
+      // version 2: the SAME doc re-arrives with no query term at all —
+      // the old version must stop ranking, the new one still counts
+      val v2 = Seq((999999L, "zzz zzz zzz", "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.upsertFoldBatch(spark, v2, 1L, work, root)
+      val after = probed(work)
+      assert(!after.exists(_.getLong(2) == 999999L),
+        "the superseded version must never be served")
+      // the DISTINGUISHING claim vs e35d: a DELETE of the same doc
+      // removes its statistics weight; the UPSERT keeps the doc in
+      // n_docs (at its new dl), so the two leave DIFFERENT scores
+      LexStreams.upsertFoldBatch(spark, v1, 0L, delWork, root)
+      val dl = spark.read.parquet(delWork.resolve("lens/batch=0").toString)
+        .where(col("doc_id") === 999999L).collect().head.getInt(1)
+      Seq((999999L, dl)).toDF("doc_id", "dl")
+        .write.parquet(delWork.resolve("tombs-del/batch=1").toString)
+      val deleted = LexStreams.probeWithTombs(spark, root,
+        dirs(delWork, "segs"), dirs(delWork, "lens"),
+        graft.streaming.EventStreams.foldDirsToRead(delWork.resolve("tombs-del")))
+        .where(col("qid") === 0).orderBy("rnk").collect()
+      assert(after.map(_.getLong(2)).toSeq == deleted.map(_.getLong(2)).toSeq,
+        "both verbs drop the plant from the ranking")
+      assert(after.map(_.getDouble(4)).toSeq != deleted.map(_.getDouble(4)).toSeq,
+        "an upsert keeps the doc counted (n_docs/avgdl) — a delete does not")
+    } finally {
+      graft.streaming.DocStreams.deleteTree(work)
+      graft.streaming.DocStreams.deleteTree(delWork)
+    }
+  }
+
+  test("e35u: replaying an upsert batch overwrites its folds — nothing doubles") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val root = LexStreams.foldBaseDir(sf)
+    val work = freshWork()
+    try {
+      LexStreams.upsertFoldBatch(spark, arrivals(), 0L, work, root)
+      // the update batch re-arrives doc 9 with doubled text
+      val upd = arrivals().where(col("doc_id") === 9L)
+        .withColumn("text", LexStreams.updatedText(col("text")))
+      def dirs(t: String) =
+        graft.streaming.EventStreams.foldDirsToRead(work.resolve(t))
+      def probed() = LexStreams.probeWithVersions(spark, root, dirs("segs"),
+        dirs("lens"), dirs("tombs")).collect().map(_.toSeq).toSeq
+      LexStreams.upsertFoldBatch(spark, upd, 1L, work, root)
+      val once = probed()
+      LexStreams.upsertFoldBatch(spark, upd, 1L, work, root)
+      assert(probed() == once, "a replayed upsert batch must overwrite, never stack")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
+  test("e35u declared: pre-update snapshot is the append lifecycle; merge " +
+      "reconciles from the index without re-analysis") {
+    val declared = LexStreams.e35uLexUpsert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(declared.nonEmpty)
+    val work = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-e35u", graft.util.PathKeys.keyedName(sf) + "-4")
+    // snapshot 3 — before any update batch — must equal the e35f
+    // append-lifecycle rows exactly: until an update arrives, the
+    // upsert lifecycle IS the append lifecycle
+    val pre = LexStreams.upsertProbeAtSnapshot(spark, sf, work, 3L)
+      .collect().map(_.toSeq).toSeq
+    val e35f = LexStreams.e35fPostingsFold(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(pre == e35f,
+      "snapshot 3 must reproduce the pre-update (append-only) truth exactly")
+    // the updates bite after: doubled text moves dl/avgdl, so scores
+    // shift even where the ranked ids agree
+    assert(declared != pre, "the update batches must change the served rows")
+    // MID-UPDATE SNAPSHOT: at snapshot 4 only batch 4's updates
+    // (doc_id < 24) apply — docs 25/29/33 still serve their original
+    val mid = LexStreams.upsertProbeAtSnapshot(spark, sf, work, 4L)
+      .collect().map(_.toSeq).toSeq
+    assert(mid != pre, "batch-4 updates must already bite at snapshot 4")
+    assert(mid != declared, "batch-5 updates must NOT bite yet at snapshot 4")
+    // MERGE FROM THE INDEX: the merged base reproduces the declared
+    // rows without re-tokenizing a single document, physically carries
+    // the new versions (doc 17's merged dl = 2 × its original dl),
+    // and counts every doc exactly once
+    val merged = LexStreams.mergeIndexLive(spark, sf, work)
+    val probed = LexStreams.probeBaseOnly(spark, merged.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == declared,
+      "the merged base must serve the upsert-lifecycle rows exactly")
+    val origDl = spark.read
+      .parquet(LexStreams.foldBaseDir(sf) + "/lens")
+      .where(col("doc_id") === 17L).collect().head.getInt(1)
+    val mergedLens = spark.read.parquet(merged.resolve("lens").toString)
+      .where(col("doc_id") === 17L).collect()
+    assert(mergedLens.length == 1, "exactly one live version per doc")
+    assert(mergedLens.head.getInt(1) == 2 * origDl,
+      "the merged lens must carry the NEW version's length (doubled text)")
+    val nAll = Tables.documents(spark, sf).count()
+    val st = spark.read.parquet(merged.resolve("stats").toString).collect().head
+    assert(st.getLong(0) == nAll,
+      s"upserts replace, never add: merged n_docs ${st.getLong(0)} vs $nAll")
+  }
 }
