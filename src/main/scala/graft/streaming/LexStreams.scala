@@ -621,48 +621,12 @@ object LexStreams {
     * two batches subtracts once). */
   private[graft] def probeWithTombs(s: SparkSession, root: String,
       segDirs: Seq[String], lensDirs: Seq[String],
-      tombDirs: Seq[String]): DataFrame = {
-    import s.implicits._
-    val qrows = s.read.parquet(s"$root/queries")
-      .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
-    val terms = qrows.map(_._2).distinct.sorted
-    val buckets = terms.map(LexIndex.bucketOf).distinct.sorted
-    val q = qrows.toDF("qid", "term")
-    val basePost = s.read.parquet(s"$root/postings")
-      .where(col("tb").isin(buckets.map(Int.box): _*))
-      .where(col("term").isin(terms: _*))
-      .select("term", "doc_id", "tf", "dl")
-    val post = (if (segDirs.isEmpty) basePost
-      else basePost.unionByName(s.read.parquet(segDirs: _*)
-        .where(col("term").isin(terms: _*))
-        .select("term", "doc_id", "tf", "dl")))
-    // bounded by declaration (the delete set) — recomputing the tiny
-    // read per consumer beats a persist the lazy result can't release
-    val tombs = (if (tombDirs.isEmpty)
-        Seq.empty[(Long, Int)].toDF("doc_id", "dl")
-      else s.read.parquet(tombDirs: _*)).distinct()
-    val postLive = post.join(broadcast(tombs.select("doc_id")),
-      Seq("doc_id"), "left_anti")
-    // df over live postings — for the ≤12 query terms the pruned scan
-    // reads every posting row anyway, so the live count is the same
-    // pass that scores (no extra I/O; the Lucene merge-time df, taken
-    // at probe time because tombstones haven't merged yet)
-    val dfLive = postLive.groupBy("term").agg(count(lit(1)).as("df"))
-    val baseSt = s.read.parquet(s"$root/stats")
-    val lensSide = if (lensDirs.isEmpty) baseSt
-      else baseSt.unionByName(s.read.parquet(lensDirs: _*)
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
-    val st = lensSide
-      .unionByName(tombs.agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl")))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
-    LexIndex.rankTop5(postLive
-      .join(broadcast(q), Seq("term"))
-      .join(broadcast(dfLive), Seq("term"))
-      .crossJoin(broadcast(st))
-      .withColumn("contrib", LexIndex.bm25Contrib))
-  }
+      tombDirs: Seq[String]): DataFrame =
+    // a DELETE is an upsert without a co-shipped new version: the
+    // version-less delete trees normalize to ver 0 / upto +∞ inside
+    // the shared version-aware probe (0 < +∞ kills every version —
+    // exactly the blind anti-join this function used to spell out)
+    probeWithVersions(s, root, segDirs, lensDirs, tombDirs)
 
   private[graft] def tombProbe(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame =
@@ -672,16 +636,12 @@ object LexStreams {
   /** The tombstone probe AT a pinned snapshot: all THREE fold trees
     * resolve through their `snap` manifests — a doc deleted at batch k
     * stays visible (and keeps its statistics weight) at snapshots < k,
-    * because the pinned tombstone set simply does not contain it yet. */
+    * because the pinned tombstone set simply does not contain it yet.
+    * Same pinning as the upsert lifecycle's (one definition — the
+    * probe normalizes the version-less delete trees itself). */
   private[graft] def tombProbeAtSnapshot(s: SparkSession, d: String,
-      work: java.nio.file.Path, snap: Long): DataFrame = {
-    def pinned(tree: String) = {
-      val t = work.resolve(tree)
-      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
-    }
-    probeWithTombs(s, foldBaseDir(d), pinned("segs"), pinned("lens"),
-      pinned("tombs"))
-  }
+      work: java.nio.file.Path, snap: Long): DataFrame =
+    upsertProbeAtSnapshot(s, d, work, snap)
 
   /** Merge RECONCILIATION: rebuild the base over (base ∪ arrivals) −
     * tombstones — the Lucene merge that physically drops deleted rows
@@ -908,7 +868,13 @@ object LexStreams {
     * merge additively with each tombstone entering NEGATED — every new
     * version adds (1, dl_new), every tombstone retires exactly one
     * prior (1, dl_old), so a doc updated k times nets to one live
-    * version at the latest dl. */
+    * version at the latest dl.
+    *
+    * Version-LESS trees normalize at read ([[versionedSegs]] /
+    * [[versionedTombs]]): the delete lifecycle's segments read as
+    * ver 0 and its tombstones as upto +∞ — a delete is an upsert
+    * without a co-shipped new version, so ONE probe serves both
+    * verbs. */
   private[graft] def probeWithVersions(s: SparkSession, root: String,
       segDirs: Seq[String], lensDirs: Seq[String],
       tombDirs: Seq[String]): DataFrame = {
@@ -924,12 +890,12 @@ object LexStreams {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         lit(-1L).as("ver"))
     val post = (if (segDirs.isEmpty) basePost
-      else basePost.unionByName(s.read.parquet(segDirs: _*)
+      else basePost.unionByName(versionedSegs(s, segDirs)
         .where(col("term").isin(terms: _*))
         .select("term", "doc_id", "tf", "dl", "ver")))
     val tombs = (if (tombDirs.isEmpty)
         Seq.empty[(Long, Int, Long)].toDF("doc_id", "dl", "upto")
-      else s.read.parquet(tombDirs: _*)).distinct()
+      else versionedTombs(s, tombDirs)).distinct()
     val t = tombs.select(col("doc_id").as("t_doc"), col("upto"))
     val postLive = post.join(broadcast(t),
         post("doc_id") === t("t_doc") && post("ver") < t("upto"),
@@ -950,6 +916,25 @@ object LexStreams {
       .join(broadcast(dfLive), Seq("term"))
       .crossJoin(broadcast(st))
       .withColumn("contrib", LexIndex.bm25Contrib))
+  }
+
+  /** The read-side normalization that lets ONE probe serve both the
+    * delete and the upsert lifecycle: a segment tree written without
+    * `ver` (the delete/append folds) reads as ver 0 — older than any
+    * batch-stamped tombstone, newer only than the base's −1. */
+  private def versionedSegs(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    val raw = s.read.parquet(dirs: _*)
+    if (raw.columns.contains("ver")) raw
+    else raw.withColumn("ver", lit(0L))
+  }
+
+  /** Tombstones without `upto` (the delete lifecycle) read as +∞: a
+    * delete kills every version of its key — an upsert without a
+    * co-shipped new version. */
+  private def versionedTombs(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    val raw = s.read.parquet(dirs: _*)
+    if (raw.columns.contains("upto")) raw
+    else raw.withColumn("upto", lit(Long.MaxValue))
   }
 
   private[graft] def upsertProbe(s: SparkSession, d: String,

@@ -557,19 +557,11 @@ object VecStreams {
     * Exposed with explicit dir lists so the pinned-snapshot probe and
     * the spec share one definition. */
   private[graft] def tombCandidatesWithDirs(s: SparkSession, d: String,
-      foldDirsIn: Seq[String], tombDirs: Seq[String]): DataFrame = {
-    import s.implicits._
-    val root = foldBaseDir(d)
-    val (q, cells) = routedQueriesAt(s, root, d)
-    val scored = scoredWithDirs(s, root, foldDirsIn, q, cells)
-    if (tombDirs.isEmpty) scored
-    else scored.join(
-      broadcast(s.read.parquet(tombDirs: _*).select("vec_id").distinct()
-        .withColumnRenamed("vec_id", "cand_id")),
-      Seq("cand_id"), "left_anti")
-      // the join lifts its key to column 0 — restore the probe shape
-      .select("q_id", "cand_id", "cos_sim")
-  }
+      foldDirsIn: Seq[String], tombDirs: Seq[String]): DataFrame =
+    // a DELETE is an upsert without a co-shipped new version: the
+    // version-less delete trees normalize to ver 0 / upto +∞ inside
+    // the shared version-aware relation (the LexStreams discipline)
+    upsertCandidatesWithDirs(s, d, foldDirsIn, tombDirs)
 
   private def treeDirs(work: java.nio.file.Path, tree: String): Seq[String] = {
     val t = work.resolve(tree)
@@ -579,15 +571,12 @@ object VecStreams {
 
   /** The tombstone probe AT a pinned snapshot: BOTH trees resolve
     * through their manifests — a vector deleted at batch k stays a
-    * candidate at snapshots < k. */
+    * candidate at snapshots < k. Same pinning as the upsert
+    * lifecycle's (one definition — the relation normalizes the
+    * version-less delete trees itself). */
   private[graft] def tombCandidatesAtSnapshot(s: SparkSession, d: String,
-      work: java.nio.file.Path, snap: Long): DataFrame = {
-    def pinned(tree: String) = {
-      val t = work.resolve(tree)
-      SnapshotFolds.readManifest(t, snap).map(n => t.resolve(n).toString)
-    }
-    tombCandidatesWithDirs(s, d, pinned("folds"), pinned("tombs"))
-  }
+      work: java.nio.file.Path, snap: Long): DataFrame =
+    upsertCandidatesAtSnapshot(s, d, work, snap)
 
   /** Restage RECONCILIATION: retrain the full layout over (base ∪
     * arrivals) − tombstones — deleted vectors physically absent from
@@ -759,6 +748,22 @@ object VecStreams {
     } finally q.stop()
   }
 
+  /** The read-side normalization that lets ONE relation serve both the
+    * delete and the upsert lifecycle (the LexStreams discipline): fold
+    * trees written without `ver` read as ver 0; tombstones without
+    * `upto` read as +∞ (a delete kills every version of its key). */
+  private def versionedFolds(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    val raw = s.read.parquet(dirs: _*)
+    if (raw.columns.contains("ver")) raw
+    else raw.withColumn("ver", lit(0L))
+  }
+
+  private def versionedTombs(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    val raw = s.read.parquet(dirs: _*)
+    if (raw.columns.contains("upto")) raw
+    else raw.withColumn("upto", lit(Long.MaxValue))
+  }
+
   /** The VERSION-AWARE scored relation: candidates = (base lists at
     * ver −1 ∪ folds) anti-joined against the broadcast tombstones on
     * `vec_id match AND ver < upto` — a superseded version dies, the
@@ -777,11 +782,11 @@ object VecStreams {
     val all =
       if (foldDirsIn.isEmpty) base
       else base.unionByName(
-        s.read.parquet(foldDirsIn: _*)
+        versionedFolds(s, foldDirsIn)
           .where(col("cell").isin(cells.map(Int.box): _*)).select(cols: _*))
     val tombs = (if (tombDirs.isEmpty)
         Seq.empty[(Long, Long)].toDF("vec_id", "upto")
-      else s.read.parquet(tombDirs: _*)).distinct()
+      else versionedTombs(s, tombDirs).select("vec_id", "upto")).distinct()
     val t = tombs.select(col("vec_id").as("t_vec"), col("upto"))
     val live = all.join(broadcast(t),
       all("vec_id") === t("t_vec") && all("ver") < t("upto"), "left_anti")
