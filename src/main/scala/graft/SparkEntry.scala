@@ -116,6 +116,7 @@ object SparkEntry {
     "e70b_curation_split"   -> (CurationOps.e70bCurationSplit _),
     "e71_hybrid_rrf"        -> (RetrievalOps.e71HybridRrf _),
     "e71v_hybrid_snapshot"  -> (RetrievalOps.e71vHybridAtSnapshot _),
+    "e71f_filtered_hybrid"  -> (RetrievalOps.e71fFilteredHybrid _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -666,6 +667,78 @@ object SparkEntry {
        |SELECT q_id, "rank", doc_id, rrf_score, lex_rank, vec_rank
        |FROM r WHERE "rank" <= 5
        |ORDER BY q_id, "rank"""".stripMargin
+
+  /** e71f's oracle: e71's two-leg + RRF replay with the declared
+    * source predicate enforced per leg by ITS strategy — lexical
+    * candidates filtered before ranking (pre-filter: full recall
+    * within the stratum, statistics full-corpus), the vector leg's
+    * shortlist CAPPED at OverFetch·LegK by cosine BEFORE the filter
+    * (post-filter: recall bounded by the declared over-fetch — an
+    * engine that quietly widened or narrowed the shortlist
+    * hash-misses). */
+  private val e71fOracleSql: String = {
+    import graft.ops.RetrievalOps.{HybridFilterSource, OverFetch, LegK}
+    s"""${ivfChainPrefix("TRUE", "vec_id < 64")},
+       |flt AS (SELECT doc_id FROM documents WHERE source = '$HybridFilterSource'),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM asg WHERE vec_id < 3),
+       |qp AS (SELECT q_id, qv, qn, cid AS cell FROM (
+       |  SELECT q0.q_id, q0.qv, q0.qn, c1.cid,
+       |    row_number() OVER (PARTITION BY q0.q_id ORDER BY
+       |      round(list_dot_product(
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i]),
+       |        list_transform(q0.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+       |  FROM q0 CROSS JOIN c1) WHERE rn <= 4),
+       |vj AS (SELECT q_id, c.vec_id AS doc_id,
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM qp JOIN asg c ON qp.cell = c.cell AND c.vec_id <> qp.q_id),
+       |vof AS (SELECT q_id, doc_id, cos_sim FROM (
+       |  SELECT vj.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rk FROM vj)
+       |  WHERE rk <= ${OverFetch * LegK}),
+       |vec AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS vec_rank FROM (
+       |  SELECT vof.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rk
+       |  FROM vof JOIN flt USING (doc_id)) WHERE rk <= $LegK),
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qsel AS (SELECT doc_id AS q_id, term FROM (
+       |    SELECT doc_id, term, row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY tf DESC, term) AS r
+       |    FROM tf WHERE doc_id < 3) WHERE r <= 8),
+       |qterms AS (SELECT qsel.q_id, qsel.term, dfreq.df
+       |  FROM qsel JOIN dfreq USING (term)),
+       |lexsc AS (SELECT q.q_id, tf.doc_id,
+       |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS lex_score
+       |  FROM tf JOIN flt USING (doc_id) JOIN qterms q USING (term)
+       |    JOIN lens USING (doc_id), st
+       |  WHERE tf.doc_id <> q.q_id
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS lex_rank FROM (
+       |  SELECT lexsc.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY lex_score DESC, doc_id) AS rk FROM lexsc)
+       |  WHERE rk <= $LegK),
+       |fused AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rank, vec.vec_rank,
+       |    round(coalesce(1.0 / (60 + lex.lex_rank), 0) +
+       |      coalesce(1.0 / (60 + vec.vec_rank), 0), 6) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+       |    AS "rank" FROM fused)
+       |SELECT q_id, "rank", doc_id, rrf_score, lex_rank, vec_rank
+       |FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
 
   /** e71v's oracle: e71's two-leg + RRF replay pinned to ONE corpus
     * version — the vector chain trains on the pre-arrival base (the
@@ -2807,6 +2880,11 @@ object SparkEntry {
     // e71v: the same fusion with BOTH legs pinned at one corpus
     // version (see e71vOracleSql)
     "e71v_hybrid_snapshot" -> e71vOracleSql,
+    // e71f: one source predicate on both legs — lexical pre-filtered
+    // in the pruned scan, vector post-filtered behind the DECLARED
+    // over-fetch cap (the capped shortlist is part of the contract:
+    // the oracle replays it exactly — see e71fOracleSql)
+    "e71f_filtered_hybrid" -> e71fOracleSql,
     // e2pq reads the SAME probed cells through the stored-codes ADC
     // shortlist + exact rescore — the LAYOUT changes the plan (codes
     // scan + point fetch), never the answer: exact top-3 ⊆ ADC top-64

@@ -86,6 +86,78 @@ object RetrievalOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Declared attribute predicate for [[e71fFilteredHybrid]] — a
+    * document attribute under the shared id domain (doc i's vector is
+    * embedding row i), so ONE predicate governs both legs. */
+  val HybridFilterSource = "src7"
+
+  /** Vector-leg over-fetch factor for the POST-filter strategy: the
+    * ANN lists do not carry `source`, so the leg fetches
+    * [[OverFetch]]×[[LegK]] candidates and filters after — recall
+    * under filtering is bounded by the over-fetch, which is the
+    * honest production contract (pgvector / Elasticsearch kNN
+    * post_filter), declared rather than hidden: the oracle replays
+    * the SAME capped shortlist, so an engine that quietly widened or
+    * narrowed it would hash-miss. */
+  val OverFetch = 4
+
+  /** E71f: FILTERED HYBRID RETRIEVAL — e71 with one attribute
+    * predicate (`source = src7`) enforced on BOTH legs, each by the
+    * strategy its index affords:
+    *
+    *  - the LEXICAL leg PRE-filters: `source` rides denormalized on
+    *    every posting row (e35a), so the predicate pushes into the
+    *    already-pruned postings scan — zero extra I/O, full recall
+    *    within the filtered set;
+    *  - the VECTOR leg POST-filters: the lists carry no `source`, so
+    *    the leg over-fetches its top [[OverFetch]]·[[LegK]] by cosine,
+    *    resolves the survivors' source by a BOUNDED point-fetch
+    *    against the document dim (≤ NQueries·OverFetch·LegK ids,
+    *    pushed In — the e2pq refine-fetch discipline), filters, and
+    *    re-ranks the top [[LegK]]. A thin filtered stratum may
+    *    under-fill the leg — the declared, honest failure mode of
+    *    post-filtering (the alternative, denormalizing the attribute
+    *    onto the lists at build, is e2a's pre-filter path — the suite
+    *    carries BOTH strategies so the trade is measurable).
+    *
+    * RRF fuses the two filtered legs exactly as e71. Scoring
+    * statistics stay FULL-corpus on the lexical side (a filter
+    * restricts candidates, never the model — the e35a/e2a stance).
+    *
+    * 100 TB path: lexical = e35a's probe cost (row-group pruning
+    * inside pruned buckets); vector = e2w's probe + one bounded
+    * point-fetch (the doc dim is id-sharded at scale — the lens-dim
+    * precedent); fusion joins two ≤ NQueries×LegK relations. */
+  def e71fFilteredHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lexTop = graft.plans.TopKPerKey.topKPerKey(
+        graft.sources.LexIndex.lexLegScored(s, d, NQueries, QTerms,
+          sourceFilter = Some(HybridFilterSource)), LegK,
+        keys = Seq("q_id"), orderBy = Seq(("lex_score", false), ("doc_id", true)))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("lex_score").desc, col("doc_id"))))
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    // over-fetched shortlist, THEN the bounded source resolve
+    val shortlist = graft.sources.IvfServe
+      .multiprobeTopK(s, d, graft.sources.IvfServe.NProbe,
+        OverFetch * LegK, NQueries)
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("cos_sim"))
+    // ≤ NQueries·OverFetch·LegK ids — bounded by declaration
+    val ids = shortlist.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val dim = graft.Tables.documents(s, d)
+      .where(col("doc_id").isin(ids.map(Long.box): _*))
+      .select(col("doc_id"), col("source"))
+    val vecTop = graft.plans.TopKPerKey.topKPerKey(
+        shortlist.join(broadcast(dim), Seq("doc_id"))
+          .where(col("source") === HybridFilterSource), LegK,
+        keys = Seq("q_id"), orderBy = Seq(("cos_sim", false), ("doc_id", true)))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("q_id"), col("doc_id"), col("vec_rank"))
+    rrfFuse(lexTop, vecTop)
+  }
+
   /** The RRF fusion tail shared by [[e71HybridRrf]]'s shape and the
     * snapshot-consistent variant: two ranked legs → fused top-5. */
   private def rrfFuse(lexTop: DataFrame, vecTop: DataFrame): DataFrame = {

@@ -308,9 +308,12 @@ object LexIndex {
     * declared docs' own vocabularies, never the corpus), then one
     * pruned postings scan scores BM25 against the stored statistics.
     * Self-matches (the query doc itself) are excluded as before.
+    * `sourceFilter` is the e35a predicate path for the FILTERED hybrid
+    * (e71f): pushed into the same pruned scan, statistics untouched.
     * Returns (q_id, doc_id, lex_score). */
   private[graft] def lexLegScored(s: SparkSession, d: String,
-      nQueries: Long, qTerms: Int): DataFrame = {
+      nQueries: Long, qTerms: Int,
+      sourceFilter: Option[String] = None): DataFrame = {
     ensure(s, d)
     import s.implicits._
     val qsel = s.read.parquet(s"${serveDir(d)}/qtf")
@@ -321,7 +324,8 @@ object LexIndex {
       .select(col("doc_id").as("q_id"), col("term"))
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
     val q = qsel.toDF("q_id", "term")
-    postingsPruned(s, d, qsel.map(_._2).distinct.sorted)
+    val pruned = postingsPruned(s, d, qsel.map(_._2).distinct.sorted)
+    sourceFilter.fold(pruned)(src => pruned.where(col("source") === src))
       .join(broadcast(q), Seq("term"))
       .where(col("doc_id") =!= col("q_id"))
       .crossJoin(broadcast(stats(s, d)))

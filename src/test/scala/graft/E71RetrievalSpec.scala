@@ -121,4 +121,35 @@ class E71RetrievalSpec extends AnyFunSuite {
       graft.streaming.DocStreams.deleteTree(vecOne)
     }
   }
+
+  test("e71f: every fused doc satisfies the predicate; the vector leg " +
+      "honors the declared over-fetch cap") {
+    import org.apache.spark.sql.functions.col
+    val filtered = RetrievalOps.e71fFilteredHybrid(spark, sf).collect()
+    assert(filtered.nonEmpty)
+    // (1) the predicate held on EVERY fused doc — both legs filtered
+    val allowed = Tables.documents(spark, sf)
+      .where(col("source") === RetrievalOps.HybridFilterSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    filtered.foreach(r => assert(allowed(r.getLong(2)),
+      s"doc ${r.getLong(2)} violates source=${RetrievalOps.HybridFilterSource}"))
+    // (2) post-filter semantics: every vector-leg survivor came from
+    // the capped over-fetch shortlist — a passing doc OUTSIDE the top
+    // OverFetch·LegK by cosine must NOT appear, even though the
+    // predicate would admit it (recall bounded by the declared
+    // over-fetch is the contract, not a bug)
+    val shortlist = IvfServe.multiprobeTopK(spark, sf, IvfServe.NProbe,
+        RetrievalOps.OverFetch * RetrievalOps.LegK, RetrievalOps.NQueries)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    filtered.filter(!_.isNullAt(5)).foreach(r =>
+      assert(shortlist((r.getLong(0), r.getLong(2))),
+        s"vector-leg survivor (${r.getLong(0)}, ${r.getLong(2)}) " +
+          "not in the declared over-fetch shortlist"))
+    // (3) the filter is load-bearing: the filtered answer differs from
+    // the unfiltered one (src7 is a 5% stratum — e71's top-5 cannot
+    // all lie inside it on this fixture)
+    assert(filtered.map(_.getLong(2)).toSet != rows.map(_.getLong(2)).toSet,
+      "the predicate must actually restrict the answer")
+  }
 }
