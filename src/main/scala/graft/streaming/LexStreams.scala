@@ -567,9 +567,13 @@ object LexStreams {
     * ordinary [[foldBatch]] path; delete records resolve their doc's
     * dl against the lens dim ∪ lens folds (a pushed bounded In — the
     * write-time cost that keeps the PROBE free of any doc-dim access)
-    * and land as a tombstone fold `(doc_id, dl)`. Empty sides write
-    * nothing — deterministic under replay, and an all-delete batch
-    * cannot leave schema-less seg dirs. */
+    * and land as a tombstone fold `(doc_id, dl, upto=batchId)`. The
+    * batch-bounded `upto` — not +∞ — is Lucene's delete semantics
+    * exactly: a delete kills the versions OLDER than it, so a doc
+    * RE-ADDED after its delete lives again (spec-pinned through the
+    * shared version-aware probe; pre-upto trees still normalize to +∞
+    * at read). Empty sides write nothing — deterministic under
+    * replay, and an all-delete batch cannot leave schema-less dirs. */
   private[graft] def cdcFoldBatch(s: SparkSession, df: DataFrame, id: Long,
       work: java.nio.file.Path, baseRoot: String): Unit = {
     val ups = df.where(col("text").isNotNull)
@@ -579,12 +583,28 @@ object LexStreams {
     if (delIds.nonEmpty) {
       val lensDirs = foldDirs(work.resolve("lens"))
       val baseLens = s.read.parquet(s"$baseRoot/lens")
+        .withColumn("ver", lit(-1L))
       val allLens = if (lensDirs.isEmpty) baseLens
-        else baseLens.unionByName(s.read.parquet(lensDirs: _*))
-      allLens.where(col("doc_id").isin(delIds.map(Long.box): _*))
-        .select("doc_id", "dl")
-        .write.mode("overwrite")
-        .parquet(work.resolve(s"tombs/batch=$id").toString)
+        else baseLens.unionByName(s.read.parquet(lensDirs: _*)
+          .withColumn("ver", lit(0L)))
+      val bounded = allLens
+        .where(col("doc_id").isin(delIds.map(Long.box): _*))
+      // deleting a DEAD doc is a no-op (Lucene: the delete term only
+      // matches live docs) — without this, a doc deleted in two
+      // batches would land two upto-distinct tombstones and its
+      // statistics weight would subtract twice
+      val tombDirs = foldDirs(work.resolve("tombs"))
+      val live = if (tombDirs.isEmpty) bounded else {
+        val t = versionedTombs(s, tombDirs)
+          .select(col("doc_id").as("t_doc"), col("upto"))
+        bounded.join(broadcast(t),
+          bounded("doc_id") === t("t_doc") && bounded("ver") < t("upto"),
+          "left_anti")
+      }
+      val rows = live.select(col("doc_id"), col("dl"), lit(id).as("upto"))
+      if (!rows.isEmpty)
+        rows.write.mode("overwrite")
+          .parquet(work.resolve(s"tombs/batch=$id").toString)
     }
   }
 
@@ -813,8 +833,21 @@ object LexStreams {
     // left its own lens fold behind — the prior lookup must see the
     // pre-batch state only, or a replay would tombstone the replayed
     // version's own dl (replay idempotence, spec-pinned)
-    val latestPrior = allLens
+    val bounded = allLens
       .where(col("doc_id").isin(ids.map(Long.box): _*) && col("ver") < id)
+    // the prior must be LIVE: updateDocument's delete term matches
+    // live docs only — re-adding a DELETED key must not tombstone the
+    // dead version again, or its statistics weight would subtract
+    // twice (the delete-then-re-add double-subtract, spec-pinned)
+    val tombDirs = foldDirs(work.resolve("tombs"))
+    val liveBounded = if (tombDirs.isEmpty) bounded else {
+      val t = versionedTombs(s, tombDirs)
+        .select(col("doc_id").as("t_doc"), col("upto"))
+      bounded.join(broadcast(t),
+        bounded("doc_id") === t("t_doc") && bounded("ver") < t("upto"),
+        "left_anti")
+    }
+    val latestPrior = liveBounded
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy("doc_id").orderBy(col("ver").desc)))
       .where(col("rn") === 1)

@@ -515,14 +515,18 @@ object VecStreams {
 
   /** One CDC micro-batch fold: upserts assign under the frozen
     * quantizer ([[e2fFoldBatch]]); delete records land as a tombstone
-    * fold `(vec_id)` — no payload to resolve (an ANN index has no
-    * per-doc statistics to roll back, unlike BM25's dl). Empty sides
-    * write nothing — deterministic under replay. */
+    * fold `(vec_id, upto=batchId)` — no payload to resolve (an ANN
+    * index has no per-doc statistics to roll back, unlike BM25's dl).
+    * The batch-bounded `upto` is Lucene's delete semantics: a delete
+    * kills versions OLDER than it, so a re-added key lives again
+    * (pre-upto trees normalize to +∞ at read). Empty sides write
+    * nothing — deterministic under replay. */
   private[graft] def cdcVecFoldBatch(df: DataFrame, id: Long,
       cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit = {
     val ups = df.where(col("embedding").isNotNull)
     if (!ups.isEmpty) e2fFoldBatch(ups, id, cents, work)
-    val dels = df.where(col("embedding").isNull).select("vec_id")
+    val dels = df.where(col("embedding").isNull)
+      .select(col("vec_id"), lit(id).as("upto"))
     if (!dels.isEmpty)
       dels.write.mode("overwrite")
         .parquet(work.resolve(s"tombs/batch=$id").toString)

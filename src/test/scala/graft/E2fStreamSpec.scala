@@ -274,6 +274,30 @@ class E2fStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(work)
   }
 
+  test("delete-then-re-add: the re-added vector serves again (batch-bounded " +
+      "tombstones, the Lucene delete)") {
+    val cs = cents()
+    val work = freshWork()
+    try {
+      import spark.implicits._
+      val q0 = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+        .select(lit(999999L).as("vec_id"), col("label"), col("embedding"))
+      VecStreams.upsertVecFoldBatch(q0, 0L, cs, work)
+      def dirs(t: String) = EventStreams.foldDirsToRead(work.resolve(t))
+      def hit() = VecStreams.upsertCandidatesWithDirs(
+        spark, sf, dirs("folds"), dirs("tombs"))
+        .where(col("cand_id") === 999999L && col("cos_sim") === 1.0).count()
+      assert(hit() == 1, "v1 must serve")
+      // DELETE at batch 1 — upto bounds the kill at its own batch
+      Seq((999999L, 1L)).toDF("vec_id", "upto")
+        .write.mode("overwrite").parquet(work.resolve("tombs/batch=1").toString)
+      assert(hit() == 0, "the deleted vector must not serve")
+      // RE-ADD at batch 2: ver 2 is newer than every tombstone bound
+      VecStreams.upsertVecFoldBatch(q0, 2L, cs, work)
+      assert(hit() == 1, "the re-added vector must serve again")
+    } finally graft.streaming.DocStreams.deleteTree(work)
+  }
+
   test("e2u declared: pre-update snapshot is the append lifecycle; restage " +
       "reconciles from the index") {
     val declared = VecStreams.e2uVecUpsert(spark, sf)

@@ -376,6 +376,53 @@ class LexStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("delete-then-re-add: the re-added doc lives and the answer equals " +
+      "the never-deleted one — no double-subtract") {
+    LexStreams.ensureFoldBase(spark, sf)
+    val root = LexStreams.foldBaseDir(sf)
+    val work = freshWork()
+    val refWork = freshWork() // v1 added, never deleted — the reference
+    try {
+      import spark.implicits._
+      val text = q0Terms().map(t => (t + " ") * 50).mkString(" ")
+      val doc = Seq((999999L, text, "en", "t", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      LexStreams.upsertFoldBatch(spark, doc, 0L, work, root)
+      LexStreams.upsertFoldBatch(spark, doc, 0L, refWork, root)
+      def dirs(w: java.nio.file.Path, t: String) = {
+        val p = w.resolve(t)
+        if (java.nio.file.Files.isDirectory(p))
+          graft.streaming.EventStreams.foldDirsToRead(p)
+        else Seq.empty[String]
+      }
+      def probed(w: java.nio.file.Path) =
+        LexStreams.probeWithVersions(spark, root, dirs(w, "segs"),
+          dirs(w, "lens"), dirs(w, "tombs"))
+          .where(col("qid") === 0).orderBy("rnk").collect()
+      // DELETE at batch 1: a batch-bounded tombstone (upto = 1, the
+      // Lucene delete — kills versions older than it, not the future)
+      val dl = spark.read.parquet(work.resolve("lens/batch=0").toString)
+        .where(col("doc_id") === 999999L).collect().head.getInt(1)
+      Seq((999999L, dl, 1L)).toDF("doc_id", "dl", "upto")
+        .write.parquet(work.resolve("tombs/batch=1").toString)
+      assert(!probed(work).exists(_.getLong(2) == 999999L),
+        "the deleted doc must not be served")
+      // RE-ADD at batch 2: the upsert resolves no LIVE prior (v1 is
+      // dead) so it must NOT tombstone again — the re-added version
+      // serves and the stats weight counts exactly once
+      LexStreams.upsertFoldBatch(spark, doc, 2L, work, root)
+      val readded = probed(work)
+      assert(readded.head.getLong(2) == 999999L,
+        s"the re-added doc must serve again: ${readded.toSeq}")
+      assert(readded.map(_.toSeq).toSeq == probed(refWork).map(_.toSeq).toSeq,
+        "delete-then-re-add must equal never-deleted exactly — a second " +
+          "tombstone would have subtracted the doc's weight twice")
+    } finally {
+      graft.streaming.DocStreams.deleteTree(work)
+      graft.streaming.DocStreams.deleteTree(refWork)
+    }
+  }
+
   test("e35u: replaying an upsert batch overwrites its folds — nothing doubles") {
     LexStreams.ensureFoldBase(spark, sf)
     val root = LexStreams.foldBaseDir(sf)
