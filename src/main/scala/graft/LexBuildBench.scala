@@ -41,6 +41,16 @@ object LexBuildBench {
       timed(graft.ops.CurationOps.e35Bm25Topk(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
     }
+    // the positional and rewrite probes ride the same layout — their
+    // per-decade cost sits in the same amortization table
+    val phrase = (1 to probes).map { _ =>
+      timed(graft.sources.LexIndex.e35pPhraseQuery(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    }
+    val prefix = (1 to probes).map { _ =>
+      timed(graft.sources.LexIndex.e35wPrefixQuery(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // postings footprint on disk — the storage the build buys
@@ -57,6 +67,8 @@ object LexBuildBench {
     println(s"""{"bench":"lex_build","sf":"$sfDir","build_sec":${fmt(build)},""" +
       s""""probe_sec":[${probeSecs.map(fmt).mkString(",")}],""" +
       s""""e35_recompute_sec":[${recompute.map(fmt).mkString(",")}],""" +
+      s""""phrase_sec":[${phrase.map(fmt).mkString(",")}],""" +
+      s""""prefix_sec":[${prefix.map(fmt).mkString(",")}],""" +
       s""""index_mb":${bytes / 1048576},"index_files":$files}""")
     spark.stop()
   }

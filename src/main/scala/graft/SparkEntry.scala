@@ -117,6 +117,7 @@ object SparkEntry {
     "e71_hybrid_rrf"        -> (RetrievalOps.e71HybridRrf _),
     "e71v_hybrid_snapshot"  -> (RetrievalOps.e71vHybridAtSnapshot _),
     "e71f_filtered_hybrid"  -> (RetrievalOps.e71fFilteredHybrid _),
+    "e71q_adhoc_hybrid"     -> (RetrievalOps.e71qAdhocHybrid _),
     "e6_minhash_lsh"    -> (SimOps.e6MinhashLsh _),
     "e6s_minhash_stream" -> (graft.streaming.DocStreams.e6sMinhashStream _),
     "e6x_minhash_xx"    -> (SimOps.e6xMinhashXxDups _),
@@ -173,6 +174,8 @@ object SparkEntry {
     "e35s_bm25_serve"       -> (graft.sources.LexIndex.e35sBm25Serve _),
     "e35a_filtered_bm25"    -> (graft.sources.LexIndex.e35aFilteredBm25 _),
     "e35q_adhoc_terms"      -> (graft.sources.LexIndex.e35qAdhocTerms _),
+    "e35p_phrase_query"     -> (graft.sources.LexIndex.e35pPhraseQuery _),
+    "e35w_prefix_query"     -> (graft.sources.LexIndex.e35wPrefixQuery _),
     "e35f_postings_fold"    -> (graft.streaming.LexStreams.e35fPostingsFold _),
     "e35z_lex_snapshot"     -> (graft.streaming.LexStreams.e35zLexSnapshot _),
     "e35g_merge_gate"       -> (graft.streaming.LexStreams.e35gMergeGate _),
@@ -740,6 +743,74 @@ object SparkEntry {
        |ORDER BY q_id, "rank"""".stripMargin
   }
 
+  /** e71q's oracle: the AD-HOC HYBRID replay — the vector leg is e2q's
+    * chain (VALUES vectors routed by the trained centroids, NO
+    * self-exclusion) to depth LegK, the lexical leg is e35q's chain
+    * (VALUES terms, NO self-exclusion) to depth LegK, fused by e71's
+    * exact RRF tail. BOTH VALUES relations are GENERATED from the
+    * declared constants ([[graft.ops.RetrievalOps.AdhocHybridTerms]],
+    * [[graft.sources.IvfServe.AdhocVecQueries]]) — no drift. */
+  private val e71qOracleSql: String = {
+    import graft.ops.RetrievalOps.{LegK, RrfK}
+    val vecValues = graft.sources.IvfServe.AdhocVecQueries
+      .map { case (qid, qv) =>
+        s"(CAST($qid AS BIGINT), [${qv.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n       |  ")
+    val termValues = graft.ops.RetrievalOps.AdhocHybridTerms
+      .map { case (qid, t) => s"(CAST($qid AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""${ivfChainPrefix("TRUE", "vec_id < 64")},
+       |q0(q_id, qv) AS (VALUES $vecValues),
+       |qq AS (SELECT q_id, qv, list_dot_product(qv, qv) AS qn FROM q0),
+       |qp AS (SELECT q_id, qv, qn, cid AS cell FROM (
+       |  SELECT qq.q_id, qq.qv, qq.qn, c1.cid,
+       |    row_number() OVER (PARTITION BY qq.q_id ORDER BY
+       |      round(list_dot_product(
+       |        list_transform(qq.qv, (x, i) -> x - c1.c[i]),
+       |        list_transform(qq.qv, (x, i) -> x - c1.c[i])), 6), c1.cid) AS rn
+       |  FROM qq CROSS JOIN c1) WHERE rn <= ${graft.sources.IvfServe.NProbe}),
+       |vj AS (SELECT q_id, c.vec_id AS doc_id,
+       |    round(list_dot_product(qv, c.v) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_sim
+       |  FROM qp JOIN asg c ON qp.cell = c.cell),
+       |vec AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS vec_rank FROM (
+       |  SELECT vj.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rk FROM vj)
+       |  WHERE rk <= $LegK),
+       |w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt(q_id, term) AS (VALUES $termValues),
+       |lexsc AS (SELECT qt.q_id, tf.doc_id,
+       |    round(sum(ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS lex_score
+       |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+       |    JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT q_id, doc_id, CAST(rk AS INTEGER) AS lex_rank FROM (
+       |  SELECT lexsc.*, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY lex_score DESC, doc_id) AS rk FROM lexsc)
+       |  WHERE rk <= $LegK),
+       |fused AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rank, vec.vec_rank,
+       |    round(coalesce(1.0 / ($RrfK + lex.lex_rank), 0) +
+       |      coalesce(1.0 / ($RrfK + vec.vec_rank), 0), 6) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+       |    AS "rank" FROM fused)
+       |SELECT q_id, "rank", doc_id, rrf_score, lex_rank, vec_rank
+       |FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
+
   /** e71v's oracle: e71's two-leg + RRF replay pinned to ONE corpus
     * version — the vector chain trains on the pre-arrival base (the
     * fold-base contract) with candidates restricted to base ∪ the
@@ -1104,6 +1175,84 @@ object SparkEntry {
        |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
        |    JOIN lens USING (doc_id), st
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, n_match, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** e35p's oracle: per-token POSITIONS by zipped unnest (the parallel
+    * lists zip row-wise), phrase frequency as the count of adjacent
+    * (t1 at p, t2 at p+1) pairs per document, and Lucene's PhraseWeight
+    * scoring — summed constituent idfs, the phrase frequency through
+    * the same (k1, b) saturation as a term's tf. The VALUES relation is
+    * GENERATED from [[graft.sources.LexIndex.PhraseQueries]]; the OOV
+    * phrase matches nothing on either side (its qid is absent). */
+  private val e35pOracleSql: String = {
+    val values = graft.sources.LexIndex.PhraseQueries
+      .map { case (qid, t1, t2) => s"(CAST($qid AS INTEGER), '$t1', '$t2')" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |pos AS (SELECT doc_id, unnest(w) AS term,
+       |    unnest(range(1, len(w) + 1)) AS p FROM w),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |ph(qid, t1, t2) AS (VALUES $values),
+       |m AS (SELECT ph.qid, ph.t1, ph.t2, a.doc_id, count(*) AS ptf
+       |  FROM ph JOIN pos a ON a.term = ph.t1
+       |    JOIN pos b ON b.doc_id = a.doc_id AND b.term = ph.t2
+       |      AND b.p = a.p + 1
+       |  GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT m.qid, m.doc_id, CAST(m.ptf AS INTEGER) AS ptf,
+       |    round((ln(1 + (st.n_docs - d1.df + 0.5) / (d1.df + 0.5)) +
+       |        ln(1 + (st.n_docs - d2.df + 0.5) / (d2.df + 0.5))) *
+       |      (m.ptf * 2.2) /
+       |      (m.ptf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl)), 6) AS score
+       |  FROM m JOIN dfreq d1 ON d1.term = m.t1
+       |    JOIN dfreq d2 ON d2.term = m.t2
+       |    JOIN lens ON lens.doc_id = m.doc_id, st),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk, doc_id, ptf, score FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** e35w's oracle: prefix → term-dictionary expansion capped at
+    * MaxExpansion by (df desc, term) — the top-terms scoring rewrite —
+    * then e35's exact BM25 disjunction over the surviving terms. The
+    * VALUES relation is GENERATED from
+    * [[graft.sources.LexIndex.PrefixQueries]]; the no-match prefix
+    * expands to nothing on either side (its qid is absent). */
+  private val e35wOracleSql: String = {
+    val values = graft.sources.LexIndex.PrefixQueries
+      .map { case (qid, p) => s"(CAST($qid AS INTEGER), '$p')" }
+      .mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(w) AS dl FROM w),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |pref(qid, p) AS (VALUES $values),
+       |q AS (SELECT qid, term, df FROM (
+       |    SELECT pref.qid, d.term, d.df, row_number() OVER
+       |      (PARTITION BY pref.qid ORDER BY d.df DESC, d.term) AS er
+       |    FROM pref JOIN dfreq d ON d.term LIKE (p || '%'))
+       |  WHERE er <= ${graft.sources.LexIndex.MaxExpansion}),
+       |sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_match,
+       |    round(sum(ln(1 + (st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl))), 6) AS score
+       |  FROM tf JOIN q USING (term) JOIN lens USING (doc_id), st
        |  GROUP BY 1, 2),
        |r AS (SELECT *, CAST(row_number() OVER
        |    (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
@@ -1641,6 +1790,8 @@ object SparkEntry {
     // e35q: ad-hoc literal terms through the staged index — the oracle
     // splices the SAME declared literals (incl. the OOV terms)
     "e35q_adhoc_terms" -> e35qOracleSql,
+    "e35p_phrase_query" -> e35pOracleSql,
+    "e35w_prefix_query" -> e35wOracleSql,
     // e35f: the segment-fold index — query selection FROZEN at the
     // base corpus (doc_id >= 16, the frozen-quantizer analogue), every
     // scoring statistic (df, n_docs, avgdl, dl) from the WHOLE corpus;
@@ -2885,6 +3036,7 @@ object SparkEntry {
     // over-fetch cap (the capped shortlist is part of the contract:
     // the oracle replays it exactly — see e71fOracleSql)
     "e71f_filtered_hybrid" -> e71fOracleSql,
+    "e71q_adhoc_hybrid" -> e71qOracleSql,
     // e2pq reads the SAME probed cells through the stored-codes ADC
     // shortlist + exact rescore — the LAYOUT changes the plan (codes
     // scan + point fetch), never the answer: exact top-3 ⊆ ADC top-64

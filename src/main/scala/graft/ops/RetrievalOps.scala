@@ -174,6 +174,63 @@ object RetrievalOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Declared ad-hoc lexical half of the hybrid REQUEST for
+    * [[e71qAdhocHybrid]] — literal keywords that arrive WITH the
+    * request (multi-bucket in-vocabulary mixes plus one
+    * out-of-vocabulary term per query), paired by q_id with
+    * [[graft.sources.IvfServe.AdhocVecQueries]]'s literal vectors.
+    * The oracle SQL is GENERATED from both constants — no drift. */
+  val AdhocHybridTerms: Seq[(Long, String)] = Seq(
+    (0L, "hash"), (0L, "join"), (0L, "scan"), (0L, "zzqoovh0"),
+    (1L, "stream"), (1L, "window"), (1L, "merge"), (1L, "zzqoovh1"))
+
+  /** E71q: the AD-HOC HYBRID REQUEST — one retrieval request carrying
+    * BOTH a literal keyword set and a literal query vector, served
+    * through both staged indexes and RRF-fused. e35q and e2q proved
+    * each index takes an ad-hoc query alone; a RAG serving system
+    * fields exactly ONE request with both halves (the text the user
+    * typed, the embedding the service computed for it) — this key is
+    * that composition, and nothing in it touches any staged query set:
+    *
+    *  - the LEXICAL leg routes [[AdhocHybridTerms]] driver-side by
+    *    crc32, reads only those terms' postings through the pruned
+    *    scan, and scores BM25 on the stored statistics (an OOV term
+    *    matches no posting row — e35q's contract); NO self-exclusion,
+    *    an ad-hoc query is not a corpus member;
+    *  - the VECTOR leg routes [[graft.sources.IvfServe.AdhocVecQueries]]
+    *    through the resident trained quantizer, multiprobes, and
+    *    rescores exactly (e2q's contract, top-[[LegK]] instead of 3);
+    *  - RRF fuses the two top-[[LegK]]s — e71's exact tail.
+    *
+    * 100 TB path: both legs are the already-priced ad-hoc probes
+    * (posting-volume-bounded scan; nprobe/64 of the lists); fusion
+    * joins two ≤ |queries|×LegK relations. */
+  def e71qAdhocHybrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.LexIndex
+    LexIndex.ensure(s, d)
+    val q = AdhocHybridTerms.toDF("q_id", "term")
+    val lexScored = LexIndex.postingsPruned(s, d,
+        AdhocHybridTerms.map(_._2).distinct.sorted)
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(LexIndex.stats(s, d)))
+      .withColumn("contrib", LexIndex.bm25Contrib)
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("lex_score"))
+    val lexTop = graft.plans.TopKPerKey.topKPerKey(lexScored, LegK,
+        keys = Seq("q_id"), orderBy = Seq(("lex_score", false), ("doc_id", true)))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("lex_score").desc, col("doc_id"))))
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val vecTop = graft.plans.TopKPerKey.topKPerKey(
+        graft.sources.IvfServe.adhocVecScored(s, d), LegK,
+        keys = Seq("q_id"), orderBy = Seq(("cos_sim", false), ("cand_id", true)))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("vec_rank"))
+    rrfFuse(lexTop, vecTop)
+  }
+
   /** The declared pinned version for [[e71vHybridAtSnapshot]]: batch 2
     * of both 4-batch drains — arrivals of ids < 12 visible on BOTH
     * legs, batch 3's (12..15) on neither. */

@@ -471,7 +471,16 @@ object IvfServe {
     * is not a corpus member, so every probed vector is a candidate.
     * Oracle: the trained chain with the SAME literals spliced in as a
     * VALUES relation (generated from the constant — no drift). */
-  def e2qAdhocVectors(s: SparkSession, d: String): DataFrame = {
+  def e2qAdhocVectors(s: SparkSession, d: String): DataFrame =
+    rankedTop3(adhocVecScored(s, d))
+
+  /** The [[AdhocVecQueries]] scored relation — (q_id, cand_id,
+    * cos_sim) over the multiprobed cells, NO self-exclusion and NO
+    * rank cap. Shared by [[e2qAdhocVectors]] (top-3 tail) and the
+    * ad-hoc hybrid's vector leg (top-LegK tail) so the probe
+    * discipline — driver routing through the resident model, pruned
+    * lists, exact rescore — cannot drift between the two. */
+  private[graft] def adhocVecScored(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
     import s.implicits._
     val cents = centroidsCached(s, serveDir(d))
@@ -480,14 +489,13 @@ object IvfServe {
     }
     val q = routed.toDF("q_id", "qv", "cell")
     val cells = routed.map(_._3).distinct.sorted
-    val scored = probedLists(s, d, cells)
+    probedLists(s, d, cells)
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("embedding").cast("array<double>").as("v"))
       .join(broadcast(q), Seq("cell"))
       .select(col("q_id"), col("cand_id"),
         round(graft.functions.GraftFunctions.cosine(col("qv"), col("v")), 6)
           .as("cos_sim"))
-    rankedTop3(scored)
   }
 
   /** Sweep width for [[e2nNprobeSweep]]. */

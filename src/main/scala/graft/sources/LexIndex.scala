@@ -141,8 +141,8 @@ object LexIndex {
   def ensure(s: SparkSession, d: String): Unit = synchronized {
     import java.nio.file.{Files, Paths}
     val srcPath = Paths.get(d, "documents.parquet")
-    val sig = // l3: doc source denormalized onto posting rows (e35a)
-      s"l3:nb=$NBuckets:q=$QDocBound:" +
+    val sig = // l4: term positions ride on the posting rows (e35p)
+      s"l4:nb=$NBuckets:q=$QDocBound:" +
       s"${Files.size(srcPath)}:${Files.getLastModifiedTime(srcPath).toMillis}"
     val root = serveDir(d)
     val marker = Paths.get(root, "_STAGED_SIG")
@@ -167,8 +167,15 @@ object LexIndex {
     val lens = docs.select(col("doc_id"), size(toks).as("dl"), col("source"))
     lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/stats")
-    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf AND the term's 1-based positions in one pass — positions are
+    // index-time work in every positional engine (Lucene's .pos file);
+    // they ride ON the posting row so the columnar format makes them
+    // FREE for non-phrase probes (ReadSchema prunes the column —
+    // spec-pinned in LexIndexSpec)
+    val tf = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -184,14 +191,15 @@ object LexIndex {
         writeTermBucketed(
           tf.join(dfreq, "term").join(lens, "doc_id")
             .select(bucketCol(col("term")).as("tb"), col("term"),
-              col("doc_id"), col("tf"), col("df"), col("dl"), col("source")),
+              col("doc_id"), col("tf"), col("df"), col("dl"), col("source"),
+              col("positions")),
           s"$root/postings", Seq("tb", "term", "doc_id"))
         declaredQuerySet(dfreq)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/queries")
       } finally dfreq.unpersist(blocking = false)
       // the query DOCS' term stats (e71's keyword source) — bounded by
       // the declared doc_id domain, not the corpus
-      tf.where(col("doc_id") < QDocBound)
+      tf.where(col("doc_id") < QDocBound).drop("positions")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/qtf")
     } finally tf.unpersist(blocking = false)
   }
@@ -298,6 +306,120 @@ object LexIndex {
     import s.implicits._
     val q = AdhocQueries.toDF("qid", "term")
     rankTop5(postingsPruned(s, d, AdhocQueries.map(_._2).distinct.sorted)
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats(s, d)))
+      .withColumn("contrib", bm25Contrib))
+  }
+
+  /** Declared phrase literals for [[e35pPhraseQuery]] — 2-term exact
+    * phrases over TESTDATA's 31-term vocabulary, plus one phrase whose
+    * second term is OUT-OF-VOCABULARY ('zzqoovp' matches nothing at any
+    * SF): a phrase with a missing constituent matches no document at
+    * all, so its qid is ABSENT from the output — exactly Lucene's
+    * PhraseQuery over an unknown term. The oracle SQL is GENERATED
+    * from this constant, so the two sides cannot drift. */
+  val PhraseQueries: Seq[(Int, String, String)] = Seq(
+    (0, "hash", "join"), (1, "sort", "merge"), (2, "stream", "window"),
+    (3, "group", "key"), (4, "fast", "zzqoovp"))
+
+  /** E35p: EXACT PHRASE QUERIES over positional postings — the query
+    * feature that separates a bag-of-words scorer from a text engine.
+    * Every posting row carries the term's 1-based `positions` array
+    * (Lucene stores positions in the postings for the same reason);
+    * the columnar format makes that storage FREE for every non-phrase
+    * probe (their ReadSchema never includes the column — spec-pinned).
+    *
+    * The probe reads the two constituent terms' postings through the
+    * SAME pruned scan every other probe uses (PartitionFilters on the
+    * buckets + pushed In over both phrase terms), then joins the two
+    * legs per document and counts ADJACENCY as
+    * |{p ∈ pos(t1) : p+1 ∈ pos(t2)}| — `array_intersect` over the
+    * shifted first-leg positions, all inside codegen, no explode of
+    * position rows. Scoring is Lucene's BM25 PhraseWeight: the phrase
+    * frequency saturates through the same (k1, b, dl/avgdl) machinery
+    * as a term's tf, and the idf is the SUM of the constituent terms'
+    * idfs. Output (qid, rnk, doc_id, ptf, score), top-5 per phrase.
+    *
+    * 100 TB path: probe cost = the constituents' posting volume (the
+    * e35s bound) + one join keyed (term, doc_id) between two relations
+    * each bounded by that volume — never the corpus; the adjacency
+    * count is per-row array arithmetic. Reference scope note: the
+    * reference has no text-query surface at all (its "search" is
+    * Selenium paging, `web_scraper.py:441-457`); this is the
+    * LLM-pipeline extension axis' retrieval half. */
+  def e35pPhraseQuery(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    val ph = PhraseQueries.toDF("qid", "t1", "t2")
+    val pos = postingsPruned(s, d,
+      PhraseQueries.flatMap(p => Seq(p._2, p._3)).distinct.sorted)
+    val lhs = pos.select(col("term").as("t1"), col("doc_id"),
+      col("positions").as("p1"), col("df").as("df1"), col("dl"))
+    val rhs = pos.select(col("term").as("t2"), col("doc_id"),
+      col("positions").as("p2"), col("df").as("df2"))
+    val matched = lhs.join(broadcast(ph), Seq("t1"))
+      .join(rhs, Seq("t2", "doc_id"))
+      .withColumn("ptf", size(array_intersect(
+        transform(col("p1"), x => x + lit(1)), col("p2"))))
+      .where(col("ptf") > 0)
+    val scored = matched.crossJoin(broadcast(stats(s, d)))
+      .withColumn("contrib",
+        (log(lit(1.0) + (col("n_docs") - col("df1") + lit(0.5)) /
+            (col("df1") + lit(0.5))) +
+          log(lit(1.0) + (col("n_docs") - col("df2") + lit(0.5)) /
+            (col("df2") + lit(0.5)))) *
+          (col("ptf") * (K1 + 1)) /
+          (col("ptf") + lit(K1) *
+            (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .select(col("qid"), col("doc_id"), col("ptf"), col("contrib"))
+    // one contrib row per (phrase, doc) — rankTop5's n_match is the
+    // constant 1 here, so it drops from the declared shape
+    rankTop5(scored, extra = Seq("ptf")).drop("n_match")
+  }
+
+  /** Declared prefix literals for [[e35wPrefixQuery]]: 's' expands to
+    * 6 vocabulary terms (MORE than [[MaxExpansion]] — the cap must
+    * bite), 'f' to 2, 'qu' to 1, and 'zzq' to NOTHING (its qid is
+    * absent from the output — Lucene's empty rewrite). */
+  val PrefixQueries: Seq[(Int, String)] =
+    Seq((0, "s"), (1, "f"), (2, "qu"), (3, "zzq"))
+
+  /** Expansion cap — Lucene's TopTermsScoringBooleanQueryRewrite size:
+    * a prefix matching more vocabulary keeps only the top
+    * [[MaxExpansion]] terms by (df desc, term), bounding the probe's
+    * posting volume no matter how broad the prefix. */
+  val MaxExpansion = 4
+
+  /** E35w: PREFIX QUERIES via term-dictionary expansion — Lucene's
+    * MultiTermQuery rewrite, re-expressed columnar: a prefix is first
+    * EXPANDED against the vocabulary-sized df dim (one scan per
+    * declared prefix with the StartsWith predicate PUSHED into the
+    * parquet row groups — the dim is term-sorted within its buckets,
+    * so min/max stats prune), capped at [[MaxExpansion]] terms by
+    * (df desc, term) — the top-terms scoring rewrite — and the
+    * surviving terms then score as a standard BM25 disjunction through
+    * the SAME pruned postings path as e35s (n_match = how many
+    * expanded terms the doc carries).
+    *
+    * Structural honesty: the term dictionary here is HASH-bucketed
+    * (crc32), so a prefix consults every bucket's row-group stats,
+    * where Lucene's globally-sorted term dictionary does one range
+    * seek — the trade is declared, and it is bounded by the VOCABULARY
+    * size (≪ corpus) while the cap bounds the probe's posting volume
+    * regardless of how many terms match. */
+  def e35wPrefixQuery(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    import s.implicits._
+    // ≤ |PrefixQueries| vocab-dim scans, each ≤ MaxExpansion rows out —
+    // bounded by declaration, the expansion IS driver work in Lucene too
+    val expanded: Seq[(Int, String)] = PrefixQueries.flatMap { case (qid, p) =>
+      s.read.parquet(s"${serveDir(d)}/dfreq")
+        .where(col("term").startsWith(p))
+        .orderBy(col("df").desc, col("term")).limit(MaxExpansion)
+        .select("term").collect().map(r => (qid, r.getString(0))).toSeq
+    }
+    val q = expanded.toDF("qid", "term")
+    rankTop5(postingsPruned(s, d, expanded.map(_._2).distinct.sorted)
       .join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats(s, d)))
       .withColumn("contrib", bm25Contrib))

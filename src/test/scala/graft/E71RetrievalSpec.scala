@@ -152,4 +152,38 @@ class E71RetrievalSpec extends AnyFunSuite {
     assert(filtered.map(_.getLong(2)).toSet != rows.map(_.getLong(2)).toSet,
       "the predicate must actually restrict the answer")
   }
+
+  test("e71q: one ad-hoc request through both indexes — no staged query set, " +
+      "no self-exclusion, both legs fused") {
+    val fused = RetrievalOps.e71qAdhocHybrid(spark, sf).collect()
+    assert(fused.nonEmpty)
+    // both declared constants cover q_ids 0..1 and ONLY those
+    val qids = fused.map(_.getLong(0)).distinct.sorted.toSeq
+    assert(qids == Seq(0L, 1L), s"ad-hoc request q_ids: $qids")
+    // both legs CONTRIBUTE to the fused answer (the terms and the
+    // vector of an ad-hoc request need not agree on content, so a
+    // dual-ranked candidate is not guaranteed — but a missing leg is
+    // a broken fusion)
+    assert(fused.exists(r => !r.isNullAt(4)), "lexical leg missing from fusion")
+    assert(fused.exists(r => !r.isNullAt(5)), "vector leg missing from fusion")
+    // and the fused score IS the declared RRF of the leg ranks
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fused.foreach { r =>
+      val lex = if (r.isNullAt(4)) 0.0 else 1.0 / (RetrievalOps.RrfK + r.getInt(4))
+      val vec = if (r.isNullAt(5)) 0.0 else 1.0 / (RetrievalOps.RrfK + r.getInt(5))
+      assert(r.getDouble(3) == r6(lex + vec),
+        s"rrf mismatch at (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    // the vector leg is e2q's exact top-3 prefix (same routing, same
+    // rescore, deeper cut) — the two ad-hoc paths cannot drift
+    val e2qTop = IvfServe.e2qAdhocVectors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val vecLeg = fused.filter(r => !r.isNullAt(5) && r.getInt(5) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // a rank ≤ 3 vector-leg survivor in the fused top-5 must be in
+    // e2q's declared top-3 (subset: fusion may cut it before rank 5)
+    assert(vecLeg.subsetOf(e2qTop),
+      s"vector leg drifted from e2q: ${vecLeg.diff(e2qTop)}")
+  }
 }

@@ -132,6 +132,72 @@ class LexIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("e35p: positions are FREE for non-phrase probes (ReadSchema prunes the column)") {
+    // the reason positions ride ON the posting rows instead of a
+    // parallel relation: columnar pruning means a bag-of-words probe
+    // never reads them — the claim that makes the storage free
+    val served = LexIndex.e35sBm25Serve(spark, sf)
+    val plan = served.queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("positions")),
+      s"e35s must not read the positions column: $readSchemas")
+    val phr = LexIndex.e35pPhraseQuery(spark, sf)
+    val pplan = phr.queryExecution.executedPlan.toString
+    assert(pplan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("positions")),
+      "the phrase probe must read positions")
+    assert(pplan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("tb")),
+      "the phrase probe must keep bucket pruning")
+  }
+
+  test("e35p: adjacency count equals a brute token-walk; OOV phrase is absent") {
+    val rows = LexIndex.e35pPhraseQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the OOV phrase (qid 4) matches no document on any SF
+    assert(!rows.exists(_.getInt(0) == 4), "OOV phrase must serve nothing")
+    // brute recount: for each served (qid, doc), walk the doc's tokens
+    val byPhrase = LexIndex.PhraseQueries.map(p => p._1 -> (p._2, p._3)).toMap
+    val docs = rows.map(_.getLong(2)).distinct
+    val texts = Tables.documents(spark, sf)
+      .where(col("doc_id").isin(docs.map(Long.box): _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (t1, t2) = byPhrase(r.getInt(0))
+      val toks = texts(r.getLong(2)).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val brute = toks.sliding(2).count(w => w.length == 2 && w(0) == t1 && w(1) == t2)
+      assert(r.getInt(3) == brute,
+        s"phrase freq mismatch for qid ${r.getInt(0)} doc ${r.getLong(2)}: " +
+          s"served ${r.getInt(3)}, brute $brute")
+    }
+  }
+
+  test("e35w: the expansion cap bites; pushed StartsWith; no-match prefix absent") {
+    // 's' matches MORE vocabulary terms than MaxExpansion — the top-terms
+    // rewrite must keep exactly MaxExpansion, by (df desc, term)
+    val dfreq = spark.read.parquet(LexIndex.serveDir(sf) + "/dfreq")
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1))
+    val sMatches = dfreq.filter(_._1.startsWith("s"))
+    assert(sMatches.length > LexIndex.MaxExpansion,
+      s"fixture must make the cap non-vacuous: ${sMatches.length} 's' terms")
+    val rows = LexIndex.e35wPrefixQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getInt(0) == 3), "no-match prefix must serve nothing")
+    // qid 0's n_match can never exceed the cap
+    rows.filter(_.getInt(0) == 0).foreach { r =>
+      assert(r.getLong(3) <= LexIndex.MaxExpansion.toLong,
+        s"n_match ${r.getLong(3)} exceeds the expansion cap")
+    }
+    // the expansion scan pushes the prefix into the vocab dim
+    val expPlan = spark.read.parquet(LexIndex.serveDir(sf) + "/dfreq")
+      .where(col("term").startsWith("s"))
+      .queryExecution.executedPlan.toString
+    assert(expPlan.contains("StringStartsWith"),
+      s"prefix must push into the dfreq scan: $expPlan")
+  }
+
   test("staleness: touching the source re-stages the index") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("lex-stale")
