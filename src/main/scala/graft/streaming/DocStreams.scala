@@ -389,7 +389,10 @@ object DocStreams {
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
       "stream-e10s", graft.util.PathKeys.keyedName(dir) + "-4")
     deleteTree(work)
-    e10sGateDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(dir, "documents.parquet")) {
+      e10sGateDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    }
     drainedGate(s, work)
       .groupBy("source")
       .agg(sum(when(col("passes_repetition"), 1L).otherwise(0L)).as("n_admitted"),
@@ -408,7 +411,10 @@ object DocStreams {
     // previous drain would resume an already-finished stream and emit
     // nothing (the fixture-staleness analogue of drainToTable's wipe)
     deleteTree(work)
-    e6sIncrementalDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(dir, "documents.parquet")) {
+      e6sIncrementalDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    }
     // The verify tail references `pairs` on both sides of a join; a
     // localCheckpoint materializes the pair aggregate once (bounded by
     // candidate pairs — a vanishing fraction of the corpus) into a

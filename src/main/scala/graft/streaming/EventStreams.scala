@@ -189,8 +189,10 @@ object EventStreams {
     * mid-stream null emission is exercised, not just the final
     * no-data batch), parquet drain (row count scales with data). */
   def e29bStreamLeftToTable(s: SparkSession, dir: String): DataFrame = {
-    val path = drainToParquet(s,
-      e29bStreamLeftJoin(s, dir, filesPerTrigger = 3), "e29b_stream_out")
+    val path = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToParquet(s,
+        e29bStreamLeftJoin(s, dir, filesPerTrigger = 3), "e29b_stream_out")
+    }
     s.read.parquet(path)
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
   }
@@ -211,8 +213,10 @@ object EventStreams {
     *    all on the driver. The parquet drain writes from executors;
     *    the declared result reads it back lazily. */
   def e29StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val path = drainToParquet(s,
-      e29StreamJoin(s, dir, filesPerTrigger = 6), "e29_stream_out")
+    val path = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToParquet(s,
+        e29StreamJoin(s, dir, filesPerTrigger = 6), "e29_stream_out")
+    }
     s.read.parquet(path).orderBy("click_id", "purchase_id")
   }
 
@@ -317,10 +321,17 @@ object EventStreams {
     * ingestion arriving at the same totals as a full scrape,
     * web_scrpaer_2.py:246-281.) */
   def e4StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val name = drainToTable(s, e4TimeWindowStream(s, dir),
-      "e4_stream_table", "complete")
+    val name = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToTable(s, e4TimeWindowStream(s, dir),
+        "e4_stream_table", "complete")
+    }
     s.table(name).orderBy("win_start", "event_type")
   }
+
+  /** The landing every event drain replays — the size [[StreamTune]]
+    * derives the drain's shuffle/state width from. */
+  private def evSrc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "events.parquet")
 
   /** The permutation e4l replays the 6 time buckets in: buckets 0,2,4
     * land first (watermark races ahead), then 1 and 3 arrive LATE —
@@ -367,15 +378,19 @@ object EventStreams {
     * window state, droppable past window end + 10 min; the drop rule
     * is precisely WHY state is bounded under out-of-order arrival. */
   def e4lLateDrop(s: SparkSession, dir: String): DataFrame = {
-    val name = drainToTable(s, e4lPipeline(s, dir), "e4l_late_table", "append")
+    val name = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToTable(s, e4lPipeline(s, dir), "e4l_late_table", "append")
+    }
     s.table(name).orderBy("win_start", "event_type")
   }
 
   /** Declared-query form of the E5 streaming sessionization (see
     * e4StreamToTable). */
   def e5StreamToTable(s: SparkSession, dir: String): DataFrame = {
-    val name = drainToTable(s, e5SessionWindowStream(s, dir),
-      "e5_stream_table", "complete")
+    val name = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToTable(s, e5SessionWindowStream(s, dir),
+        "e5_stream_table", "complete")
+    }
     s.table(name).orderBy("user_id", "sess_start")
   }
 
@@ -399,10 +414,12 @@ object EventStreams {
     * exactly. RecoverySpec proves the seen-set survives a stop/restart
     * from the checkpoint. */
   def e1sStreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val name = drainToTable(s,
-      eventsStream(s, dir)
-        .dropDuplicates("user_id", "event_type"),
-      "e1s_dedup_table", "append")
+    val name = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToTable(s,
+        eventsStream(s, dir)
+          .dropDuplicates("user_id", "event_type"),
+        "e1s_dedup_table", "append")
+    }
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_uniq_users"))
@@ -517,8 +534,10 @@ object EventStreams {
     * state rows get EVICTED across the replay (numRowsRemoved > 0) and
     * the final state is a fraction of the total distinct keys. */
   def e1sbDedupBounded(s: SparkSession, dir: String): DataFrame = {
-    val name = drainToTable(s, e1sbPipeline(s, dir),
-      "e1sb_dedup_table", "append")
+    val name = StreamTune.withDrainWidthFrom(s, evSrc(dir)) {
+      drainToTable(s, e1sbPipeline(s, dir),
+        "e1sb_dedup_table", "append")
+    }
     s.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_user_days"))
@@ -728,6 +747,10 @@ object EventStreams {
     * overwrite owns the fold; accumulated dirs fold into `compact=`
     * checkpoints so listings stay bounded. */
   private[graft] def e63sDrain(s: SparkSession, dir: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s, evSrc(dir)) { e63sDrainBody(s, dir, work) }
+
+  private def e63sDrainBody(s: SparkSession, dir: String,
       work: java.nio.file.Path): Unit = {
     val delta = eventsStreamBucketed(s, dir, nBuckets = 4)
       .where(col("ts") >=
@@ -798,6 +821,10 @@ object EventStreams {
   }
 
   private[graft] def e61sDrain(s: SparkSession, dir: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s, evSrc(dir)) { e61sDrainBody(s, dir, work) }
+
+  private def e61sDrainBody(s: SparkSession, dir: String,
       work: java.nio.file.Path): Unit = {
     val delta = eventsStreamBucketed(s, dir, nBuckets = 4)
       .where(col("ts") >=

@@ -195,6 +195,11 @@ object LexStreams {
   }
 
   private[graft] def drain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "documents.parquet")) { drainBody(s, d, work) }
+
+  private def drainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val segs = work.resolve("segs")
     val lens = work.resolve("lens")
@@ -609,6 +614,11 @@ object LexStreams {
   }
 
   private[graft] def cdcDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "documents.parquet")) { cdcDrainBody(s, d, work) }
+
+  private def cdcDrainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val trees = Seq("segs", "lens", "tombs").map(work.resolve)
     trees.foreach(java.nio.file.Files.createDirectories(_))
@@ -870,6 +880,11 @@ object LexStreams {
   }
 
   private[graft] def upsertDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "documents.parquet")) { upsertDrainBody(s, d, work) }
+
+  private def upsertDrainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val trees = Seq("segs", "lens", "tombs").map(work.resolve)
     trees.foreach(java.nio.file.Files.createDirectories(_))

@@ -163,7 +163,8 @@ object SnapshotFolds {
     // fresh fold per invocation (the e6s stance): a leftover checkpoint
     // would resume a finished stream and fold nothing
     DocStreams.deleteTree(work)
-    e72Drain(s, dir, work)
+    StreamTune.withDrainWidthFrom(s,
+      Paths.get(dir, "events.parquet")) { e72Drain(s, dir, work) }
     val state = s.read.parquet(graft.ops.EventOps.e63StateDir(dir))
     graft.ops.EventOps.e63Rollup(
         state.unionByName(readAtSnapshot(s, work.resolve("partials"), DeclaredSnap)))

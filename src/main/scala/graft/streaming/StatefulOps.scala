@@ -54,8 +54,11 @@ object StatefulOps {
     * streaming state converges to the batch answer once the source is
     * drained (the reference's resumed-scrape == full-scrape property). */
   def c4StatefulTotals(s: SparkSession, dir: String): DataFrame = {
-    val name = EventStreams.drainToTable(s, userRunningTotals(s, dir),
-      s"c4_state_${System.nanoTime()}", "update")
+    val name = StreamTune.withDrainWidthFrom(s,
+        java.nio.file.Paths.get(dir, "events.parquet")) {
+      EventStreams.drainToTable(s, userRunningTotals(s, dir),
+        s"c4_state_${System.nanoTime()}", "update")
+    }
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
     s.table(name)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
@@ -109,8 +112,11 @@ object StatefulOps {
     * shape — and the same DuckDB oracle — as the batch key e51: the
     * incremental path must converge to the full-history answer. */
   def e51sTransitionsStream(s: SparkSession, dir: String): DataFrame = {
-    val name = EventStreams.drainToTable(s, userTransitions(s, dir),
-      "e51s_trans_table", "append")
+    val name = StreamTune.withDrainWidthFrom(s,
+        java.nio.file.Paths.get(dir, "events.parquet")) {
+      EventStreams.drainToTable(s, userTransitions(s, dir),
+        "e51s_trans_table", "append")
+    }
     s.table(name)
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
       .withColumn("p_to", round(

@@ -142,6 +142,11 @@ object VecStreams {
       .parquet(work.resolve(s"folds/batch=$id").toString)
 
   private[graft] def e2fDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "embeddings.parquet")) { e2fDrainBody(s, d, work) }
+
+  private def e2fDrainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
     val foldRoot = work.resolve("folds")
@@ -533,6 +538,11 @@ object VecStreams {
   }
 
   private[graft] def cdcVecDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "embeddings.parquet")) { cdcVecDrainBody(s, d, work) }
+
+  private def cdcVecDrainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
     val trees = Seq("folds", "tombs").map(work.resolve)
@@ -730,6 +740,13 @@ object VecStreams {
   }
 
   private[graft] def upsertVecDrain(s: SparkSession, d: String,
+      work: java.nio.file.Path): Unit =
+    StreamTune.withDrainWidthFrom(s,
+      java.nio.file.Paths.get(d, "embeddings.parquet")) {
+      upsertVecDrainBody(s, d, work)
+    }
+
+  private def upsertVecDrainBody(s: SparkSession, d: String,
       work: java.nio.file.Path): Unit = {
     val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
     val trees = Seq("folds", "tombs").map(work.resolve)
