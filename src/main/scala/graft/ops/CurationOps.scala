@@ -1572,12 +1572,36 @@ object CurationOps {
         val pat = s"|$a||$b|"
         val rep = s"|${a}_$b|"
         // rows NOT containing the winner contribute zero delta — the
-        // pair recount explodes only the affected slice
-        val affected = cur.where(col("str").contains(pat))
-        val delta = pairsOf(affected.withColumn("str",
-            org.apache.spark.sql.functions.replace(col("str"), lit(pat), lit(rep))), 1)
-          .unionByName(pairsOf(affected, -1))
-        val pNext = p.unionByName(delta)
+        // pair recount explodes only the affected slice. Both signs come
+        // from ONE scan of that slice (r15 optimization round; was two
+        // pairsOf passes + their own groupBys): each affected row emits
+        // its OLD tokenization's pairs at −1 and its REWRITTEN ones at
+        // +1 in a single projection, and the raw ± rows feed straight
+        // into pNext's re-aggregation — one pass + one exchange per
+        // merge where the two-sided form paid two of each (the map-side
+        // partial agg bounds the exchange by distinct pairs exactly as
+        // the pre-aggregated deltas did).
+        def sp(w: org.apache.spark.sql.Column, sign: Long) =
+          when(size(w) > 1,
+            transform(sequence(lit(0), size(w) - 2),
+              i => struct(element_at(w, i + 1).as("a"),
+                element_at(w, i + 2).as("b"), lit(sign).as("n"))))
+            .otherwise(array().cast("array<struct<a:string,b:string,n:bigint>>"))
+        // two projections on purpose: the token arrays materialize once
+        // per row; inlining filter(split(...)) into every element_at
+        // would re-split the string per pair (the e47 CollapseProject
+        // lesson)
+        val signedDelta = cur.where(col("str").contains(pat))
+          .select(
+            filter(split(col("str"), "\\|\\|"),
+              t => length(t) > 0).as("wOld"),
+            filter(split(org.apache.spark.sql.functions.replace(
+                col("str"), lit(pat), lit(rep)), "\\|\\|"),
+              t => length(t) > 0).as("wNew"))
+          .select(explode(concat(
+            sp(col("wOld"), -1L), sp(col("wNew"), 1L))).as("q"))
+          .select(col("q.a").as("a"), col("q.b").as("b"), col("q.n").as("n"))
+        val pNext = p.unionByName(signedDelta)
           .groupBy("a", "b").agg(sum("n").as("n"))
           .where(col("n") =!= 0)
           .persist(StorageLevel.DISK_ONLY)
