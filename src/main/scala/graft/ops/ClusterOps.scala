@@ -429,61 +429,83 @@ object ClusterOps {
     val nodes = ev.select("node").distinct().persist(MEMORY_AND_DISK)
     val n = nodes.count() // O(|categories|) scalar, bounds every round
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
-    // per-edge probability: exact integer operands -> identical IEEE
-    // division on both engines; repartitioned once on the probe key so
-    // all six joins reuse the same layout
-    val probs = edges.join(outw, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("outw")).as("p"))
-      .repartition(col("src"))
-      .persist(MEMORY_AND_DISK)
-    probs.count() // settle, then release the upstream edge cache
-    edges.unpersist(blocking = false)
-    val srcNodes = probs.select("src").distinct().persist(MEMORY_AND_DISK)
-    val jump = BigDecimal(0.15 / n)
-      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val r0 = BigDecimal(1.0 / n)
-      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
-      .persist(MEMORY_AND_DISK)
-    var prev: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
-      // this round's dang scalar is the ONLY action per round (the e16
-      // loop convention) — it also materializes `ranks`' cache, after
-      // which the previous generation can be dropped; a dedicated
-      // count() per round doubled the loop's job count for nothing
-      val dang = ranks
-        .join(srcNodes, ranks("node") === srcNodes("src"), "left_anti")
-        .agg(round(coalesce(sum("rank"), lit(0.0)), 12).as("dang"))
-        .head().getDouble(0)
-      prev.foreach(_.unpersist(blocking = false))
-      val inMass = probs.join(ranks, probs("src") === ranks("node"))
-        .groupBy("dst")
-        .agg(round(sum(col("p") * col("rank")), 12).as("in_mass"))
-      val next = nodes
-        .join(inMass, nodes("node") === inMass("dst"), "left")
-        .select(col("node"),
-          round(lit(jump) + lit(0.85) *
-            (coalesce(col("in_mass"), lit(0.0)) + lit(dang) / n), 12)
-            .as("rank"))
+    // LOOP WIDTH sized to the GRAPH, not the corpus (the e16 loop
+    // discipline, applied here in the r15 optimization round): the six
+    // rounds join/aggregate O(|categories|)-row relations, so the
+    // session's corpus-sized shuffle width hands every tiny round 32+
+    // tasks of scheduling overhead per exchange; one partition per
+    // ~100k edges (the e16 constant), capped at the session width. AQE
+    // off INSIDE the loop only — its per-stage replanning adds latency
+    // to each round and the explicit width already encodes its
+    // coalescing decision. Both confs restored in the finally; the
+    // corpus-sized edge extraction above runs BEFORE the narrow scope.
+    val conf = s.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      // per-edge probability: exact integer operands -> identical IEEE
+      // division on both engines; repartitioned once on the probe key so
+      // all six joins reuse the same layout
+      val probs = edges.join(outw, "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("outw")).as("p"))
+        .repartition(col("src"))
         .persist(MEMORY_AND_DISK)
-      prev = Some(ranks)
-      ranks = next
+      val nEdges = probs.count() // settle, then release the upstream edge cache
+      edges.unpersist(blocking = false)
+      val loopParts =
+        math.max(1L, math.min(prevParts.toLong, nEdges / 100000L)).toInt
+      conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val srcNodes = probs.select("src").distinct().persist(MEMORY_AND_DISK)
+      val jump = BigDecimal(0.15 / n)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r0 = BigDecimal(1.0 / n)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+        .persist(MEMORY_AND_DISK)
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to iters) {
+        // this round's dang scalar is the ONLY action per round (the e16
+        // loop convention) — it also materializes `ranks`' cache, after
+        // which the previous generation can be dropped; a dedicated
+        // count() per round doubled the loop's job count for nothing
+        val dang = ranks
+          .join(srcNodes, ranks("node") === srcNodes("src"), "left_anti")
+          .agg(round(coalesce(sum("rank"), lit(0.0)), 12).as("dang"))
+          .head().getDouble(0)
+        prev.foreach(_.unpersist(blocking = false))
+        val inMass = probs.join(ranks, probs("src") === ranks("node"))
+          .groupBy("dst")
+          .agg(round(sum(col("p") * col("rank")), 12).as("in_mass"))
+        val next = nodes
+          .join(inMass, nodes("node") === inMass("dst"), "left")
+          .select(col("node"),
+            round(lit(jump) + lit(0.85) *
+              (coalesce(col("in_mass"), lit(0.0)) + lit(dang) / n), 12)
+              .as("rank"))
+          .persist(MEMORY_AND_DISK)
+        prev = Some(ranks)
+        ranks = next
+      }
+      val inDeg = probs.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+      val result = ranks
+        .join(inDeg, ranks("node") === inDeg("dst"), "left")
+        .select(col("node"), col("rank"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy("node")
+      // the rank vector is O(|categories|): materialize it, then RELEASE
+      // every cache the loop held — nodes, probs, srcNodes, the final two
+      // rank generations — so repeated invocations in a long-lived
+      // session don't accumulate cacheManager entries (r10 advice);
+      // stays lazy under the Plans dump so the loop's join/agg shape
+      // remains reviewable evidence
+      graft.Tables.materializeAndRelease(result,
+        (prev.toSeq :+ ranks :+ nodes :+ probs :+ srcNodes): _*)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    val inDeg = probs.groupBy("dst").agg(count(lit(1)).as("in_deg"))
-    val result = ranks
-      .join(inDeg, ranks("node") === inDeg("dst"), "left")
-      .select(col("node"), col("rank"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
-      .orderBy("node")
-    // the rank vector is O(|categories|): materialize it, then RELEASE
-    // every cache the loop held — nodes, probs, srcNodes, the final two
-    // rank generations — so repeated invocations in a long-lived
-    // session don't accumulate cacheManager entries (r10 advice);
-    // stays lazy under the Plans dump so the loop's join/agg shape
-    // remains reviewable evidence
-    graft.Tables.materializeAndRelease(result,
-      (prev.toSeq :+ ranks :+ nodes :+ probs :+ srcNodes): _*)
   }
 
   /** E67: cluster-aware train/val/test SPLIT — the assignment that makes
