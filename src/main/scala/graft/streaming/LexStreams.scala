@@ -581,10 +581,16 @@ object LexStreams {
     * replay, and an all-delete batch cannot leave schema-less dirs. */
   private[graft] def cdcFoldBatch(s: SparkSession, df: DataFrame, id: Long,
       work: java.nio.file.Path, baseRoot: String): Unit = {
+    // ONE bounded collect classifies the batch (r15 optimization round;
+    // was an isEmpty probe + a separate delete-id collect — two extra
+    // jobs per micro-batch): a CDC batch's keys are bounded by
+    // declaration, and only (doc_id, tombstone?) crosses the driver,
+    // never the text payload.
+    val keyed = df.select(col("doc_id"), col("text").isNull.as("del"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
     val ups = df.where(col("text").isNotNull)
-    if (!ups.isEmpty) foldBatch(ups, id, work)
-    val delIds = df.where(col("text").isNull)
-      .select("doc_id").collect().map(_.getLong(0)).sorted
+    if (keyed.exists(!_._2)) foldBatch(ups, id, work)
+    val delIds = keyed.collect { case (id0, true) => id0 }.sorted
     if (delIds.nonEmpty) {
       val lensDirs = foldDirs(work.resolve("lens"))
       val baseLens = s.read.parquet(s"$baseRoot/lens")
@@ -606,9 +612,14 @@ object LexStreams {
           bounded("doc_id") === t("t_doc") && bounded("ver") < t("upto"),
           "left_anti")
       }
+      // the live-prior relation is ≤ |delIds| rows by construction:
+      // collect once and write the local rows — the isEmpty-then-write
+      // form executed the whole bounded lookup twice per batch
       val rows = live.select(col("doc_id"), col("dl"), lit(id).as("upto"))
-      if (!rows.isEmpty)
-        rows.write.mode("overwrite")
+      val collected = rows.collect()
+      if (collected.nonEmpty)
+        s.createDataFrame(java.util.Arrays.asList(collected: _*), rows.schema)
+          .coalesce(1).write.mode("overwrite")
           .parquet(work.resolve(s"tombs/batch=$id").toString)
     }
   }
@@ -862,8 +873,13 @@ object LexStreams {
         .Window.partitionBy("doc_id").orderBy(col("ver").desc)))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("dl"), lit(id).as("upto"))
-    if (!latestPrior.isEmpty)
-      latestPrior.write.mode("overwrite")
+    // ≤ |ids| rows by construction: collect once and write the local
+    // rows (r15 optimization round — the isEmpty-then-write form
+    // executed the bounded prior lookup twice per batch)
+    val priors = latestPrior.collect()
+    if (priors.nonEmpty)
+      s.createDataFrame(java.util.Arrays.asList(priors: _*), latestPrior.schema)
+        .coalesce(1).write.mode("overwrite")
         .parquet(work.resolve(s"tombs/batch=$id").toString)
     val toks = graft.ops.SimOps.tokensArr
     val withLen = df.select(col("doc_id"), toks.as("w"))

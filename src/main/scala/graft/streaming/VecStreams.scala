@@ -528,13 +528,23 @@ object VecStreams {
     * nothing — deterministic under replay. */
   private[graft] def cdcVecFoldBatch(df: DataFrame, id: Long,
       cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit = {
-    val ups = df.where(col("embedding").isNotNull)
-    if (!ups.isEmpty) e2fFoldBatch(ups, id, cents, work)
-    val dels = df.where(col("embedding").isNull)
-      .select(col("vec_id"), lit(id).as("upto"))
-    if (!dels.isEmpty)
-      dels.write.mode("overwrite")
+    // ONE bounded collect classifies the batch (r15 optimization round;
+    // was two isEmpty probes — two extra jobs per micro-batch, one of
+    // which re-ran the delete projection for the write): CDC keys are
+    // bounded by declaration and only (vec_id, tombstone?) crosses the
+    // driver, never the embedding payload.
+    val keyed = df.select(col("vec_id"), col("embedding").isNull.as("del"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    if (keyed.exists(!_._2))
+      e2fFoldBatch(df.where(col("embedding").isNotNull), id, cents, work)
+    val delIds = keyed.collect { case (v, true) => v }.sorted
+    if (delIds.nonEmpty) {
+      val s = df.sparkSession
+      import s.implicits._
+      delIds.toSeq.map((_, id)).toDF("vec_id", "upto")
+        .coalesce(1).write.mode("overwrite")
         .parquet(work.resolve(s"tombs/batch=$id").toString)
+    }
   }
 
   private[graft] def cdcVecDrain(s: SparkSession, d: String,
