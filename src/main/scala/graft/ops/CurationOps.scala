@@ -799,8 +799,13 @@ object CurationOps {
     val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) > 0)
+    // persisted: dt feeds BOTH the LM build (uni) and the scoring join —
+    // without the cache the tokenize+explode+tf subtree (the corpus-
+    // sized work) executes twice under the one action that materializes
+    // `scored` (r15 optimization round); released below with `scored`
     val dt = docs.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = dt.groupBy("t").agg(sum(col("n")).as("c"))
     val tot = uni.agg(sum(col("c")).as("t_tot"), count(lit(1)).as("v"))
     // persisted: the per-doc score relation feeds BOTH the tercile
@@ -818,11 +823,12 @@ object CurationOps {
     val qs = scored.agg(
       round(percentile(col("nll"), lit(1.0 / 3)), 6).as("q33"),
       round(percentile(col("nll"), lit(2.0 / 3)), 6).as("q66"))
-    scored.crossJoin(broadcast(qs))
+    val out = scored.crossJoin(broadcast(qs))
       .withColumn("bucket", when(col("nll") <= col("q33"), "head")
         .when(col("nll") <= col("q66"), "middle").otherwise("tail"))
       .select("doc_id", "n_toks", "nll", "bucket")
       .orderBy("doc_id")
+    graft.Tables.materializeAndRelease(out, scored, dt)
   }
 
   /** E39: domain-level curation gate — per-source corpus hygiene stats
@@ -1155,11 +1161,16 @@ object CurationOps {
     val docs = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("lang"), toks.as("w"))
       .where(size(col("w")) > 0)
+    // persisted: the feature rows feed BOTH the bucket statistics and
+    // the per-doc weight join — without the cache the tokenize+bigram
+    // explode (the corpus-sized subtree) executes twice (the e8/e38
+    // WithCaches stance); released via materializeAndRelease below
     val feats = docs
       .select(col("doc_id"), col("lang"),
         explode(concat(col("w"), bigramsArr)).as("f"))
       .withColumn("b",
         conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % B)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass over the feature rows yields per-bucket raw AND target
     // counts; the grand totals are unpartitioned window sums over the
     // 1024-row bucket relation (constant-sized — the window is cheap
@@ -1173,15 +1184,19 @@ object CurationOps {
       .select(col("b"),
         log(((col("ct") + 1.0) / (col("tt") + B)) /
             ((col("cr") + 1.0) / (col("tr") + B))).as("lr"))
+    // the per-doc weight relation feeds the percentile cut AND the final
+    // rollup — doc-count-sized, cached so the weight join runs once
     val wts = feats.join(broadcast(lm), "b")
       .groupBy("doc_id", "lang").agg(round(avg("lr"), 6).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cut = wts.agg(round(percentile(col("w"), lit(0.8)), 6).as("cut"))
-    wts.crossJoin(broadcast(cut))
+    val out = wts.crossJoin(broadcast(cut))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"),
         round(avg("w"), 6).as("mean_w"),
         sum(when(col("w") >= col("cut"), 1L).otherwise(0L)).as("n_top"))
       .withColumn("top_share", round(col("n_top") / col("n_docs"), 6))
       .orderBy("lang")
+    graft.Tables.materializeAndRelease(out, feats, wts)
   }
 
   /** E45: n-gram NOVELTY scoring — per document, the fraction of its
