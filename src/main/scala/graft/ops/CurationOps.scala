@@ -546,8 +546,12 @@ object CurationOps {
     * the ROUNDED score then term, so engine and oracle agree exactly. */
   def e27TfidfTopk(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // persisted: tf feeds BOTH the df build and the scoring join —
+    // without the cache the tokenize+explode+tf subtree executes twice
+    // (r15 optimization round; the e38 pattern); released below
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
@@ -555,13 +559,14 @@ object CurationOps {
       .withColumn("tfidf", round(col("tf") *
         log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
       .select("doc_id", "term", "tf", "df", "tfidf")
-    graft.plans.TopKPerKey.topKPerKey(scored, 5,
+    val out = graft.plans.TopKPerKey.topKPerKey(scored, 5,
         keys = Seq("doc_id"), orderBy = Seq(("tfidf", false), ("term", true)))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
         col("tfidf"))
       .orderBy("doc_id", "rnk")
+    graft.Tables.materializeAndRelease(out, tf)
   }
 
   /** E35: BM25 top-k retrieval — per query, the 5 highest-BM25 documents
@@ -1217,9 +1222,13 @@ object CurationOps {
     * agg'd counts. No self-join, no pair explosion — novelty needs df,
     * not pairs. */
   def e45Novelty(s: SparkSession, d: String): DataFrame = {
+    // persisted: the shingle rows feed BOTH the df build and the
+    // novelty join — without the cache the corpus shingles twice
+    // (r15 optimization round; the e38/e27 pattern); released below
     val sh = SimOps.shingleRows(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
+    val out = sh.join(dfreq, "sh")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -1229,6 +1238,7 @@ object CurationOps {
         sum(when(col("novelty") === 1.0, 1L).otherwise(0L)).as("n_fully_novel"),
         sum("n_shingles").as("n_shingles"), sum("n_unique").as("n_unique"))
       .orderBy("source")
+    graft.Tables.materializeAndRelease(out, sh)
   }
 
   /** e47: intra-document repeated-span statistics — the C4/RefinedWeb
