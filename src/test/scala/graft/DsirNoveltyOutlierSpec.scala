@@ -42,9 +42,15 @@ class DsirNoveltyOutlierSpec extends AnyFunSuite {
   }
 
   test("e44 LM side broadcasts — scoring joins carry no corpus-keyed exchange") {
-    val p = plan(CurationOps.e44DsirWeights(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      "the 1024-bucket log-ratio relation must broadcast onto the feature rows")
+    // keepLazyForPlans: e44 materializes-and-releases its feature cache
+    // (r15), which would otherwise collapse the plan to a checkpoint
+    // stub (the e39/e70 spec convention)
+    Tables.keepLazyForPlans = true
+    try {
+      val p = plan(CurationOps.e44DsirWeights(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        "the 1024-bucket log-ratio relation must broadcast onto the feature rows")
+    } finally Tables.keepLazyForPlans = false
   }
 
   test("e45 novelty is a valid fraction and sums are consistent") {
