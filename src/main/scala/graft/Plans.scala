@@ -88,6 +88,13 @@ object Plans {
       // streaming-drain and iterative queries execute on construction and
       // report their final batch plan like any other
       try {
+        // per-key cache isolation (the Verify/Bench contract): under
+        // keepLazyForPlans a key's materializeAndRelease never runs, so
+        // its persisted sub-relations stay registered and a LATER key
+        // sharing the same canonical subtree (e45's shingle rows inside
+        // e56) would dump a plan routed through the earlier key's cache
+        // instead of its own standalone shape
+        spark.catalog.clearCache()
         val df = fn(spark, sfDir)
         Files.writeString(Paths.get(s"$outDir/$name.txt"),
           canonicalize(df.queryExecution.explainString(
