@@ -68,11 +68,13 @@ object ClusterOps {
     * checkpoint + count). Iterations are hard-capped at [[MaxCcIters]]
     * with a loud failure. At 100 TB the same loop runs unchanged —
     * state is two (node, label) columns, each step shuffles by node id,
-    * and state is RELIABLY checkpointed every 3rd round (see
-    * [[ensureCheckpointDir]]; rounds in between persist to cache rooted
-    * at the last snapshot) so executor loss mid-loop replays at most two
-    * cached rounds — the per-round durable write was the dominant
-    * decade-2 cost, not the propagation itself. */
+    * and state is RELIABLY checkpointed on a SCALE-ADAPTIVE cadence
+    * (see the ckptEvery derivation in [[componentsWithStats]]: every
+    * round at loop width 1 where a KB-sized snapshot is free and keeps
+    * each round's plan leaf-rooted, every 3rd round on wide graphs
+    * where the per-round durable write was the dominant decade-2 cost;
+    * rounds in between persist to cache rooted at the last snapshot, so
+    * executor loss mid-loop replays at most two cached rounds). */
   def e16DedupClusters(s: SparkSession, d: String): DataFrame =
     e16WithStats(s, d)._1
 
@@ -168,17 +170,34 @@ object ClusterOps {
       math.max(1L, math.min(prevParts.toLong, nEdges / 100000L)).toInt
     var edgesLoop: DataFrame = null
     var converged = false
-    // Durable-checkpoint CADENCE (the r5→r6 slope fix): writing every
-    // round's full label set to checkpoint files was the dominant
-    // decade-2 cost (e16 sf10a 39.8 s, worst scaler in the suite, and
-    // the writes grow with the graph). Rounds between checkpoints now
-    // persist their state in memory/disk cache instead — recompute on
-    // executor loss replays at most CkptEvery-1 cached rounds from the
-    // last durable snapshot, and the analyzer still sees a plan at most
-    // CkptEvery rounds deep. The convergence count keeps riding the
-    // round's single action either way (checkpoint, or a noop-sink
-    // write that materializes the cache).
-    val CkptEvery = 3
+    // Durable-checkpoint CADENCE, scale-adaptive (r16; r5→r6 measured
+    // the large-graph side, r16 measured the small-graph side):
+    //
+    //  - LARGE graphs (loopParts > 1): writing every round's full label
+    //    set to checkpoint files was the dominant decade-2 cost (e16
+    //    sf10a 39.8 s, worst scaler in the suite — the writes grow with
+    //    the graph), so rounds between checkpoints persist to
+    //    memory/disk cache and executor loss replays at most
+    //    CkptEveryWide-1 cached rounds from the last durable snapshot.
+    //  - SMALL graphs (loopParts == 1, i.e. < ~100k edges): the r16
+    //    profile showed the cached rounds do NOT chain through the
+    //    cache — each cache round's registered plan INLINES the prior
+    //    round's physical plan ~3× (CacheManager substitution misses the
+    //    nested round subtree; cachedPlan node counts 29 → 85 → 259
+    //    across one cadence window), so per-round cost DOUBLES with
+    //    depth since the last snapshot (measured act seconds 0.15 /
+    //    0.32 / 0.97) while a reliable checkpoint of the KB-sized label
+    //    set costs ~0.04 s and keeps every round leaf-rooted. Cadence 1
+    //    measured the e16 loop 2.7 → 1.7 s at sf0.1 with flat ~0.15 s
+    //    rounds.
+    //
+    // The convergence count keeps riding the round's single action
+    // either way (checkpoint, or a noop-sink write that materializes
+    // the cache). Overridable for the cadence spec via the
+    // graft.e16.ckptEvery system property.
+    val CkptEveryWide = 3
+    val ckptEvery = sys.props.get("graft.e16.ckptEvery").map(_.toInt)
+      .getOrElse(if (loopParts == 1) 1 else CkptEveryWide)
     var heldCaches: List[DataFrame] = Nil // persisted rounds since last snapshot
     var lastCkpt: Seq[String] = Seq.empty // current durable snapshot's files
     var snapshots = 0 // durable label writes (the cadence the spec pins)
@@ -205,7 +224,7 @@ object ClusterOps {
       lastCkpt = checkpointFiles(labels)
       var frontier = labels
       changed = obsChanged(obs0)
-    // Round state: every CkptEvery-th round goes through a RELIABLE
+    // Round state: every ckptEvery-th round goes through a RELIABLE
     // checkpoint (durable files — executor loss recovers, the reason
     // localCheckpoint was dropped — and a truncated logical plan);
     // rounds in between persist to memory/disk cache, materialized by a
@@ -246,7 +265,8 @@ object ClusterOps {
         heldCaches = nextCache :: heldCaches
         val observed = nextCache.observe(obs,
           sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        if ((iter + 1) % CkptEvery == 0) {
+        val tAct0 = System.nanoTime()
+        if ((iter + 1) % ckptEvery == 0) {
           val next = observed.checkpoint()
           snapshots += 1
           frontier = next.where(col("lbl") =!= col("old")).select("node", "lbl")
@@ -269,10 +289,12 @@ object ClusterOps {
           frontier = nextCache.where(col("lbl") =!= col("old")).select("node", "lbl")
           labels = nextCache.drop("old") // nextCache already in heldCaches
         }
+        val tAct1 = System.nanoTime()
         changed = obsChanged(obs) // reported by the round's action above
         iter += 1
         if (sys.env.contains("GRAFT_E16_DEBUG"))
-          System.err.println(s"[e16] round $iter changed=$changed")
+          System.err.println(f"[e16] round $iter changed=$changed " +
+            f"act=${(tAct1 - tAct0) / 1e9}%.3f obs=${(System.nanoTime() - tAct1) / 1e9}%.3f")
       }
       // diameter-bound exceeded: labels would be silently wrong vs the
       // exact recursive-CTE oracle — fail loudly instead (inside the try

@@ -19,8 +19,9 @@ import org.apache.spark.sql.SparkSession
   * whose per-interval state outgrows its executors.
   *
   * The drain width is therefore derived from the landing's size:
-  * `ceil(bytes / SPARK_GRAFT_STREAM_PART_BYTES)` (default 32 MiB per
-  * partition) clamped to [1, session width]. Local fixtures (≤ 2 MB)
+  * `ceil(bytes / SPARK_GRAFT_STREAM_PART_BYTES)` (default 512 KiB of
+  * compressed landing per partition — [[DefaultPartBytes]], the
+  * measured knee; see its scaladoc) clamped to [1, session width]. Local fixtures (≤ 2 MB)
   * get width 1 — the honest width for kilobytes of state; a landing
   * grows its width linearly until the session's own configuration caps
   * it, so a cluster session never narrows below what its operator

@@ -65,25 +65,40 @@ class DedupClusterSpec extends AnyFunSuite {
       // pure propagation needs 10 rounds on a diameter-9 chain (9 hops
       // + 1 convergence confirmation); halving closes distance ~2^r
       assert(rounds <= 6, s"expected ≤6 halving rounds, got $rounds")
-      // budget: a cache round is 1 driver action = 1 Spark job (the
-      // noop-sink write that materializes the persisted state); every
-      // 3rd round checkpoints instead (2 jobs: materialize + write), as
-      // does the terminal snapshot; the AQE-planned edge build outside
-      // the loop contributes ~28 more (one job per query stage).
-      // Measured 40 total at 5 rounds — the bound sits just above, so
-      // reintroducing a per-round convergence job (+1 job/round, the r3
-      // loop shape) OR reverting to per-round checkpoints trips it.
-      val budget = rounds + rounds / 3 + 36
+      // budget: this tiny graph runs at loop width 1, where the r16
+      // scale-adaptive cadence checkpoints EVERY round (a KB-sized
+      // durable write is ~free and keeps each round's plan leaf-rooted —
+      // the chained persists were measured re-inlining the prior round's
+      // plan ~3× per cache round). One round = one checkpoint action
+      // (≤2 jobs: materialize + checkpoint write); the AQE-planned edge
+      // build outside the loop contributes ~28 more (one job per query
+      // stage). Reintroducing a separate per-round convergence job (the
+      // r3 loop shape, +1 job/round) trips the bound.
+      val budget = 2 * rounds + 36
       assert(jobs <= budget, s"expected ≤$budget jobs for $rounds rounds, got $jobs")
-      // durable-write cadence (the r6 slope fix): label snapshots land
-      // every 3rd round plus init and the terminal one — NOT every round
-      // (the r5 shape, whose checkpoint I/O drove e16's worst-in-suite
-      // 5.8× decade-2 slope). rounds+1 writes means the cadence was
-      // silently reverted.
+      // width-1 cadence: init + one snapshot per round, no terminal
+      // (convergence lands on a checkpoint round by construction)
+      assert(snapshots <= rounds + 1,
+        s"expected ≤${rounds + 1} durable label writes for $rounds rounds, got $snapshots")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("wide-graph checkpoint cadence stays every-3rd-round (the r6 slope fix)") {
+    // the tiny fixture runs at width 1 where the r16 cadence is 1; the
+    // WIDE regime (loopParts > 1) must keep the r5→r6 fix — durable
+    // label snapshots every 3rd round, NOT every round, because the
+    // per-round checkpoint I/O grows with the graph (e16 sf10a 39.8 s).
+    // Pin it through the explicit override the derivation honors.
+    System.setProperty("graft.e16.ckptEvery", "3")
+    try {
+      val (df, rounds, snapshots) = ClusterOps.e16WithStats(spark, fixtureDir)
+      df.write.format("noop").mode("overwrite").save()
+      // snapshots: init + every 3rd round + possibly a terminal one —
+      // rounds+1 writes means the cadence override was ignored
       val maxSnaps = rounds / 3 + 3
       assert(snapshots <= maxSnaps && snapshots < rounds + 1,
         s"expected ≤$maxSnaps durable label writes for $rounds rounds, got $snapshots")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally System.clearProperty("graft.e16.ckptEvery")
   }
 
   test("a failed (non-converged) run leaks no checkpoint snapshots") {
