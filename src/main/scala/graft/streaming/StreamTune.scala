@@ -86,14 +86,28 @@ object StreamTune {
     * queries) with the shuffle width sized to `bytes`; the session's
     * configured width is restored on every exit path. The conf must be
     * set BEFORE `start()` — a streaming query clones the session at
-    * start and plans every micro-batch against that clone. */
+    * start and plans every micro-batch against that clone.
+    *
+    * At width 1 — the tiny-landing regime — AQE is additionally
+    * disabled for the drain's duration (r16; the e16 loop-width
+    * precedent): streaming plans disable it themselves, but foreachBatch
+    * bodies run BATCH jobs, where AQE splits each single-partition
+    * write/lookup into one job per query stage plus a replanning pass —
+    * pure per-trigger overhead when every relation in flight is a few
+    * KB. A landing big enough for width > 1 keeps AQE: its coalescing
+    * and skew handling are exactly what a real ingest wants. */
   private[graft] def withDrainWidth[T](s: SparkSession, bytes: Long)(body: => T): T = {
     val conf = s.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions",
-      widthFor(bytes, prev.toInt).toString)
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val width = widthFor(bytes, prev.toInt)
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    if (width == 1) conf.set("spark.sql.adaptive.enabled", "false")
     try body
-    finally conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      conf.set("spark.sql.shuffle.partitions", prev)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** [[withDrainWidth]] sized from the source files a drain replays. */

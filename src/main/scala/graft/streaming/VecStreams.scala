@@ -459,6 +459,13 @@ object VecStreams {
   private[graft] def vecTombPred(id: org.apache.spark.sql.Column) =
     id % LexStreams.TombMod === LexStreams.TombRes && id < LexStreams.TombBound
 
+  /** Landing of the CDC vector stream — shared by the stager and the
+    * drain's bounded-batch guard. */
+  private[graft] def vecCdcLanding(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
+      "stream-vecs-cdc", graft.util.PathKeys.keyedName(dir) + "-4")
+
   /** CDC staging: the 4 arrival buckets plus 2 DELETE buckets (key
     * present, embedding NULL — the CDC delete record), split by
     * vec_id < 24 / ≥ 24 so deletes land as batches 4 and 5 and a
@@ -469,9 +476,7 @@ object VecStreams {
     import scala.util.Using
     val nArr = 4
     val src = Paths.get(dir, "embeddings.parquet")
-    val landing = Paths.get(
-      sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
-      "stream-vecs-cdc", graft.util.PathKeys.keyedName(dir) + s"-$nArr")
+    val landing = vecCdcLanding(dir)
     synchronized {
       val marker = landing.resolve("_STAGED")
       val sig = s"c1:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
@@ -527,23 +532,40 @@ object VecStreams {
     * (pre-upto trees normalize to +∞ at read). Empty sides write
     * nothing — deterministic under replay. */
   private[graft] def cdcVecFoldBatch(df: DataFrame, id: Long,
-      cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path): Unit = {
-    // ONE bounded collect classifies the batch (r15 optimization round;
-    // was two isEmpty probes — two extra jobs per micro-batch, one of
-    // which re-ran the delete projection for the write): CDC keys are
-    // bounded by declaration and only (vec_id, tombstone?) crosses the
-    // driver, never the embedding payload.
-    val keyed = df.select(col("vec_id"), col("embedding").isNull.as("del"))
-      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
-    if (keyed.exists(!_._2))
-      e2fFoldBatch(df.where(col("embedding").isNotNull), id, cents, work)
-    val delIds = keyed.collect { case (v, true) => v }.sorted
-    if (delIds.nonEmpty) {
-      val s = df.sparkSession
-      import s.implicits._
-      delIds.toSeq.map((_, id)).toDF("vec_id", "upto")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(work.resolve(s"tombs/batch=$id").toString)
+      cents: Seq[(Int, Seq[Double])], work: java.nio.file.Path,
+      bounded: Boolean = true): Unit = {
+    if (bounded) {
+      // ONE bounded collect classifies the batch (r15 optimization
+      // round; was two isEmpty probes — two extra jobs per micro-batch,
+      // one of which re-ran the delete projection for the write): CDC
+      // keys are bounded by declaration (enforced by the landing-bytes
+      // guard since r16) and only (vec_id, tombstone?) crosses the
+      // driver, never the embedding payload.
+      val keyed = df.select(col("vec_id"), col("embedding").isNull.as("del"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      if (keyed.exists(!_._2))
+        e2fFoldBatch(df.where(col("embedding").isNotNull), id, cents, work)
+      val delIds = keyed.collect { case (v, true) => v }.sorted
+      if (delIds.nonEmpty) {
+        val s = df.sparkSession
+        import s.implicits._
+        delIds.toSeq.map((_, id)).toDF("vec_id", "upto")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(work.resolve(s"tombs/batch=$id").toString)
+      }
+    } else {
+      // DISTRIBUTED FALLBACK (r15 verdict ask #5): no driver collect —
+      // isEmpty classification probes and a distributed tombstone write
+      // (the pre-r15 shape: two extra jobs per trigger, paid only on
+      // batches too large to collect). Row-identical to the bounded
+      // path (spec-pinned).
+      val ups = df.where(col("embedding").isNotNull)
+      if (!ups.isEmpty) e2fFoldBatch(ups, id, cents, work)
+      val dels = df.where(col("embedding").isNull)
+        .select(col("vec_id"), lit(id).as("upto"))
+      if (!dels.isEmpty)
+        dels.coalesce(1).write.mode("overwrite")
+          .parquet(work.resolve(s"tombs/batch=$id").toString)
     }
   }
 
@@ -557,6 +579,7 @@ object VecStreams {
     val cents = IvfServe.centroidsAt(s, foldBaseDir(d))
     val trees = Seq("folds", "tombs").map(work.resolve)
     trees.foreach(java.nio.file.Files.createDirectories(_))
+    val bounded = LexStreams.boundedLanding(vecCdcLanding(d))
     val q = cdcVecStream(s, d)
       .writeStream
       .foreachBatch { (df: DataFrame, id: Long) =>
@@ -564,7 +587,7 @@ object VecStreams {
           EventStreams.maybeCompactFolds(s, t, id, df => df,
             spare = SnapshotFolds.retainedRefs(t))
         }
-        cdcVecFoldBatch(df, id, cents, work)
+        cdcVecFoldBatch(df, id, cents, work, bounded)
         trees.foreach(SnapshotFolds.writeManifest(_, id))
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)

@@ -239,6 +239,35 @@ class E2fStreamSpec extends AnyFunSuite {
     } finally graft.streaming.DocStreams.deleteTree(work)
   }
 
+  test("e2d: the unbounded-batch fallback is row-identical to the bounded path") {
+    // the landing-bytes guard (r15 verdict ask #5) on the vector CDC
+    // fold: oversized batches classify via isEmpty probes and write
+    // tombstones distributed — same rows as the bounded collect path
+    val cs = cents()
+    val (wA, wB) = (freshWork(), freshWork())
+    try {
+      import spark.implicits._
+      val del = Seq((3L, null.asInstanceOf[Array[Float]], null.asInstanceOf[java.lang.Integer]))
+        .toDF("vec_id", "embedding", "label")
+      for ((w, b) <- Seq((wA, true), (wB, false))) {
+        VecStreams.cdcVecFoldBatch(arrivals(), 0L, cs, w, bounded = b)
+        VecStreams.cdcVecFoldBatch(del, 1L, cs, w, bounded = b)
+      }
+      def probed(w: java.nio.file.Path) = {
+        def dirs(t: String) = EventStreams.foldDirsToRead(w.resolve(t))
+        SimOps.topK(VecStreams.tombCandidatesWithDirs(
+            spark, sf, dirs("folds"), dirs("tombs")), 3)
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(probed(wA) == probed(wB), "cdcVecFoldBatch fallback diverged")
+      def tombs(w: java.nio.file.Path) = spark.read
+        .parquet(w.resolve("tombs/batch=1").toString)
+        .collect().map(_.toSeq).toSet
+      assert(tombs(wA) == tombs(wB), "vec tombstone rows diverged")
+    } finally { graft.streaming.DocStreams.deleteTree(wA)
+      graft.streaming.DocStreams.deleteTree(wB) }
+  }
+
   test("e2u: an upsert supersedes the prior version — the new vector serves, the old never does") {
     val cs = cents()
     val work = freshWork()

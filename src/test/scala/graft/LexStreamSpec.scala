@@ -491,4 +491,68 @@ class LexStreamSpec extends AnyFunSuite {
     assert(st.getLong(0) == nAll,
       s"upserts replace, never add: merged n_docs ${st.getLong(0)} vs $nAll")
   }
+
+  test("unbounded-batch fallback paths are row-identical to the bounded forms") {
+    // the landing-bytes guard (r15 verdict ask #5) routes oversized CDC
+    // batches onto fully distributed forms (no driver collect); this
+    // pins fallback ≡ bounded on every fold verb — fold, CDC delete,
+    // upsert — by comparing the probes over the resulting fold trees.
+    LexStreams.ensureFoldBase(spark, sf)
+    val root = LexStreams.foldBaseDir(sf)
+    def probeRows(work: java.nio.file.Path): Seq[Seq[Any]] =
+      LexStreams.upsertProbe(spark, sf, work).collect().map(_.toSeq).toSeq
+    // 1. the driver-rows lens fold (the bounded fast path's write)
+    //    must be row-identical to the distributed lens write
+    val (wA, wB) = (freshWork(), freshWork())
+    try {
+      val rows = arrivals()
+        .select(col("doc_id"), size(graft.ops.SimOps.tokensArr).as("dl"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      LexStreams.foldBatch(arrivals(), 0L, wA, lensRows = Some(rows))
+      LexStreams.foldBatch(arrivals(), 0L, wB)
+      assert(probeRows(wA) == probeRows(wB), "foldBatch lens paths diverged")
+      def lens(w: java.nio.file.Path) = spark.read
+        .parquet(w.resolve("lens/batch=0").toString)
+        .collect().map(_.toSeq).toSet
+      assert(lens(wA) == lens(wB), "lens fold rows diverged")
+    } finally { graft.streaming.DocStreams.deleteTree(wA)
+      graft.streaming.DocStreams.deleteTree(wB) }
+    // 2. CDC delete verb (e35d's): arrivals then a delete batch
+    import spark.implicits._
+    val del = Seq((3L, null: String, null: String, null: String, null: java.lang.Long))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").cast("long"))
+    val (wC, wD) = (freshWork(), freshWork())
+    try {
+      LexStreams.cdcFoldBatch(spark, arrivals(), 0L, wC, root, bounded = true)
+      LexStreams.cdcFoldBatch(spark, del, 1L, wC, root, bounded = true)
+      LexStreams.cdcFoldBatch(spark, arrivals(), 0L, wD, root, bounded = false)
+      LexStreams.cdcFoldBatch(spark, del, 1L, wD, root, bounded = false)
+      assert(LexStreams.tombProbe(spark, sf, wC).collect().map(_.toSeq).toSeq ==
+        LexStreams.tombProbe(spark, sf, wD).collect().map(_.toSeq).toSeq,
+        "cdcFoldBatch fallback diverged")
+      def tombs(w: java.nio.file.Path) = spark.read
+        .parquet(w.resolve("tombs/batch=1").toString)
+        .collect().map(_.toSeq).toSet
+      assert(tombs(wC) == tombs(wD), "tombstone fold rows diverged")
+    } finally { graft.streaming.DocStreams.deleteTree(wC)
+      graft.streaming.DocStreams.deleteTree(wD) }
+    // 3. upsert verb (e35u's): arrivals then a re-arrival of doc 9
+    val upd = Tables.documents(spark, sf).where(col("doc_id") === 9L)
+      .withColumn("text", LexStreams.updatedText(col("text")))
+    val (wE, wF) = (freshWork(), freshWork())
+    try {
+      LexStreams.upsertFoldBatch(spark, arrivals(), 0L, wE, root, bounded = true)
+      LexStreams.upsertFoldBatch(spark, upd, 1L, wE, root, bounded = true)
+      LexStreams.upsertFoldBatch(spark, arrivals(), 0L, wF, root, bounded = false)
+      LexStreams.upsertFoldBatch(spark, upd, 1L, wF, root, bounded = false)
+      assert(probeRows(wE) == probeRows(wF), "upsertFoldBatch fallback diverged")
+      def tombs(w: java.nio.file.Path) = spark.read
+        .parquet(w.resolve("tombs/batch=1").toString)
+        .collect().map(_.toSeq).toSet
+      assert(tombs(wE) == tombs(wF), "upsert tombstone rows diverged")
+    } finally { graft.streaming.DocStreams.deleteTree(wE)
+      graft.streaming.DocStreams.deleteTree(wF) }
+  }
 }
