@@ -69,10 +69,13 @@ object KeyProbe {
         s"triggers=${graft.streaming.StreamBusy.batchCount} jobs=${jobs.size()} ===")
       import scala.jdk.CollectionConverters._
       val recs = order.asScala.toSeq.distinct.flatMap(id => Option(jobs.get(id)))
+      var prevEnd = -1L
       for (r <- recs) {
         val secs = if (r.end < 0) -1.0 else (r.end - r.start) / 1e3
-        println(f"job ${r.id}%4d ${secs}%8.3f s stages=${r.stages}%2d " +
-          f"tasks=${r.tasks}%4d  ${r.desc.take(110)}")
+        val gap = if (prevEnd < 0) 0.0 else (r.start - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, r.end)
+        println(f"job ${r.id}%4d ${secs}%8.3f s gap=${gap}%6.3f stages=${r.stages}%2d " +
+          f"tasks=${r.tasks}%4d  ${r.desc.take(100)}")
       }
       // top-line summary by description prefix
       val byDesc = recs.groupBy(_.desc.split(":").headOption.getOrElse(""))

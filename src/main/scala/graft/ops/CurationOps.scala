@@ -1551,16 +1551,14 @@ object CurationOps {
       .select(col("doc_id"),
         concat(lit("||"), concat_ws("||", col("w")), lit("||")).as("str"))
 
-    val nDocs = base.agg(count(lit(1))).head().getLong(0)
-
-    /** Signed adjacent-pair counts of a corpus slice (partial-agg'd —
-      * the map-side combine keeps the exchange bounded by the slice's
-      * distinct pairs, not its occurrences). */
-    def pairsOf(df: DataFrame, sign: Int): DataFrame = df
-      .select(filter(split(col("str"), "\\|\\|"), t => length(t) > 0).as("w"))
-      .select(explode(skipPairs(1)).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg((count(lit(1)) * sign).as("n"))
+    /** Signed adjacent-pair counts of a (strOld, strNew) slice — both
+      * signs from ONE scan (r15): old pairs at −1, rewritten at +1. */
+    def sp(w: org.apache.spark.sql.Column, sign: Long) =
+      when(size(w) > 1,
+        transform(sequence(lit(0), size(w) - 2),
+          i => struct(element_at(w, i + 1).as("a"),
+            element_at(w, i + 2).as("b"), lit(sign).as("n"))))
+        .otherwise(array().cast("array<struct<a:string,b:string,n:bigint>>"))
 
     /** Stats straight off the pair STATE — no corpus pass: best pair
       * (max n, ties lexicographic), live vocabulary, total occurrences. */
@@ -1576,80 +1574,145 @@ object CurationOps {
         r.getLong(1), r.getLong(2))
     }
 
-    var cur = base.persist(StorageLevel.DISK_ONLY)
-    var p = pairsOf(cur, 1).persist(StorageLevel.DISK_ONLY)
-    // DEPTH-2 rotation: the stats agg on P_k materializes delta(cur_{k-1})
-    // — which is the moment cur_{k-1} itself first computes, from
-    // cur_{k-2}. So generation k-2 must still be persisted at that
-    // point; only AFTER the stats call is it safe to drop. A depth-1
-    // rotation (e48b's — safe there because its full recount
-    // materializes every corpus generation the moment it is created)
-    // would silently re-derive the replace chain from scan.
-    val live = scala.collection.mutable.Queue.empty[DataFrame]
+    // FRAGMENT LAYOUT (r16, verdict ask #7 — the per-merge corpus
+    // rewrite dominated e48c): the working corpus lives as LOCALLY
+    // CHECKPOINTED FRAGMENTS instead of a cached generation rewritten
+    // wholesale every merge. Fragment 0 is the filtered base corpus,
+    // materialized once; merge k materializes ONLY its affected rows
+    // (those containing the adopted pair), carrying BOTH the old and
+    // the rewritten string from one projection, so the signed delta
+    // reads the affected slice back instead of re-scanning the corpus.
+    // The live corpus at merge k is base ∪ fragments, each filtered by
+    // NOT-contains of every LATER adopted pattern — correct because a
+    // row a pattern never matched is bit-unchanged by that merge, so
+    // testing subsequent patterns against its stored string is exact.
+    //
+    // Why localCheckpoint and not persist or parquet scratch (all three
+    // were measured this round): persist chains re-inline the parent
+    // cache on every registration (the e16 cache-on-cache pathology —
+    // stage counts grew 3 → 9 across the 8 merges, each argmax
+    // re-deriving every delta), and a parquet scratch layout paid two
+    // file-commit protocols plus a listing per merge (~4.5 s of driver
+    // time — 8 s wall against 3.5 s of job time). localCheckpoint
+    // truncates every lineage to a leaf RDD with zero commit/list cost.
+    // Fault posture: an executor loss mid-loop fails the query (blocks
+    // are not durable) — acceptable for the delta trainer, whose
+    // production form would interleave reliable checkpoints on the e16
+    // cadence; e48b keeps the recoverable lineage-backed rotation.
+    //
+    // Per-merge I/O: ~1 corpus read + O(affected) block write, where
+    // the old rotation paid ~2 corpus reads + a full corpus cache
+    // write — and the affected fraction SHRINKS as merges adopt rarer
+    // pairs, which is where a 32k-merge production run lives.
+    val frag0 = base.localCheckpoint(true)
+    val nDocs = frag0.count()
+    var p = frag0
+      .select(filter(split(col("str"), "\\|\\|"), t => length(t) > 0).as("w"))
+      .select(explode(skipPairs(1)).as("q"))
+      .groupBy(col("q.a").as("a"), col("q.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val fragments = scala.collection.mutable.ArrayBuffer(frag0)
+    // patterns adopted AFTER fragment k was materialized — the
+    // fragment's live filter (index 0 = base)
+    val laterPats = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
     val adopted = Seq.newBuilder[(Int, String, String, Long, Long)]
     val occs = Seq.newBuilder[Long]
-    for (k <- 1 to merges + 1) {
-      val (a, b, nOcc, vocab, occ) = pairStats(p)
-      while (live.size > 2) { live.dequeue().unpersist() }
-      occs += occ
-      if (k <= merges) {
-        adopted += ((k, a, b, nOcc, vocab))
-        val pat = s"|$a||$b|"
-        val rep = s"|${a}_$b|"
-        // rows NOT containing the winner contribute zero delta — the
-        // pair recount explodes only the affected slice. Both signs come
-        // from ONE scan of that slice (r15 optimization round; was two
-        // pairsOf passes + their own groupBys): each affected row emits
-        // its OLD tokenization's pairs at −1 and its REWRITTEN ones at
-        // +1 in a single projection, and the raw ± rows feed straight
-        // into pNext's re-aggregation — one pass + one exchange per
-        // merge where the two-sided form paid two of each (the map-side
-        // partial agg bounds the exchange by distinct pairs exactly as
-        // the pre-aggregated deltas did).
-        def sp(w: org.apache.spark.sql.Column, sign: Long) =
-          when(size(w) > 1,
-            transform(sequence(lit(0), size(w) - 2),
-              i => struct(element_at(w, i + 1).as("a"),
-                element_at(w, i + 2).as("b"), lit(sign).as("n"))))
-            .otherwise(array().cast("array<struct<a:string,b:string,n:bigint>>"))
-        // two projections on purpose: the token arrays materialize once
-        // per row; inlining filter(split(...)) into every element_at
-        // would re-split the string per pair (the e47 CollapseProject
-        // lesson)
-        val signedDelta = cur.where(col("str").contains(pat))
-          .select(
-            filter(split(col("str"), "\\|\\|"),
-              t => length(t) > 0).as("wOld"),
-            filter(split(org.apache.spark.sql.functions.replace(
-                col("str"), lit(pat), lit(rep)), "\\|\\|"),
-              t => length(t) > 0).as("wNew"))
-          .select(explode(concat(
-            sp(col("wOld"), -1L), sp(col("wNew"), 1L))).as("q"))
-          .select(col("q.a").as("a"), col("q.b").as("b"), col("q.n").as("n"))
-        val pNext = p.unionByName(signedDelta)
-          .groupBy("a", "b").agg(sum("n").as("n"))
-          .where(col("n") =!= 0)
-          .persist(StorageLevel.DISK_ONLY)
-        val curNext = cur
-          .withColumn("str", org.apache.spark.sql.functions.replace(col("str"),
-            lit(pat), lit(rep)))
-          .persist(StorageLevel.DISK_ONLY)
-        live.enqueue(cur); live.enqueue(p)
-        cur = curNext; p = pNext
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // The merge LOOP runs at pair-state width with AQE off (the
+    // e16/e64 loop discipline): the only shuffles inside are the
+    // |P|-bounded pair-state fold and the affected-rows sizing
+    // exchange — at session width each tiny round would pay 32-task
+    // scheduling, and AQE splits every action into one job per stage
+    // plus a replanning pass (measured 6 jobs/merge → 3). Width is
+    // derived from the pair state's own row count, not a host
+    // constant; both confs are restored in the finally.
+    val conf = s.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val pWidth = math.max(1L, math.min(prevParts.toLong,
+      p.count() / 100000L)).toInt
+    try {
+      conf.set("spark.sql.shuffle.partitions", pWidth.toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      for (k <- 1 to merges + 1) {
+        val (a, b, nOcc, vocab, occ) = pairStats(p)
+        occs += occ
+        if (k <= merges) {
+          adopted += ((k, a, b, nOcc, vocab))
+          val pat = s"|$a||$b|"
+          val rep = s"|${a}_$b|"
+          // the live corpus: every fragment minus rows a later merge
+          // rewrote (their latest version lives in that later fragment)
+          val liveCorpus = fragments.indices.map { i =>
+            laterPats(i).foldLeft(
+              fragments(i).select(col("doc_id"), col("str")))((df, q) =>
+                df.where(!col("str").contains(q)))
+          }.reduce(_ unionByName _)
+          // bound the fragment's partition count by its own row count
+          // (~50k rows per partition, clamped to the session width):
+          // localCheckpoint inherits the union scan's partitioning, so
+          // without this each fragment carried the SUM of all prior
+          // fragments' partitions — measured doubling to 160-task scans
+          // by merge 5. repartition, not coalesce: the corpus filter
+          // keeps full scan parallelism and only the affected rows (the
+          // bytes being stored anyway) cross the sizing exchange.
+          val affectedParts = math.max(1L, math.min(
+            s.sparkContext.defaultParallelism.toLong, nOcc / 50000L)).toInt
+          s.sparkContext.setJobDescription(s"e48c merge $k: affected fragment")
+          val affected = liveCorpus.where(col("str").contains(pat))
+            .select(col("doc_id"), col("str").as("strOld"),
+              org.apache.spark.sql.functions.replace(col("str"),
+                lit(pat), lit(rep)).as("str"))
+            .repartition(affectedParts)
+            .localCheckpoint(true)
+          s.sparkContext.setJobDescription(null)
+          fragments.indices.foreach(i => laterPats(i) += pat)
+          fragments += affected
+          laterPats += scala.collection.mutable.ArrayBuffer.empty[String]
+          // signed delta off the affected slice just materialized: old
+          // tokenization at −1, rewritten at +1, one projection per
+          // side (the two-step projection keeps CollapseProject from
+          // re-splitting the string per element_at — the e47 lesson)
+          val signedDelta = affected
+            .select(
+              filter(split(col("strOld"), "\\|\\|"),
+                t => length(t) > 0).as("wOld"),
+              filter(split(col("str"), "\\|\\|"),
+                t => length(t) > 0).as("wNew"))
+            .select(explode(concat(
+              sp(col("wOld"), -1L), sp(col("wNew"), 1L))).as("q"))
+            .select(col("q.a").as("a"), col("q.b").as("b"), col("q.n").as("n"))
+          s.sparkContext.setJobDescription(s"e48c merge $k: pair-state fold")
+          val pNext = p.unionByName(signedDelta)
+            .groupBy("a", "b").agg(sum("n").as("n"))
+            .where(col("n") =!= 0)
+            .localCheckpoint(true)
+          s.sparkContext.setJobDescription(null)
+          retired += p
+          p = pNext
+        }
       }
-    }
-    cur.unpersist(); p.unpersist()
-    live.foreach(_.unpersist())
 
-    val occArr = occs.result()
-    import s.implicits._
-    adopted.result().map { case (k, a, b, nOcc, vocab) =>
-      val before = occArr(k - 1) + nDocs
-      val after = occArr(k) + nDocs
-      (k, a, b, nOcc, before - after, before, after, vocab)
-    }.toDF("iter", "a", "b", "n_occ", "n_merged",
-      "toks_before", "toks_after", "vocab_pairs")
-      .orderBy("iter")
+      val occArr = occs.result()
+      import s.implicits._
+      adopted.result().map { case (k, a, b, nOcc, vocab) =>
+        val before = occArr(k - 1) + nDocs
+        val after = occArr(k) + nDocs
+        (k, a, b, nOcc, before - after, before, after, vocab)
+      }.toDF("iter", "a", "b", "n_occ", "n_merged",
+        "toks_before", "toks_after", "vocab_pairs")
+        .orderBy("iter")
+        // the fragments are unpersisted below — the returned rows must
+        // not re-read them under the bench's lazy noop write
+        .localCheckpoint(true)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      (fragments ++ retired :+ p).foreach(df =>
+        scala.util.Try(df.unpersist(blocking = false)))
+    }
   }
 
   /** E50: filter-attribution audit — the ablation table a curation
