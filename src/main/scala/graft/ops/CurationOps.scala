@@ -374,7 +374,7 @@ object CurationOps {
     * Catalyst pipelines decon's anti-join into the quality projection
     * in one scan. */
   def e70CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    val (accepted, _, metrics) = curationAccepted(s, d)
+    val (accepted, _, caches) = curationAccepted(s, d)
     // stage 5: packing — e22's running offset over the SURVIVORS,
     // keyed by (source, pack_shard) like e22 (r12 ask #6: the shard
     // key makes the no-global-sort claim structural at any skew)
@@ -399,7 +399,7 @@ object CurationOps {
       .agg(count(lit(1)).as("n_windows"), sum("n_docs").as("n_docs"),
         sum("n_tokens").as("n_tokens"))
       .orderBy("shard")
-    graft.Tables.materializeAndRelease(out, metrics)
+    graft.Tables.materializeAndRelease(out, caches: _*)
   }
 
   /** Stages 1-4 of the curation DAG (decon → quality → dedup →
@@ -409,19 +409,30 @@ object CurationOps {
     * persisted metrics relation for the caller's
     * materializeAndRelease). */
   private def curationAccepted(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val benchMember = col("doc_id") % 23 === 7 && col("doc_id") < 100000L
-    val docs = documents(s, d)
+    // ONE scan of documents for stages 1-2 (r16, verdict ask #4): the
+    // projected corpus is persisted once and the three decon/quality
+    // branches (benchmark shingles, candidate shingles, the clean base
+    // the anti-join keeps) read the cache — before, each branch carried
+    // its own FileScan of documents (three corpus scans per
+    // materialization). The spread runs once, against the real file
+    // scan, so the cache is already width-prepared for the HOF-heavy
+    // shingle/repetition stages.
+    val docsP = graft.Tables.spreadIfNarrow(
+        documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // stage 1: decon — e20's rule, reshaped to return the clean corpus
-    val bench = SimOps.shingleRowsOf(docs.where(benchMember))
+    val bench = SimOps.shingleRowsPrepared(docsP.where(benchMember))
       .select("sh").distinct()
-    val contaminated = SimOps.shingleRowsOf(docs.where(!benchMember))
+    val contaminated = SimOps.shingleRowsPrepared(docsP.where(!benchMember))
       .join(broadcast(bench), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= 4)
       .select("doc_id")
-    val clean = docs.where(!benchMember)
+    val clean = docsP.where(!benchMember)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // stage 2: quality — the e10b rule set; survivors carry their token
     // count forward (packing consumes it), text rides to the dedup
@@ -432,7 +443,7 @@ object CurationOps {
     // PER DISTINCT TOKEN — measured 20.3 s vs 1.1 s for the same 5k
     // rows at sf0.1 (E70 probe, r12). The cached metric relation is an
     // optimizer barrier, so the filter reads a stored boolean.
-    val metrics = repetitionMetrics(graft.Tables.spreadIfNarrow(clean, col("doc_id")))
+    val metrics = repetitionMetrics(clean)
       .select(col("doc_id"), col("source"), col("text"),
         col("n_tokens").cast("long").as("n_tok"), col("passes_repetition"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds dedup + the tail
@@ -456,7 +467,7 @@ object CurationOps {
         "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
       .join(weights, Seq("source"), "left")
       .where(col("u") < least(lit(1.0), coalesce(col("wt"), lit(1.0)) * 0.25))
-    (accepted, labels, metrics)
+    (accepted, labels, Seq(metrics, docsP))
   }
 
   /** E70b: the curation DAG ENDING WHERE TRAINING BEGINS (r12 verdict
@@ -486,7 +497,7 @@ object CurationOps {
     * the split adds a per-row md5 and nothing corpus-shaped
     * (SCALE.md's decade row measures e70b ≈ e70). */
   def e70bCurationSplit(s: SparkSession, d: String): DataFrame = {
-    val (accepted, labels, metrics) = curationAccepted(s, d)
+    val (accepted, labels, caches) = curationAccepted(s, d)
     val assigned = accepted
       .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
@@ -524,7 +535,7 @@ object CurationOps {
       .select("split", "shard", "n_windows", "n_docs", "n_tokens",
         "leak_clusters")
       .orderBy("split", "shard")
-    graft.Tables.materializeAndRelease(out, metrics)
+    graft.Tables.materializeAndRelease(out, caches: _*)
   }
 
   /** E27: TF-IDF top terms — the per-document top-5 terms by

@@ -281,7 +281,14 @@ object SimOps {
     * scan first so the parquet reader prunes on doc_id instead of
     * shingling the whole corpus twice. */
   private[ops] def shingleRowsOf(docs: DataFrame): DataFrame =
-    graft.Tables.spreadIfNarrow(docs, col("doc_id"))
+    shingleRowsPrepared(graft.Tables.spreadIfNarrow(docs, col("doc_id")))
+
+  /** [[shingleRowsOf]] minus the narrow-scan spread — for inputs that
+    * are already width-prepared (e70's shared persisted projection,
+    * where the spread gate's footer probe cannot see a file scan and
+    * would fall back to a full-width exchange on every cache read). */
+  private[ops] def shingleRowsPrepared(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokensArr)
       .select(col("doc_id"), col("source"),
         explode(when(size(col("toks")) >= 3,
