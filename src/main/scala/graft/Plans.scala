@@ -82,7 +82,8 @@ object Plans {
     // shortlist — the codes-only scan is the format's claim and would
     // otherwise be invisible in the declared dump)
     val aux: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("e2pq_adc_leg" -> ((s, d) => graft.sources.IvfServe.e2pqAdcLeg(s, d)._1))
+      Map("e2pq_adc_leg" -> ((s, d) => graft.sources.IvfServe.e2pqAdcLeg(s, d)._1),
+        "e48c_delta_leg" -> ((s, d) => graft.ops.CurationOps.e48cDeltaLeg(s, d)))
     (selected ++ (if (only.isEmpty) aux else aux.filter(kv => only.get(kv._1))))
       .toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // streaming-drain and iterative queries execute on construction and

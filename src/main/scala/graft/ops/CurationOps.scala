@@ -1551,6 +1551,39 @@ object CurationOps {
   def e48cBpeDelta(s: SparkSession, d: String): DataFrame =
     e48cBpeDeltaN(s, d, 8)
 
+  /** Plan-shape evidence for the e48c delta leg (plans/r16): the
+    * merge-k affected-fragment + signed-delta dataflow with a
+    * placeholder adopted pair — ONE scan of the live corpus feeding
+    * one projection of ±1 pair structs into one partial-aggregated
+    * exchange. The shape is pattern-independent; committed because the
+    * declared key's own dump shows only the read-back LocalTableScan
+    * (the r15 verdict's evidence gap). */
+  private[graft] def e48cDeltaLeg(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.spreadIfNarrow(documents(s, d), col("doc_id"))
+      .select(col("doc_id"), toks.as("w0"))
+      .select(col("doc_id"),
+        filter(col("w0"), t => t.rlike("^[a-z0-9]+$")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"),
+        concat(lit("||"), concat_ws("||", col("w")), lit("||")).as("str"))
+    val (pat, rep) = ("|a||b|", "|a_b|")
+    def sp(w: org.apache.spark.sql.Column, sign: Long) =
+      when(size(w) > 1,
+        transform(sequence(lit(0), size(w) - 2),
+          i => struct(element_at(w, i + 1).as("a"),
+            element_at(w, i + 2).as("b"), lit(sign).as("n"))))
+        .otherwise(array().cast("array<struct<a:string,b:string,n:bigint>>"))
+    base.where(col("str").contains(pat))
+      .select(
+        filter(split(col("str"), "\\|\\|"), t => length(t) > 0).as("wOld"),
+        filter(split(org.apache.spark.sql.functions.replace(
+            col("str"), lit(pat), lit(rep)), "\\|\\|"),
+          t => length(t) > 0).as("wNew"))
+      .select(explode(concat(sp(col("wOld"), -1L), sp(col("wNew"), 1L))).as("q"))
+      .groupBy(col("q.a").as("a"), col("q.b").as("b"))
+      .agg(sum(col("q.n")).as("n"))
+  }
+
   private[graft] def e48cBpeDeltaN(
       s: SparkSession, d: String, merges: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel

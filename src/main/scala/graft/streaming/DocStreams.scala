@@ -389,9 +389,12 @@ object DocStreams {
       sys.env.getOrElse("GRAFT_FIXTURE_DIR", "/root/repo/target/fixtures"),
       "stream-e10s", graft.util.PathKeys.keyedName(dir) + "-4")
     deleteTree(work)
-    StreamTune.withDrainWidthFrom(s,
-      java.nio.file.Paths.get(dir, "documents.parquet")) {
-      e10sGateDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val perTrigger = StreamTune.sourceBytes(src) / 4
+    StreamTune.withDrainWidthFrom(s, src) {
+      e10sGateDrain(s, StreamTune.spreadBatchIfWide(
+        docsStreamBucketed(s, dir, nBuckets = 4), col("doc_id"), perTrigger),
+        work)
     }
     drainedGate(s, work)
       .groupBy("source")
@@ -411,9 +414,12 @@ object DocStreams {
     // previous drain would resume an already-finished stream and emit
     // nothing (the fixture-staleness analogue of drainToTable's wipe)
     deleteTree(work)
-    StreamTune.withDrainWidthFrom(s,
-      java.nio.file.Paths.get(dir, "documents.parquet")) {
-      e6sIncrementalDrain(s, docsStreamBucketed(s, dir, nBuckets = 4), work)
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val perTrigger = StreamTune.sourceBytes(src) / 4
+    StreamTune.withDrainWidthFrom(s, src) {
+      e6sIncrementalDrain(s, StreamTune.spreadBatchIfWide(
+        docsStreamBucketed(s, dir, nBuckets = 4), col("doc_id"), perTrigger),
+        work)
     }
     // The verify tail references `pairs` on both sides of a join; a
     // localCheckpoint materializes the pair aggregate once (bounded by

@@ -110,6 +110,35 @@ object StreamTune {
     }
   }
 
+  /** Spread an arriving micro-batch across the drain width BEFORE the
+    * heavy per-row stage, gated on the data: a staged landing file
+    * arrives as ONE input split, so everything until the first
+    * exchange runs as a single task per trigger — invisible at
+    * kilobyte fixtures, but the r16 sfx1 scaling run measured the e6s
+    * band derivation serializing at ~4 s per trigger. The spread fires
+    * only when one trigger carries at least [[SpreadMinParts]]
+    * partitions' worth of landing bytes (the same
+    * [[targetPartBytes]] unit the drain width derives from), keyed
+    * deterministically (task-retry-safe, guide §2.5) — so tiny local
+    * fixtures keep their exchange-free single-task plans and a real
+    * ingest parallelizes its per-row work. */
+  val SpreadMinParts = 2L
+
+  private[graft] def spreadBatchIfWide(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      bytesPerTrigger: Long): org.apache.spark.sql.DataFrame =
+    if (bytesPerTrigger / targetPartBytes >= SpreadMinParts) {
+      // EXPLICIT partition count, derived from the per-trigger bytes:
+      // a bare repartition(key) resolves to spark.sql.shuffle.partitions
+      // but AQE then coalesces the small exchange back to one partition
+      // (measured at sfx1: the spread's reduce side ran 1-2 tasks and
+      // the per-row stage stayed serial) — a user-specified count is
+      // exempt from AQE coalescing, which is exactly the contract here.
+      val n = widthFor(bytesPerTrigger,
+        df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(n, key)
+    } else df
+
   /** [[withDrainWidth]] sized from the source files a drain replays. */
   private[graft] def withDrainWidthFrom[T](s: SparkSession,
       paths: java.nio.file.Path*)(body: => T): T =

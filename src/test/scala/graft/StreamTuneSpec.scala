@@ -48,4 +48,39 @@ class StreamTuneSpec extends AnyFunSuite {
     assert(StreamTune.sourceBytes(dir) === 128L)
     assert(StreamTune.sourceBytes(dir.resolve("nope")) === 0L)
   }
+
+  test("withDrainWidth: AQE disabled at width 1 only, restored after") {
+    val spark = SparkTestSession.spark
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    StreamTune.withDrainWidth(spark, 1L) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+        "width-1 drains must run their foreachBatch jobs without AQE")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe0)
+    StreamTune.withDrainWidth(spark, 100L * StreamTune.targetPartBytes) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe0,
+        "wide drains keep AQE (coalescing/skew handling)")
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe0)
+  }
+
+  test("spreadBatchIfWide: fires only at >=2 partitions of per-trigger bytes, explicit count") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val t = StreamTune.targetPartBytes
+    // under the bar: the plan must be returned UNCHANGED (no exchange)
+    val narrow = StreamTune.spreadBatchIfWide(df, org.apache.spark.sql.functions.col("doc_id"), t)
+    assert(narrow.queryExecution.logical eq df.queryExecution.logical,
+      "a sub-bar trigger must keep its exchange-free plan")
+    // over the bar: a repartition with an EXPLICIT partition count
+    // (AQE-coalesce-exempt — the sfx1 lesson) derived from the bytes
+    val wide = StreamTune.spreadBatchIfWide(df, org.apache.spark.sql.functions.col("doc_id"), 4 * t)
+    val rep = wide.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(rep.nonEmpty, "an over-bar trigger must spread")
+    assert(rep.head.optNumPartitions.contains(4),
+      s"explicit count derived from bytes, got ${rep.head.optNumPartitions}")
+  }
 }
